@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Accessors for the engine's native Parquet tables.
+  *
+  * The reference keeps its catalog in an RDBMS and its data in per-dataset
+  * tables (`/root/reference/data_seoul_2_csv_noopenapi.py:42-49,68-69`); the
+  * Spark-native engine's storage is columnar Parquet, one directory per
+  * scale factor, one file/dir per table. All filters and projections applied
+  * on top of these reads are pushed into the Parquet scan by Catalyst.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which the vectorized reader
+    // rejects; read as long and convert in the events() accessor.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `ts` arrives as nanos-since-epoch (long); convert to a microsecond
+    * timestamp with integer division — ns magnitudes exceed 2^53, so a
+    * double-typed division would lose precision. */
+  def events(s: SparkSession, d: String): DataFrame =
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.Num
+import org.apache.spark.sql.functions._
+
+/** Aggregations — SURVEY.md §2.4.
+  *
+  * All group-bys are two-phase (partial map-side + final) under Catalyst's
+  * HashAggregate; nothing here materializes on the driver. The reference's
+  * only aggregate is a driver-side running row counter
+  * (`data_seoul_2_csv_noopenapi.py:112,127`).
+  */
+object AggQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Global count (cf. list_total_count, data_seoul_2_csv_noopenapi.py:127).
+    QueryDef(
+      "q_agg_count",
+      Some("SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem")) { (s, d) =>
+      Tables.lineitem(s, d).agg(count(lit(1)).as("n_rows"))
+    },
+
+    // Hash group-by with sum/avg/min/max/count — TPC-H Q1 shape; the
+    // engine's flagship query (SparkEntry.entry).
+    QueryDef(
+      "q_agg_group",
+      Some("""SELECT l_returnflag, l_linestatus,
+                     sum(l_quantity) AS sum_qty,
+                     CAST(round(CAST(sum(l_extendedprice) AS DECIMAL(28,6)), 2) AS DOUBLE) AS sum_base_price,
+                     CAST(round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(28,6)), 2) AS DOUBLE) AS sum_disc_price,
+                     CAST(round(CAST(avg(l_quantity) AS DECIMAL(28,6)), 2) AS DOUBLE) AS avg_qty,
+                     CAST(round(CAST(avg(l_extendedprice) AS DECIMAL(28,6)), 2) AS DOUBLE) AS avg_price,
+                     min(l_quantity) AS min_qty,
+                     max(l_quantity) AS max_qty,
+                     CAST(count(*) AS BIGINT) AS count_order
+              FROM lineitem
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          Num.round2(sum("l_extendedprice")).as("sum_base_price"),
+          Num.round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_price"),
+          Num.round2(avg("l_quantity")).as("avg_qty"),
+          Num.round2(avg("l_extendedprice")).as("avg_price"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Exact count distinct per group (expand + two-phase agg under the hood).
+    QueryDef(
+      "q_agg_distinct",
+      Some("""SELECT o_orderpriority,
+                     CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(countDistinct("o_custkey").as("n_cust"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Approximate distinct via HyperLogLog++ — the 100 TB substitute for
+    // exact distinct. No DuckDB oracle (different sketch); the driver
+    // records a rows-only check and AggSpec asserts tolerance vs exact.
+    QueryDef("q_agg_approx", None) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"))
+        .orderBy("l_returnflag")
+    },
+
+    // Rollup (grouping sets): subtotals + grand total. NULL group keys from
+    // rolled-up levels are labeled 'ALL' on both sides so the hash compare
+    // sees identical values.
+    QueryDef(
+      "q_agg_rollup",
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                     coalesce(o_orderpriority, 'ALL') AS priority,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(round(CAST(sum(o_totalprice) AS DECIMAL(28,6)), 2) AS DOUBLE) AS sum_price
+              FROM orders
+              GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+              ORDER BY status, priority""")) { (s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), Num.round2(sum("o_totalprice")).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy("status", "priority")
+    }
+  )
+}

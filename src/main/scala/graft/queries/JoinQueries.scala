@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.Num
+import graft.operators.Joins
+import org.apache.spark.sql.functions._
+
+/** Join surface — SURVEY.md §2.3.
+  *
+  * The reference performs joins as nested driver loops with per-key SQL
+  * (`data_seoul_2_csv_noopenapi.py:58,74-79,89-96`); here they are real
+  * distributed joins. Small dimensions are broadcast explicitly; large-large
+  * joins shuffle on their keys and AQE handles skew at scale.
+  */
+object JoinQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Large-large equi inner join (sort-merge / shuffled-hash at scale):
+    // revenue per order status.
+    QueryDef(
+      "q_join_inner",
+      Some("""SELECT o.o_orderstatus,
+                     CAST(round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(28,6)), 2) AS DOUBLE) AS revenue,
+                     CAST(count(*) AS BIGINT) AS n_items
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              GROUP BY o.o_orderstatus
+              ORDER BY o.o_orderstatus""")) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+          Num.round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Broadcast hash join over tiny dimensions: customers per region.
+    QueryDef(
+      "q_join_broadcast",
+      Some("""SELECT r.r_name,
+                     CAST(count(*) AS BIGINT) AS n_cust,
+                     CAST(round(CAST(sum(c.c_acctbal) AS DECIMAL(28,6)), 2) AS DOUBLE) AS sum_bal
+              FROM customer c
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              GROUP BY r.r_name ORDER BY r.r_name""")) { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"), Num.round2(sum("c_acctbal")).as("sum_bal"))
+        .orderBy("r_name")
+    },
+
+    // Left semi join — EXISTS (cf. the reference's "has a physical table"
+    // existence check, data_seoul_2_csv_noopenapi.py:74-78).
+    QueryDef(
+      "q_join_semi",
+      Some("""SELECT c_custkey, c_name FROM customer c
+              WHERE EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_totalprice > 400000.0)
+              ORDER BY c_custkey""")) { (s, d) =>
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+      Tables.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Left anti join — NOT EXISTS.
+    QueryDef(
+      "q_join_anti",
+      Some("""SELECT c_custkey, c_name FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND o.o_totalprice > 400000.0)
+              ORDER BY c_custkey""")) { (s, d) =>
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+      Tables.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Theta/range join: events bucketed into value bands. The band table is
+    // tiny → broadcast nested-loop, the scale-safe shape for non-equi joins
+    // against a small side.
+    QueryDef(
+      "q_join_range",
+      Some("""SELECT r.r_name AS band,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(round(CAST(sum(e.value) AS DECIMAL(28,6)), 2) AS DOUBLE) AS sum_value
+              FROM events e JOIN region r
+                ON e.value >= r.r_regionkey * 70.0
+               AND e.value <  (r.r_regionkey + 1) * 70.0
+              GROUP BY r.r_name ORDER BY r.r_name""")) { (s, d) =>
+      val bands = Tables.region(s, d)
+      Tables.events(s, d)
+        .join(broadcast(bands),
+          col("value") >= col("r_regionkey") * 70.0 &&
+            col("value") < (col("r_regionkey") + 1) * 70.0)
+        .groupBy(col("r_name").as("band"))
+        .agg(count(lit(1)).as("n_events"), Num.round2(sum("value")).as("sum_value"))
+        .orderBy("band")
+    },
+
+    // As-of join: for each purchase event, the latest order of that user at
+    // or before the event time. Implemented as an equi join on the key plus
+    // a windowed top-1 per event (graft.operators.Joins.asOf) — the
+    // shuffle-friendly formulation (no global sort, partitioned by event).
+    QueryDef(
+      "q_join_asof",
+      Some("""SELECT event_id, asof_orderkey, asof_date FROM (
+                SELECT e.event_id,
+                       o.o_orderkey AS asof_orderkey,
+                       strftime(o.o_orderdate, '%Y-%m-%d') AS asof_date,
+                       row_number() OVER (PARTITION BY e.event_id
+                         ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                FROM events e JOIN orders o
+                  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+                WHERE e.event_type = 'purchase')
+              WHERE rn = 1 ORDER BY event_id""")) { (s, d) =>
+      val purchases = Tables.events(s, d).filter(col("event_type") === "purchase")
+      Joins.asOf(
+          purchases, Tables.orders(s, d),
+          leftKey = col("user_id"), rightKey = col("o_custkey"),
+          leftTime = col("ts"), rightTime = col("o_orderdate"),
+          idCols = Seq("event_id"),
+          tieBreak = Seq(col("o_orderkey").desc))
+        .select(
+          col("event_id"),
+          col("o_orderkey").as("asof_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_date"))
+        .orderBy("event_id")
+    }
+  )
+}

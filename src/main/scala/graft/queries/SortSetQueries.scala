@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Sorts / limits / top-k (SURVEY.md §2.6) and set operations (§2.7). */
+object SortSetQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Global sort (cf. ORDER BY ID DESC, data_seoul_2_csv_noopenapi.py:74).
+    // Range-partitioned exchange under the hood — scales, unlike a
+    // single-partition window.
+    QueryDef(
+      "q_sort",
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey""")) { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    },
+
+    // Limit after sort (cf. take-first, data_seoul_2_csv_noopenapi.py:77-79).
+    QueryDef(
+      "q_limit",
+      Some("""SELECT o_orderkey, o_custkey FROM orders
+              ORDER BY o_orderkey LIMIT 10""")) { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+        .limit(10)
+    },
+
+    // Top-k: sort+limit fused by Catalyst into TakeOrderedAndProject —
+    // O(k) memory per partition, no global sort at any scale.
+    QueryDef(
+      "q_topk",
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")) { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
+    // UNION ALL (unionByName — position-independent, the safe form).
+    QueryDef(
+      "q_set_union",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT * FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT * FROM events WHERE event_type = 'view')
+              GROUP BY event_type ORDER BY event_type""")) { (s, d) =>
+      val e = Tables.events(s, d)
+      e.filter(col("event_type") === "click")
+        .unionByName(e.filter(col("event_type") === "view"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // INTERSECT (distinct semantics): customers with both F and O orders.
+    QueryDef(
+      "q_set_intersect",
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+              INTERSECT
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+              ORDER BY o_custkey""")) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // EXCEPT (distinct semantics): customers with F orders but no O orders.
+    QueryDef(
+      "q_set_except",
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+              EXCEPT
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+              ORDER BY o_custkey""")) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .except(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // Exact dedup by content: one row kept per distinct document text
+    // (deterministic keeper = min doc_id; see graft.operators.Dedup).
+    QueryDef(
+      "q_dedup_exact",
+      Some("""SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+                     CAST(count(*) AS BIGINT) AS dup_cnt
+              FROM documents GROUP BY text ORDER BY keep_id""")) { (s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), Seq("text"), "doc_id")
+        .orderBy("keep_id")
+    }
+  )
+}

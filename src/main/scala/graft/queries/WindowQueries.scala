@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.Num
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions — SURVEY.md §2.5.
+  *
+  * Every window here is partitioned (never a global ORDER BY window — the
+  * single-partition shape that dies at scale). The reference's two implicit
+  * windows: top-1 per key via `ORDER BY ID DESC` + take-first
+  * (`data_seoul_2_csv_noopenapi.py:74-79`) and the surrogate-ID row counter
+  * (`:116,128`).
+  */
+object WindowQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // row_number / rank / dense_rank: top-5 customers per market segment.
+    QueryDef(
+      "q_win_rank",
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal,
+                     CAST(rn AS BIGINT) AS rn, CAST(rnk AS BIGINT) AS rnk,
+                     CAST(drnk AS BIGINT) AS drnk
+              FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                           row_number() OVER w AS rn,
+                           rank() OVER w AS rnk,
+                           dense_rank() OVER w AS drnk
+                    FROM customer
+                    WINDOW w AS (PARTITION BY c_mktsegment
+                                 ORDER BY c_acctbal DESC, c_custkey))
+              WHERE rn <= 5
+              ORDER BY c_mktsegment, rn""")) { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .filter(col("rn") <= 5)
+        .select(
+          col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          col("rn").cast("long"), col("rnk").cast("long"),
+          col("drnk").cast("long"))
+        .orderBy("c_mktsegment", "rn")
+    },
+
+    // Top-1 per key — the reference's latest-ingest lookup
+    // (data_seoul_2_csv_noopenapi.py:74-79) as a distributed window.
+    QueryDef(
+      "q_win_latest",
+      Some("""SELECT o_custkey, o_orderkey AS last_orderkey,
+                     strftime(o_orderdate, '%Y-%m-%d') AS last_date
+              FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                    FROM orders)
+              WHERE rn = 1 ORDER BY o_custkey""")) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey").as("last_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_date"))
+        .orderBy("o_custkey")
+    },
+
+    // lag: per-user delta between consecutive event values.
+    QueryDef(
+      "q_win_lag",
+      Some("""SELECT event_id,
+                     CAST(round(CAST(value - lag(value, 1) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS DECIMAL(28,6)), 2) AS DOUBLE) AS delta
+              FROM events ORDER BY event_id""")) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          Num.round2(col("value") - lag(col("value"), 1).over(w)).as("delta"))
+        .orderBy("event_id")
+    },
+
+    // Moving aggregate with an explicit ROWS frame.
+    QueryDef(
+      "q_win_moving",
+      Some("""SELECT event_id,
+                     CAST(round(CAST(avg(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DECIMAL(28,6)), 2) AS DOUBLE) AS mov_avg
+              FROM events ORDER BY event_id""")) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), Num.round2(avg("value").over(w)).as("mov_avg"))
+        .orderBy("event_id")
+    },
+
+    // Cumulative sum (integral doubles — exact, no rounding needed).
+    // (l_suppkey, l_orderkey, l_linenumber) is NOT unique in the synthetic
+    // data, so the window order adds l_quantity (ties beyond that add the
+    // same value — order-invariant) and the output order adds cum_qty,
+    // which strictly increases within a partition, making it total.
+    QueryDef(
+      "q_win_cumsum",
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+                     sum(l_quantity) OVER (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_qty
+              FROM lineitem
+              ORDER BY l_suppkey, l_orderkey, l_linenumber, cum_qty""")) { (s, d) =>
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum("l_quantity").over(w).as("cum_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "cum_qty")
+    }
+  )
+}
