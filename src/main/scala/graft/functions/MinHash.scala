@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** MinHash signatures for near-duplicate detection — SURVEY.md §2.10.
+  *
+  * A document's MinHash signature is a per-row computation over its shingle
+  * set, so it stays inside whole-stage codegen as higher-order built-ins:
+  * component j = min over shingles of xxhash64(shingle, j) (the seed rides
+  * along as an extra hashed column). Banding for LSH: the signature is cut
+  * into bands and each band hashed; near-dup candidates collide on at least
+  * one (band index, band hash) pair — turning the O(n²) all-pairs problem
+  * into a shuffle on band keys, the 100 TB-safe shape.
+  */
+object MinHash {
+
+  /** k-component MinHash signature (array<bigint>) of a token/shingle array. */
+  def signature(shingles: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingles, t => xxhash64(t, j))))
+
+  /** Band hashes of a signature: nBands hashes of rowsPerBand consecutive
+    * components each. Pair with posexplode to get (band_idx, band_hash). */
+  def bands(sig: Column, nBands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(nBands - 1)),
+      b => xxhash64(slice(sig, b * lit(rowsPerBand) + 1, lit(rowsPerBand))))
+
+  /** Estimated Jaccard similarity = fraction of equal signature components. */
+  def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
+    aggregate(
+      zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0),
+      (s, x) => s + x).cast("double") / lit(k.toDouble)
+
+  /** Exact Jaccard over two token arrays (set semantics). */
+  def exactJaccard(a: Column, b: Column): Column =
+    size(array_intersect(array_distinct(a), array_distinct(b))).cast("double") /
+      size(array_union(a, b)).cast("double")
+}

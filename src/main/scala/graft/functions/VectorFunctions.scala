@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `ArrayType` columns — SURVEY.md §2.10.
+  *
+  * Pure higher-order built-ins (`zip_with` + `aggregate`), which stay inside
+  * whole-stage codegen — preferred over UDFs per SURVEY §7.4; a custom
+  * codegen Expression is only warranted if profiling shows these hot.
+  *
+  * All functions expect `array<double>`; use [[asDouble]] on float embeddings
+  * first so both engines do identical double arithmetic (element-wise float
+  * multiply would round differently than DuckDB's double path).
+  */
+object VectorFunctions {
+
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Dot product — sequential left-to-right double fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  def normSq(a: Column): Column = dot(a, a)
+
+  def l2Norm(a: Column): Column = sqrt(normSq(a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  def l2Dist(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x))
+}

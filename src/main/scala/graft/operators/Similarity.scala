@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.functions.{MinHash, VectorFunctions => V}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search and near-duplicate detection — SURVEY.md §2.10.
+  *
+  * Two regimes, chosen explicitly by the caller (SURVEY §4.2: the
+  * brute-force→LSH rewrite is an API decision, not an optimizer rule):
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k for a SMALL query set against a
+  *    large corpus — broadcast the queries, never materialize corpus×corpus.
+  *  - [[lshBucketJoin]] / [[minhashCandidatePairs]]: the 100 TB path — hash
+  *    rows into buckets (random-hyperplane bits for vectors, MinHash bands
+  *    for documents) and only compare within buckets, turning all-pairs into
+  *    an equi-join shuffle.
+  */
+object Similarity {
+
+  /** Exact cosine top-k per query vector. `queries` must be small (it is
+    * broadcast); the corpus scan stays fully distributed and the per-query
+    * ranking is a partitioned window (never a global sort). */
+  def bruteForceTopK(
+      queries: DataFrame, // (q_id, qv: array<double>)
+      corpus: DataFrame,  // (vec_id, cv: array<double>)
+      k: Int): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(queries))
+      .withColumn("cos", V.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Deterministic ±1 random-hyperplane entry for (plane j, dimension i) —
+    * a fixed integer mix, no RNG state, so every executor and every round
+    * derives the same planes. */
+  private def hyperplaneSign(j: Int, i: Int): Double = {
+    val x = j * 1315423911L + i * 2654435761L
+    val mixed = (x ^ (x >>> 16)) * 0x45d9f3bL
+    if (((mixed >>> 8) & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** nBits-bit signed-random-projection bucket id for a vector column. */
+  def srpBucket(vec: Column, dim: Int, nBits: Int): Column = {
+    val bits: Seq[Column] = (0 until nBits).map { j =>
+      val plane = array((0 until dim).map(i => lit(hyperplaneSign(j, i))): _*)
+      when(V.dot(vec, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH near-dup pairs over an embedding table: bucket by SRP bits, compare
+    * only within buckets, keep pairs with cosine >= threshold. The self-join
+    * is an equi-join on the bucket id — shuffle-partitioned, no cross join. */
+  def lshBucketJoin(
+      emb: DataFrame, // (vec_id, v: array<double>)
+      dim: Int,
+      nBits: Int,
+      minCosine: Double): DataFrame = {
+    val bucketed = emb.withColumn("bucket", srpBucket(col("v"), dim, nBits))
+    val a = bucketed.select(
+      col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"))
+    val b = bucketed.select(
+      col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", V.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** MinHash/LSH candidate pairs over a document table: shingle → signature
+    * → bands → band-key equi-join → distinct pairs with estimated Jaccard.
+    * `docs` must carry (id, shingles: array<string>). */
+  def minhashCandidatePairs(
+      docs: DataFrame,
+      k: Int,
+      nBands: Int,
+      minEstJaccard: Double): DataFrame = {
+    val rowsPerBand = k / nBands
+    val signed = docs.withColumn("sig", MinHash.signature(col("shingles"), k))
+    val banded = signed
+      .select(
+        col("id"), col("sig"),
+        posexplode(MinHash.bands(col("sig"), nBands, rowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
+    val a = banded.select(
+      col("band_idx"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(
+      col("band_idx"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("est_jaccard", MinHash.estJaccard(col("sig_a"), col("sig_b"), k))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+}

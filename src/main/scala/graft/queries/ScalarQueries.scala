@@ -1,7 +1,269 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.{Num, TextFunctions => T, VectorFunctions => V}
+import org.apache.spark.sql.functions._
 
+/** Scalar function surface: string / date / math / array / map / json —
+  * SURVEY.md §2.8. Every string behavior here is a reference behavior
+  * (file:line cited per query); array/map/json are the north-star multimodal
+  * columns exercised on `events.props` and `embeddings.embedding`.
+  */
 object ScalarQueries {
-  val defs: Seq[QueryDef] = Seq()
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Whitespace cleanup (cf. .replace("\t","").replace("\n","") + .strip(),
+    // data_seoul_1_category.py:72,82; data_seoul_2_csv_noopenapi.py:108).
+    QueryDef(
+      "q_str_clean",
+      Some("""SELECT doc_id,
+                     substring(trim(regexp_replace(text, '\s+', ' ', 'g')), 1, 30) AS prefix,
+                     CAST(length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS BIGINT) AS n_clean
+              FROM documents ORDER BY doc_id""")) { (s, d) =>
+      val clean = T.normalizeWs(col("text"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          substring(clean, 1, 30).as("prefix"),
+          length(clean).cast("long").as("n_clean"))
+        .orderBy("doc_id")
+    },
+
+    // Concat + zero-pad naming (cf. "NLDATA_" + str(id).rjust(6,"0"),
+    // data_seoul_2_csv_noopenapi.py:68-69; "COL_"+rjust(3,"0"),
+    // data_seoul_3_csv.py:138).
+    QueryDef(
+      "q_str_pad",
+      Some("""SELECT n_nationkey,
+                     'NLDATA_' || lpad(CAST(n_nationkey AS VARCHAR), 6, '0') AS table_name,
+                     'COL_' || lpad(CAST(n_regionkey AS VARCHAR), 3, '0') AS col_name
+              FROM nation ORDER BY n_nationkey""")) { (s, d) =>
+      Tables.nation(s, d)
+        .select(
+          col("n_nationkey"),
+          T.paddedName("NLDATA_", col("n_nationkey"), 6).as("table_name"),
+          T.paddedName("COL_", col("n_regionkey"), 3).as("col_name"))
+        .orderBy("n_nationkey")
+    },
+
+    // camelCase → SNAKE_CASE (cf. re.sub(r'(?<!^)(?=[A-Z])','_',s).upper(),
+    // data_seoul_3_csv.py:110-111). Capture-group regex — same result,
+    // portable to RE2 (DuckDB has no lookbehind).
+    QueryDef(
+      "q_str_snake",
+      Some("""SELECT r_regionkey,
+                     upper(regexp_replace(lower(r_name) || 'RegionKey',
+                                          '([a-z0-9])([A-Z])', '\1_\2', 'g')) AS snake
+              FROM region ORDER BY r_regionkey""")) { (s, d) =>
+      Tables.region(s, d)
+        .select(
+          col("r_regionkey"),
+          T.camelToSnake(concat(lower(col("r_name")), lit("RegionKey"))).as("snake"))
+        .orderBy("r_regionkey")
+    },
+
+    // Split + positional extraction (cf. split('/sample/xml/')[1] and
+    // rsplit('/',n)[0], data_seoul_3_csv.py:93,101-106).
+    QueryDef(
+      "q_str_split",
+      Some("""SELECT c_custkey,
+                     CAST(split_part(c_name, '#', 2) AS BIGINT) AS name_num,
+                     CAST(len(string_split(c_name, '#')) AS BIGINT) AS n_parts
+              FROM customer ORDER BY c_custkey""")) { (s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          element_at(split(col("c_name"), "#"), 2).cast("long").as("name_num"),
+          size(split(col("c_name"), "#")).cast("long").as("n_parts"))
+        .orderBy("c_custkey")
+    },
+
+    // Conditional substitution (cf. the per-id auth-key/URL branching,
+    // data_seoul_3_csv.py:94-106) as CASE WHEN banding.
+    QueryDef(
+      "q_str_case",
+      Some("""SELECT CASE WHEN o_totalprice > 300000.0 THEN 'HIGH'
+                          WHEN o_totalprice > 150000.0 THEN 'MID'
+                          ELSE 'LOW' END AS band,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(round(CAST(sum(o_totalprice) AS DECIMAL(28,6)), 2) AS DOUBLE) AS sum_price
+              FROM orders GROUP BY 1 ORDER BY band""")) { (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          when(col("o_totalprice") > 300000.0, "HIGH")
+            .when(col("o_totalprice") > 150000.0, "MID")
+            .otherwise("LOW").as("band"),
+          col("o_totalprice"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), Num.round2(sum("o_totalprice")).as("sum_price"))
+        .orderBy("band")
+    },
+
+    // Ordered string aggregation (cf. the INSERT column-list build loop,
+    // data_seoul_2_csv_noopenapi.py:103-110) — collect_list is unordered in
+    // a distributed engine, so sort the array before joining.
+    QueryDef(
+      "q_str_agg",
+      Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+              FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")) { (s, d) =>
+      Tables.nation(s, d)
+        .groupBy("n_regionkey")
+        .agg(concat_ws(",", array_sort(collect_list("n_name"))).as("names"))
+        .orderBy("n_regionkey")
+    },
+
+    // Timestamp formatting (cf. strftime('%Y-%m-%d %H:%M:%S'),
+    // data_seoul_2_csv_noopenapi.py:71-72).
+    QueryDef(
+      "q_date_fmt",
+      Some("""SELECT o_orderkey,
+                     strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate
+              FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""")) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 100)
+        .select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("odate"))
+        .orderBy("o_orderkey")
+    },
+
+    // Date part extraction / truncation / difference.
+    QueryDef(
+      "q_date_ops",
+      Some("""SELECT o_orderkey,
+                     CAST(year(o_orderdate) AS BIGINT) AS y,
+                     CAST(month(o_orderdate) AS BIGINT) AS m,
+                     strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+                     CAST(datediff('day', DATE '1997-01-01', o_orderdate) AS BIGINT) AS days_since
+              FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""")) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 100)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_start"),
+          datediff(col("o_orderdate"), lit("1997-01-01")).cast("long")
+            .as("days_since"))
+        .orderBy("o_orderkey")
+    },
+
+    // Math surface: modulo banding (cf. idx % 3 == 0, data_seoul_3_csv.py:132),
+    // sqrt/ln/floor/ceil/abs over a group-by.
+    QueryDef(
+      "q_math_ops",
+      Some("""SELECT CAST(l_orderkey % 7 AS BIGINT) AS k,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(round(CAST(sum(sqrt(l_quantity)) AS DECIMAL(28,6)), 2) AS DOUBLE) AS sum_sqrt,
+                     CAST(round(CAST(sum(ln(l_extendedprice)) AS DECIMAL(28,6)), 2) AS DOUBLE) AS sum_ln,
+                     CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_floor,
+                     CAST(round(CAST(sum(abs(l_discount - 0.05)) AS DECIMAL(28,6)), 2) AS DOUBLE) AS sum_absdev
+              FROM lineitem GROUP BY 1 ORDER BY k""")) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(pmod(col("l_orderkey"), lit(7)).as("k"))
+        .agg(
+          count(lit(1)).as("n"),
+          Num.round2(sum(sqrt(col("l_quantity")))).as("sum_sqrt"),
+          Num.round2(sum(log(col("l_extendedprice")))).as("sum_ln"),
+          sum(floor(col("l_extendedprice"))).cast("long").as("sum_floor"),
+          Num.round2(sum(abs(col("l_discount") - 0.05))).as("sum_absdev"))
+        .orderBy("k")
+    },
+
+    // Array ops over embeddings (cast to double first — identical arithmetic
+    // on both engines; see VectorFunctions).
+    QueryDef(
+      "q_arr_ops",
+      Some("""SELECT vec_id,
+                     CAST(len(embedding) AS BIGINT) AS dim,
+                     CAST(round(CAST(sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS DECIMAL(28,6)), 2) AS DOUBLE) AS l2norm,
+                     CAST(round(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(28,6)), 2) AS DOUBLE) AS first_el,
+                     CAST(round(CAST(list_sum(list_transform(embedding[1:8],
+                       x -> CAST(x AS DOUBLE))) AS DECIMAL(28,6)), 2) AS DOUBLE) AS head_sum
+              FROM embeddings ORDER BY vec_id""")) { (s, d) =>
+      val v = V.asDouble(col("embedding"))
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          Num.round2(V.l2Norm(v)).as("l2norm"),
+          Num.round2(element_at(v, 1)).as("first_el"),
+          Num.round2(aggregate(slice(v, 1, 8), lit(0.0), (s0, x) => s0 + x))
+            .as("head_sum"))
+        .orderBy("vec_id")
+    },
+
+    // Map ops: build map event_type -> count, then explode back to rows
+    // (create_map / explode; oracle computes the flat equivalent).
+    QueryDef(
+      "q_map_ops",
+      Some("""SELECT event_type AS key, CAST(count(*) AS BIGINT) AS value
+              FROM events GROUP BY event_type ORDER BY key""")) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(org.apache.spark.sql.functions.map(col("event_type"), col("n")).as("m"))
+        .select(explode(col("m")))
+        .orderBy("key")
+    },
+
+    // JSON extraction from events.props (north-star multimodal metadata).
+    QueryDef(
+      "q_json_extract",
+      Some("""SELECT event_type,
+                     CAST(round(CAST(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DECIMAL(28,6)), 2) AS DOUBLE) AS avg_k,
+                     CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+                     CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+              FROM events GROUP BY event_type ORDER BY event_type""")) { (s, d) =>
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      Tables.events(s, d)
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(
+          Num.round2(avg("k")).as("avg_k"),
+          min("k").as("min_k"),
+          max("k").as("max_k"))
+        .orderBy("event_type")
+    },
+
+    // Regex field extraction over text — the engine-side equivalent of the
+    // reference's DOM field extraction (data_seoul_1_category.py:70-78,
+    // data_seoul_3_csv.py:74-89): pull structured fields out of
+    // semi-structured text with regexp_extract.
+    QueryDef(
+      "q_html_extract",
+      Some("""SELECT doc_id,
+                     regexp_extract(text, '^(\w+)', 1) AS first_word,
+                     CAST(len(regexp_extract_all(text, 'data')) AS BIGINT) AS n_data
+              FROM documents ORDER BY doc_id""")) { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          regexp_extract(col("text"), "^(\\w+)", 1).as("first_word"),
+          size(regexp_extract_all(col("text"), lit("data"), lit(0))).cast("long")
+            .as("n_data"))
+        .orderBy("doc_id")
+    },
+
+    // Multimodal binary plumbing: text -> UTF-8 bytes as an opaque binary
+    // column with typed metadata (byte length + content hash) — the schema
+    // shape for image/audio payloads (SURVEY.md §2.10; decode stubs live in
+    // graft.multimodal).
+    QueryDef(
+      "q_mm_meta",
+      Some("""SELECT doc_id,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     sha256(text) AS content_sha
+              FROM documents ORDER BY doc_id""")) { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+          sha2(encode(col("text"), "UTF-8"), 256).as("content_sha"))
+        .orderBy("doc_id")
+    }
+  )
 }

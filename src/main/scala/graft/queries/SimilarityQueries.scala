@@ -1,7 +1,118 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.{MinHash, Num, SimHash, TextFunctions => T, VectorFunctions => V}
+import graft.operators.Similarity
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Similarity search + near-dup detection — SURVEY.md §2.10 and the
+  * north-star LLM-pipeline operators (ANN over embeddings; MinHash/SimHash/
+  * n-gram-Jaccard near-dup over documents).
+  */
 object SimilarityQueries {
-  val defs: Seq[QueryDef] = Seq()
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Brute-force cosine top-10: 5 query vectors (broadcast) vs the corpus.
+    QueryDef(
+      "q_sim_topk",
+      Some("""WITH q AS (SELECT vec_id AS q_id,
+                                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                         FROM embeddings WHERE vec_id < 5),
+                   c AS (SELECT vec_id,
+                                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                         FROM embeddings WHERE vec_id >= 5),
+                   p AS (SELECT q_id, vec_id,
+                                list_sum(list_transform(generate_series(1, len(qv)),
+                                                        i -> qv[i] * cv[i])) /
+                                (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+                                 sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cos
+                         FROM c, q)
+              SELECT q_id, vec_id,
+                     CAST(round(CAST(cos AS DECIMAL(28,6)), 2) AS DOUBLE) AS sim,
+                     CAST(rn AS BIGINT) AS rn
+              FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY round(cos, 6) DESC, vec_id) AS rn FROM p)
+              WHERE rn <= 10 ORDER BY q_id, rn""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), V.asDouble(col("embedding")).as("qv"))
+      val corpus = emb.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), V.asDouble(col("embedding")).as("cv"))
+      Similarity.bruteForceTopK(queries, corpus, 10)
+        .select(
+          col("q_id"), col("vec_id"),
+          Num.round2(col("cos")).as("sim"), col("rn").cast("long"))
+        .orderBy("q_id", "rn")
+    },
+
+    // LSH-bucketed near-dup over embeddings — the scale path (equi-join on
+    // 8-bit SRP buckets instead of corpus², then exact cosine re-check).
+    // The synthetic embeddings are random (max pairwise cosine ≈ 0.48), so
+    // the threshold 0.3 surfaces the top of the distribution. No oracle:
+    // bucket assignment depends on engine-local hyperplane mix;
+    // SimilaritySpec asserts recall vs brute force on synthetic near-dups.
+    QueryDef("q_sim_lsh", None) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+      Similarity.lshBucketJoin(emb, dim = 64, nBits = 8, minCosine = 0.3)
+        .select(col("id_a"), col("id_b"), Num.round2(col("cos")).as("cos"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // MinHash + banding near-dup candidates over documents (16-component
+    // signatures, 8 bands of 2). No oracle (engine-specific hash family);
+    // property-tested against exact Jaccard in SimilaritySpec.
+    QueryDef("q_dedup_minhash", None) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), T.ngrams(T.tokens(col("text")), 3).as("shingles"))
+        .filter(size(col("shingles")) > 0)
+      Similarity.minhashCandidatePairs(docs, k = 16, nBands = 8, minEstJaccard = 0.5)
+        .select(col("id_a"), col("id_b"), Num.round2(col("est_jaccard")).as("est_jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash fingerprints + bucket sizes (near-dup by identical fingerprint).
+    // No oracle (hash-family specific); unit-tested on crafted documents.
+    QueryDef("q_dedup_simhash", None) { (s, d) =>
+      val wFp = Window.partitionBy("simhash")
+      Tables.documents(s, d)
+        .select(col("doc_id"), SimHash.simhash64(T.tokens(col("text"))).as("simhash"))
+        .withColumn("n_same", count(lit(1)).over(wFp).cast("long"))
+        .orderBy("doc_id")
+    },
+
+    // Exact n-gram Jaccard near-dup with cheap blocking: candidate pairs
+    // share (lang, n_chars) — a real equi-join, no all-pairs — then exact
+    // token-set Jaccard >= 0.5. Fully oracle-checkable.
+    QueryDef(
+      "q_dedup_jaccard",
+      Some("""WITH t AS (SELECT doc_id, lang, n_chars,
+                                list_filter(string_split_regex(lower(text), '\s+'),
+                                            x -> x <> '') AS toks
+                         FROM documents)
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(round(CAST(
+                       CAST(len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) AS DOUBLE) /
+                       len(list_distinct(list_concat(a.toks, b.toks)))
+                     AS DECIMAL(28,6)), 2) AS DOUBLE) AS jaccard
+              FROM t a JOIN t b
+                ON a.lang = b.lang AND a.n_chars = b.n_chars
+               AND a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) AS DOUBLE) /
+                    len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+              ORDER BY doc_a, doc_b""")) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), T.tokens(col("text")).as("toks"))
+      val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("n_chars"), col("toks").as("toks_a"))
+      val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("n_chars"), col("toks").as("toks_b"))
+      val jac = MinHash.exactJaccard(col("toks_a"), col("toks_b"))
+      a.join(b, Seq("lang", "n_chars"))
+        .filter(col("doc_a") < col("doc_b"))
+        .filter(jac >= 0.5)
+        .select(col("doc_a"), col("doc_b"), Num.round2(jac).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }
+  )
 }

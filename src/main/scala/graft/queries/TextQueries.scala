@@ -1,7 +1,173 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.{Num, TextFunctions => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Text analysis over `documents` — SURVEY.md §2.10 plus the north-star
+  * training-data-pipeline operators: tokenization, term frequency, n-grams,
+  * quality scoring, language-ID heuristic, token counting, fingerprinting.
+  *
+  * Everything is explode/groupBy over codegen'd built-ins — the shape that
+  * scales: tokenization is a narrow map, the only shuffle is the token/ngram
+  * group-by (with map-side partial aggregation).
+  */
 object TextQueries {
-  val defs: Seq[QueryDef] = Seq()
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val dataStop = Seq("data", "table", "row", "query", "join")
+  private val sparkStop = Seq("spark", "stream", "filter", "window", "group")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Tokenize + global term counts (shingle/tokenizer generator — §2.10).
+    QueryDef(
+      "q_text_tokens",
+      Some("""SELECT token, CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                              t -> t <> '')) AS token
+                    FROM documents)
+              GROUP BY token ORDER BY token""")) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(T.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("token")
+    },
+
+    // Term frequency: top-3 tokens per language (group-by + windowed top-k).
+    QueryDef(
+      "q_text_tf",
+      Some("""SELECT lang, token, n, CAST(rn AS BIGINT) AS rn FROM (
+                SELECT lang, token, CAST(count(*) AS BIGINT) AS n,
+                       row_number() OVER (PARTITION BY lang
+                         ORDER BY count(*) DESC, token) AS rn
+                FROM (SELECT lang,
+                             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                                t -> t <> '')) AS token
+                      FROM documents)
+                GROUP BY lang, token)
+              WHERE rn <= 3 ORDER BY lang, rn""")) { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .select(col("lang"), explode(T.tokens(col("text"))).as("token"))
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("token"))
+      counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("lang"), col("token"), col("n"), col("rn").cast("long"))
+        .orderBy("lang", "rn")
+    },
+
+    // Bigrams: top-30 by frequency (n-gram generator — §2.10).
+    QueryDef(
+      "q_text_ngram",
+      Some("""SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                             i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+                FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                                         t -> t <> '') AS toks
+                      FROM documents))
+              GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30""")) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(T.ngrams(T.tokens(col("text")), 2)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(30)
+    },
+
+    // Quality scoring: token count, mean token length, stopword ratio —
+    // the standard pre-training corpus filters.
+    QueryDef(
+      "q_text_quality",
+      Some(s"""SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                      CAST(round(CAST(CAST(n_chars AS DOUBLE) / len(toks) AS DECIMAL(28,6)), 2) AS DOUBLE) AS chars_per_token,
+                      CAST(round(CAST(CAST(len(list_filter(toks,
+                        t -> list_contains(${dk(enStop)}, t))) AS DOUBLE) / len(toks) AS DECIMAL(28,6)), 2) AS DOUBLE) AS stop_ratio
+               FROM (SELECT doc_id, n_chars,
+                            list_filter(string_split_regex(lower(text), '\\s+'),
+                                        t -> t <> '') AS toks
+                     FROM documents)
+               ORDER BY doc_id""")) { (s, d) =>
+      val toks = T.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), toks.as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          Num.round2(col("n_chars").cast("double") / size(col("toks")))
+            .as("chars_per_token"),
+          Num.round2(T.vocabCount(col("toks"), enStop).cast("double") /
+            size(col("toks"))).as("stop_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID heuristic: vocabulary-profile scores per document (n-gram
+    // profile voting; deterministic, oracle-checkable).
+    QueryDef(
+      "q_text_langid",
+      Some(s"""SELECT doc_id,
+                      CAST(len(list_filter(toks, t -> list_contains(${dk(enStop)}, t))) AS BIGINT) AS s_en,
+                      CAST(len(list_filter(toks, t -> list_contains(${dk(dataStop)}, t))) AS BIGINT) AS s_data,
+                      CAST(len(list_filter(toks, t -> list_contains(${dk(sparkStop)}, t))) AS BIGINT) AS s_spark
+               FROM (SELECT doc_id,
+                            list_filter(string_split_regex(lower(text), '\\s+'),
+                                        t -> t <> '') AS toks
+                     FROM documents)
+               ORDER BY doc_id""")) { (s, d) =>
+      val toks = T.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(
+          col("doc_id"),
+          T.vocabCount(col("toks"), enStop).cast("long").as("s_en"),
+          T.vocabCount(col("toks"), dataStop).cast("long").as("s_data"),
+          T.vocabCount(col("toks"), sparkStop).cast("long").as("s_spark"))
+        .orderBy("doc_id")
+    },
+
+    // Content fingerprint (md5 of normalized text) + per-fingerprint
+    // duplicate count — the exact-dup detector at corpus scale.
+    QueryDef(
+      "q_text_fingerprint",
+      Some("""SELECT doc_id, fp, CAST(n_same AS BIGINT) AS n_same FROM (
+                SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same
+                FROM (SELECT doc_id,
+                             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+                      FROM documents))
+              ORDER BY doc_id""")) { (s, d) =>
+      val wFp = Window.partitionBy("fp")
+      Tables.documents(s, d)
+        .select(col("doc_id"), T.fingerprintMd5(col("text")).as("fp"))
+        .withColumn("n_same", count(lit(1)).over(wFp).cast("long"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting with a BPE-ish regex (word pieces + punctuation) —
+    // the "how many tokens is this corpus" pipeline primitive.
+    QueryDef(
+      "q_token_count",
+      Some("""SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
+                     n_chars,
+                     CAST(round(CAST(CAST(n_chars AS DOUBLE) /
+                       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS DECIMAL(28,6)), 2) AS DOUBLE) AS chars_per_token
+              FROM documents ORDER BY doc_id""")) { (s, d) =>
+      val nTok = size(T.bpeTokens(col("text")))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          nTok.cast("long").as("n_tokens"),
+          col("n_chars"),
+          Num.round2(col("n_chars").cast("double") / nTok).as("chars_per_token"))
+        .orderBy("doc_id")
+    }
+  )
+
+  /** Render a Scala string list as a DuckDB list literal. */
+  private def dk(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ",", "]")
 }
