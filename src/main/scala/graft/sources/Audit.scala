@@ -1,0 +1,28 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingest bookkeeping — SURVEY.md §2.1 (audit sink).
+  *
+  * The reference records completion by UPDATEing the physical-table row
+  * (`DATA_INSERTED_YN='Y'`, `DATA_INSERT_DATE=SYSDATE`,
+  * `DATA_INSERT_ROW=count`, data_seoul_2_csv_noopenapi.py:133-140).
+  * The append-only Spark equivalent: one audit row per completed write,
+  * derived from the written frame itself.
+  */
+object Audit {
+
+  /** One audit row for a completed ingest of `df` into `tableName`. */
+  def record(spark: SparkSession, tableName: String, df: DataFrame): DataFrame = {
+    df.agg(
+        count(lit(1)).as("data_insert_row"),
+        max(col("id")).as("high_water_mark"))
+      .select(
+        lit(tableName).as("table_name"),
+        lit("Y").as("data_inserted_yn"),
+        current_timestamp().as("data_insert_date"),
+        col("data_insert_row"),
+        col("high_water_mark"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Resumable CSV ingest — SURVEY.md §3 Entry 2, Spark-native.
+  *
+  * The reference reads a CSV line-by-line, skips the header (`row != 0`),
+  * skips until the resume offset (`start_idx <= row`), uses the 1-based
+  * line number as the surrogate ID, and INSERTs one row per statement
+  * (data_seoul_2_csv_noopenapi.py:113-128). Here the whole loop is one
+  * distributed job: schema-applied CSV scan → per-partition surrogate IDs →
+  * offset filter → columnar write.
+  */
+object Ingest {
+
+  /** All-string CSV read under a catalog schema (typing is a later explicit
+    * cast stage, mirroring the reference's DB-side coercion). */
+  def csvWithSchema(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(StructType(schema.fields.map(_.copy(dataType = StringType))))
+      .csv(path)
+
+  /** Attach a contiguous 1-based surrogate `id` column in row order.
+    *
+    * Scale note (SURVEY §4.2): NOT a global row_number window (single
+    * partition = death at 100 TB). zipWithIndex computes per-partition
+    * counts in one lightweight extra job and assigns offsets per partition,
+    * preserving file order within and across splits.
+    */
+  def withSurrogateId(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val withId = df.rdd.zipWithIndex.map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    spark.createDataFrame(withId, df.schema.add("id", LongType, nullable = false))
+  }
+
+  /** The full resumable ingest: read, number, drop rows at or below the
+    * high-water mark (`start_idx` = last ingested id). Re-running with the
+    * same input yields the same ids — the reference's idempotence contract. */
+  def csvResume(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      startIdx: Long): DataFrame =
+    withSurrogateId(csvWithSchema(spark, path, schema))
+      .filter(col("id") > startIdx)
+
+  /** Explicit typing stage: cast the all-string staging frame to the
+    * catalog types (the reference lets the DB coerce on INSERT). */
+  def applyTypes(staged: DataFrame, schema: StructType): DataFrame =
+    staged.select(schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)) :+ col("id"): _*)
+}

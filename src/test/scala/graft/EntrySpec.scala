@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract smoke: entry returns rows; every oracle key has a query;
+  * a sample of queries executes at sf0.001. */
+class EntrySpec extends AnyFunSuite with SparkTest {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry (flagship TPC-H Q1 shape) returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key is backed by a registered query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("query names are unique in the registry") {
+    val names = Registry.defs.map(_.name)
+    assert(names.distinct.size == names.size)
+  }
+
+  test("representative queries from each family execute and return rows") {
+    val sample = Seq(
+      "q_agg_group", "q_join_asof", "q_win_latest", "q_set_except",
+      "q_str_snake", "q_json_extract", "q_text_tf", "q_sim_topk",
+      "q_stream_session", "q_ingest_resume", "q_scan_csv", "q_dedup_minhash")
+    sample.foreach { name =>
+      val n = SparkEntry.queries(name)(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+}

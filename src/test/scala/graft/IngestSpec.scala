@@ -1,0 +1,70 @@
+package graft
+
+import graft.sources.{Audit, CatalogSchema, Ingest}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IngestSpec extends AnyFunSuite with SparkTest {
+
+  private val fixture = "/root/repo/src/test/resources/fixtures/tmp_dataset.csv"
+
+  private def schema: StructType = {
+    import spark.implicits._
+    CatalogSchema.fromRows(Seq(
+      ("STN_ID", "NUMBER", 1),
+      ("STN_NAME", "VARCHAR2", 2),
+      ("MEA_DATE", "DATE", 3),
+      ("MEA_VALUE", "FLOAT", 4)
+    ).toDF("physical_column_name", "physical_column_type", "physical_column_order"))
+  }
+
+  test("catalog rows build the typed schema in ordinal order") {
+    assert(schema.fieldNames.toSeq ==
+      Seq("STN_ID", "STN_NAME", "MEA_DATE", "MEA_VALUE"))
+    assert(schema("STN_ID").dataType == LongType)
+    assert(schema("STN_NAME").dataType == StringType)
+    assert(schema("MEA_DATE").dataType == TimestampType)
+    assert(schema("MEA_VALUE").dataType == DoubleType)
+  }
+
+  test("surrogate id equals the 1-based data line number") {
+    val df = Ingest.csvResume(spark, fixture, schema, startIdx = 0L)
+    val ids = df.orderBy("id").select("id", "STN_ID").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(ids.head == (1L, "101"))
+    assert(ids.last == (8L, "108"))
+    assert(ids.map(_._1).toSeq == (1L to 8L))
+  }
+
+  test("resume skips rows at or below the high-water mark (reference contract)") {
+    val resumed = Ingest.csvResume(spark, fixture, schema, startIdx = 5L)
+    assert(resumed.select("STN_ID").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("106", "107", "108"))
+  }
+
+  test("resume-equivalence: full ingest == prefix ++ resumed remainder") {
+    val full = Ingest.csvResume(spark, fixture, schema, 0L)
+    val prefix = full.filter(full("id") <= 4)
+    val resumed = Ingest.csvResume(spark, fixture, schema, 4L)
+    val recombined = prefix.unionByName(resumed)
+    assert(recombined.orderBy("id").collect().toSeq ==
+      full.orderBy("id").collect().toSeq)
+  }
+
+  test("typing stage casts staged strings to catalog types") {
+    val typed = Ingest.applyTypes(
+      Ingest.csvResume(spark, fixture, schema, 0L), schema)
+    assert(typed.schema("STN_ID").dataType == LongType)
+    assert(typed.schema("MEA_VALUE").dataType == DoubleType)
+    assert(typed.selectExpr("sum(MEA_VALUE)").collect()(0).getDouble(0) > 0)
+  }
+
+  test("audit row records count and high-water mark") {
+    val df = Ingest.csvResume(spark, fixture, schema, 0L)
+    val audit = Audit.record(spark, "tmp_dataset", df).collect()(0)
+    assert(audit.getAs[String]("table_name") == "tmp_dataset")
+    assert(audit.getAs[String]("data_inserted_yn") == "Y")
+    assert(audit.getAs[Long]("data_insert_row") == 8L)
+    assert(audit.getAs[Long]("high_water_mark") == 8L)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.MediaRecord
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite with SparkTest {
+
+  private def media = {
+    import spark.implicits._
+    Seq(
+      MediaRecord(1L, "image", "fake-png-bytes-aaaa".getBytes("UTF-8")),
+      MediaRecord(2L, "video", ("frame" * 20).getBytes("UTF-8")),
+      MediaRecord(3L, "audio", "pcm".getBytes("UTF-8"))
+    ).toDS()
+  }
+
+  test("decodeFeatures is deterministic and keeps one row per record") {
+    val a = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    val b = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_.media_id).toSeq == Seq(1L, 2L, 3L))
+    assert(a.forall(f => f.n_bytes > 0 && f.width >= 16 && f.height >= 16))
+  }
+
+  test("video records report multiple frames, others exactly one") {
+    val fs = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.kind -> f.n_frames).toMap
+    assert(fs("video") > 1)
+    assert(fs("image") == 1 && fs("audio") == 1)
+  }
+
+  test("sampleFrames explodes only video payloads with strided chunks") {
+    val frames = Multimodal.sampleFrames(media, stride = 16).collect()
+    assert(frames.nonEmpty)
+    assert(frames.map(_.getLong(0)).toSet == Set(2L))
+    assert(frames.map(_.getInt(1)).forall(_ % 2 == 0)) // every 2nd chunk
+  }
+
+  test("fromDocuments wraps text tables in the media schema") {
+    import spark.implicits._
+    val docs = Seq((7L, "hello world")).toDF("doc_id", "text")
+    val m = Multimodal.fromDocuments(docs)
+    assert(m.schema.fieldNames.toSeq == Seq("media_id", "kind", "payload"))
+    assert(m.schema("payload").dataType.typeName == "binary")
+    assert(m.count() == 1)
+  }
+}

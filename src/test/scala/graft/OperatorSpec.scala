@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{Dedup, Enrich, Joins}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorSpec extends AnyFunSuite with SparkTest {
+
+  test("asOf picks the latest right row at or before the left time") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, 10L, "2024-01-01 10:00:00"),
+      (2L, 10L, "2024-01-01 12:00:00"),
+      (3L, 20L, "2024-01-01 12:00:00")
+    ).toDF("trade_id", "acct", "t")
+      .withColumn("t", to_timestamp(col("t")))
+    val quotes = Seq(
+      (100L, 10L, "2024-01-01 09:00:00"),
+      (101L, 10L, "2024-01-01 11:30:00"),
+      (102L, 10L, "2024-01-01 13:00:00"),
+      (103L, 20L, "2024-01-01 12:00:00")
+    ).toDF("quote_id", "q_acct", "qt")
+      .withColumn("qt", to_timestamp(col("qt")))
+
+    val got = Joins.asOf(trades, quotes,
+        leftKey = col("acct"), rightKey = col("q_acct"),
+        leftTime = col("t"), rightTime = col("qt"),
+        idCols = Seq("trade_id"), tieBreak = Seq(col("quote_id").desc))
+      .select("trade_id", "quote_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    // trade 1: only quote 100 precedes 10:00; trade 2: quote 101 (11:30)
+    // is the latest <= 12:00; trade 3: boundary equality included (102 is
+    // for acct 10, so 103 via key match at exactly 12:00).
+    assert(got == Seq((1L, 100L), (2L, 101L), (3L, 103L)))
+  }
+
+  test("asOf drops left rows with no qualifying right row") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, "2024-01-01 00:00:00")).toDF("id", "k", "t")
+      .withColumn("t", to_timestamp(col("t")))
+    val r = Seq((9L, 1L, "2024-06-01 00:00:00")).toDF("rid", "rk", "rt")
+      .withColumn("rt", to_timestamp(col("rt")))
+    assert(Joins.asOf(l, r, col("k"), col("rk"), col("t"), col("rt"),
+      Seq("id")).count() == 0)
+  }
+
+  test("Enrich.merge: update wins on match, target survives elsewhere") {
+    import spark.implicits._
+    val target = Seq((1, "a", "x"), (2, "b", "y"), (3, "c", "z"))
+      .toDF("id", "name", "cat")
+    val updates = Seq((2, "B2"), (3, "C3")).toDF("id", "cat")
+    val got = Enrich.merge(target, updates, "id", Seq("cat"))
+      .orderBy("id").select("id", "name", "cat").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((1, "a", "x"), (2, "b", "B2"), (3, "c", "C3")))
+  }
+
+  test("Enrich.merge is idempotent") {
+    import spark.implicits._
+    val target = Seq((1, "x"), (2, "y")).toDF("id", "cat")
+    val updates = Seq((2, "Y")).toDF("id", "cat")
+    val once = Enrich.merge(target, updates, "id", Seq("cat"))
+    val twice = Enrich.merge(once, updates, "id", Seq("cat"))
+    assert(once.orderBy("id").collect().toSeq ==
+      twice.orderBy("id").collect().toSeq)
+  }
+
+  test("Dedup.exactKeepFirst keeps the min-id row per key") {
+    import spark.implicits._
+    val df = Seq((3L, "dup"), (1L, "dup"), (2L, "uniq"))
+      .toDF("id", "text")
+    val got = Dedup.exactKeepFirst(df, Seq("text"), "id")
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("Dedup idempotence: dedup(dedup(x)) == dedup(x)") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
+      .toDF("id", "text")
+    val once = Dedup.exactKeepFirst(df, Seq("text"), "id")
+    val twice = Dedup.exactKeepFirst(once, Seq("text"), "id")
+    assert(once.orderBy("id").collect().toSeq ==
+      twice.orderBy("id").collect().toSeq)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.{VectorFunctions => V}
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkTest {
+
+  /** Deterministic pseudo-random unit-ish vector. */
+  private def vec(seed: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { i =>
+      val x = (seed * 2654435761L + i * 40503L) & 0xffff
+      (x.toDouble / 0xffff) - 0.5
+    }
+
+  /** Slightly perturbed copy — a true near-duplicate. */
+  private def nearDup(v: Seq[Double]): Seq[Double] =
+    v.zipWithIndex.map { case (x, i) => x + (if (i % 7 == 0) 0.01 else 0.0) }
+
+  test("cosine of a vector with itself is 1; near-dup is close to 1") {
+    import spark.implicits._
+    val v0 = vec(1, 32)
+    val df = Seq((v0, v0), (v0, nearDup(v0))).toDF("a", "b")
+    val cos = df.select(V.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(cos(0) - 1.0) < 1e-12)
+    assert(cos(1) > 0.999)
+  }
+
+  test("bruteForceTopK ranks the planted near-dup first") {
+    import spark.implicits._
+    val base = vec(42, 32)
+    val corpus = ((5L, nearDup(base)) +:
+      (6L to 30L).map(i => (i, vec(i.toInt, 32)))).toDF("vec_id", "cv")
+    val queries = Seq((42L, base)).toDF("q_id", "qv")
+    val top = Similarity.bruteForceTopK(queries, corpus, 3)
+      .orderBy("rn").select("vec_id").collect().map(_.getLong(0))
+    assert(top.head == 5L)
+  }
+
+  test("LSH bucket join recovers planted near-dups (recall vs brute force)") {
+    import spark.implicits._
+    // 40 random vectors + 5 planted near-dup pairs
+    val randoms = (0L until 40L).map(i => (i, vec(i.toInt + 100, 32)))
+    val planted = (0 until 5).flatMap { p =>
+      val v = vec(p + 1000, 32)
+      Seq((100L + p * 2, v), (101L + p * 2, nearDup(v)))
+    }
+    val emb = (randoms ++ planted).toDF("vec_id", "v")
+    val pairs = Similarity.lshBucketJoin(emb, dim = 32, nBits = 8, minCosine = 0.99)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0 until 5).map(p => (100L + p * 2, 101L + p * 2)).toSet
+    // SRP with 8 bits keeps near-identical vectors in one bucket w.h.p.
+    assert(want.subsetOf(pairs))
+  }
+
+  test("LSH candidate set is far smaller than all pairs (pruning works)") {
+    import spark.implicits._
+    val emb = (0L until 60L).map(i => (i, vec(i.toInt + 7, 32))).toDF("vec_id", "v")
+    val bucketed = emb.withColumn("b", Similarity.srpBucket(col("v"), 32, 8))
+    val candidates = bucketed.as("x").join(bucketed.as("y"), "b")
+      .filter(col("x.vec_id") < col("y.vec_id")).count()
+    assert(candidates < 60L * 59L / 2 / 4) // ≥4× pruning on random data
+  }
+}

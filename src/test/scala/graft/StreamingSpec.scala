@@ -1,0 +1,84 @@
+package graft
+
+import graft.streaming.Streams
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming surface driven through MemoryStream — same transforms as the
+  * batch-mode StreamShapeQueries, now with real incremental execution,
+  * watermarks, and state.
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite with SparkTest {
+
+  private def ev(id: Long, minute: Int, user: Long = 1L,
+      typ: String = "click", v: Double = 1.0): Ev =
+    Ev(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), user, typ, v)
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("tumbling window counts match the batch execution of the same code") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    val events = Seq(ev(1, 5), ev(2, 10), ev(3, 59), ev(4, 5, user = 2L))
+    input.addData(events)
+    runToMemory(
+      Streams.tumblingCounts(input.toDF()).select(
+        col("w.start").as("w_start"), col("event_type"), col("n")),
+      "tumb", mode = "complete")
+    val streamed = spark.table("tumb").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Streams.tumblingCounts(events.toDF()).select(
+        col("w.start"), col("event_type"), col("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.exists(_._3 == 4L)) // all four in the 10:00 hour
+  }
+
+  test("streaming dedup drops re-delivered events within the watermark") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    input.addData(Seq(ev(1, 1), ev(2, 2)))
+    input.addData(Seq(ev(1, 1), ev(3, 3))) // event 1 re-delivered
+    runToMemory(Streams.dedupByEventId(input.toDF()), "dedup")
+    assert(spark.table("dedup").select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("flatMapGroupsWithState carries running totals across micro-batches") {
+    import spark.implicits._
+    val input = MemoryStream[Streams.UserEvent](spark)
+    input.addData(Seq(Streams.UserEvent(1, 10L, 2.0), Streams.UserEvent(2, 10L, 3.0)))
+    val q = Streams.runningTotals(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("run").start()
+    q.processAllAvailable()
+    input.addData(Seq(Streams.UserEvent(3, 10L, 5.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("run").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // batch 1 emits (10, 2, 5.0); batch 2 resumes state → (10, 3, 10.0)
+    assert(rows.contains((10L, 2L, 5.0)))
+    assert(rows.contains((10L, 3L, 10.0)))
+  }
+
+  test("session windows split on the 30-minute gap in streaming mode") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    input.addData(Seq(ev(1, 0), ev(2, 10), ev(3, 55))) // gap 45min after :10
+    runToMemory(
+      Streams.sessionCounts(input.toDF()).select(col("user_id"), col("n")),
+      "sess", mode = "complete")
+    val ns = spark.table("sess").collect().map(_.getLong(1)).sorted.toSeq
+    assert(ns == Seq(1L, 2L)) // two sessions: {:00,:10} and {:55}
+  }
+}
