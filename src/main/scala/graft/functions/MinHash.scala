@@ -15,18 +15,23 @@ import org.apache.spark.sql.functions._
   */
 object MinHash {
 
-  /** k-component MinHash signature (array<bigint>) of a token/shingle array. */
+  /** k-component MinHash signature (array<bigint>) of a token/shingle array.
+    *
+    * The k components are unrolled statically (j is a plan-time constant)
+    * rather than via transform(sequence(0, k-1), j -> ...): a nested lambda
+    * capturing an outer lambda variable falls off Spark's fast interpreted
+    * path and measured ~200x slower (171s vs <1s for 5k docs at sf0.1). */
   def signature(shingles: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingles, t => xxhash64(t, j))))
+    array((0 until k).map(j =>
+      array_min(transform(shingles, t => xxhash64(t, lit(j))))): _*)
 
   /** Band hashes of a signature: nBands hashes of rowsPerBand consecutive
-    * components each. Pair with posexplode to get (band_idx, band_hash). */
+    * components each. Pair with posexplode to get (band_idx, band_hash).
+    * Statically unrolled for the same interpreted-path reason as
+    * [[signature]]. */
   def bands(sig: Column, nBands: Int, rowsPerBand: Int): Column =
-    transform(
-      sequence(lit(0), lit(nBands - 1)),
-      b => xxhash64(slice(sig, b * lit(rowsPerBand) + 1, lit(rowsPerBand))))
+    array((0 until nBands).map(b =>
+      xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand))): _*)
 
   /** Estimated Jaccard similarity = fraction of equal signature components. */
   def estJaccard(sigA: Column, sigB: Column, k: Int): Column =

@@ -61,7 +61,10 @@ object Similarity {
       dim: Int,
       nBits: Int,
       minCosine: Double): DataFrame = {
+    // exchange on the join key: materializes the bucket bits once instead
+    // of letting CollapseProject recompute 16 dot products per joined row
     val bucketed = emb.withColumn("bucket", srpBucket(col("v"), dim, nBits))
+      .repartition(col("bucket"))
     val a = bucketed.select(
       col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"))
     val b = bucketed.select(
@@ -82,24 +85,39 @@ object Similarity {
       nBands: Int,
       minEstJaccard: Double): DataFrame = {
     val rowsPerBand = k / nBands
-    val signed = docs.withColumn("sig", MinHash.signature(col("shingles"), k))
+    // Barrier between shingling and signing: without it CollapseProject
+    // substitutes the caller's shingle expression into each of the k
+    // signature components and the (interpreted) shingling runs k times
+    // per row. The exchange materializes shingles once and spreads the
+    // hashing across the cluster.
+    val signed = docs.repartition(col("id"))
+      .withColumn("sig", MinHash.signature(col("shingles"), k))
+    // The repartition is load-bearing, not a tuning knob: without an
+    // exchange, CollapseProject inlines the signature expression into the
+    // self-join and recomputes the full MinHash PER CANDIDATE PAIR (360s at
+    // sf0.1). The exchange materializes signatures once, and because it
+    // hash-partitions on the join keys the join adds no further shuffle.
     val banded = signed
       .select(
         col("id"), col("sig"),
         posexplode(MinHash.bands(col("sig"), nBands, rowsPerBand))
           .as(Seq("band_idx", "band_hash")))
+      .repartition(col("band_idx"), col("band_hash"))
     val a = banded.select(
       col("band_idx"), col("band_hash"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(
       col("band_idx"), col("band_hash"),
       col("id").as("id_b"), col("sig").as("sig_b"))
+    // est-filter BEFORE the pair dedup: the estimate is a cheap per-row
+    // expression, while dropDuplicates shuffles whole signature arrays —
+    // on a shared-vocabulary corpus the candidate set is large and the
+    // filter prunes it by orders of magnitude first.
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
-      .dropDuplicates("id_a", "id_b")
       .withColumn("est_jaccard", MinHash.estJaccard(col("sig_a"), col("sig_b"), k))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("id_a", "id_b", "est_jaccard")
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.operators.Enrich
-import graft.sources.{Audit, CatalogSchema, Ingest}
+import graft.sources.{Audit, CatalogSchema, Ingest, SchemaInfer}
 import org.apache.spark.sql.functions._
 
 /** The reference pipeline's own semantics, Spark-native — SURVEY.md §2.1,
@@ -52,6 +52,31 @@ object PipelineQueries {
       val schema = CatalogSchema.fromRows(catalogRows)
       Ingest.csvResume(s, fixtureCsv, schema, startIdx = 2L)
         .orderBy("id")
+    },
+
+    // Schema inference from a doc page's flattened output-column table
+    // (cf. the stride-3 walk skipping 공통 rows, data_seoul_3_csv.py:127-146).
+    // Input is a deterministic in-code fixture (the driver-side page fetch
+    // is out of engine scope), so the oracle pins the exact expected rows.
+    QueryDef(
+      "q_schema_infer",
+      Some("""SELECT * FROM (VALUES
+                (CAST(1 AS BIGINT), 'MSRDT', 'COL_001'),
+                (CAST(2 AS BIGINT), 'MSRSTE_NM', 'COL_002'),
+                (CAST(3 AS BIGINT), 'NO2', 'COL_003'))
+              t(ordinal, english, col_name) ORDER BY ordinal""")) { (s, d) =>
+      import s.implicits._
+      val pages = Seq(
+        (23L, Seq(
+          "공통", "list_total_count", "총 데이터 건수",
+          "출력", "MSRDT", "측정일시",
+          "공통", "RESULT.CODE", "요청결과 코드",
+          "출력", "MSRSTE_NM", "측정소명",
+          "출력", "NO2", "이산화질소농도"))
+      ).toDF("page_id", "cells")
+      SchemaInfer.inferColumns(pages)
+        .select("ordinal", "english", "col_name")
+        .orderBy("ordinal")
     },
 
     // MERGE enrichment (cf. the category write-back UPDATE,

@@ -62,13 +62,17 @@ object SimilarityQueries {
     },
 
     // MinHash + banding near-dup candidates over documents (16-component
-    // signatures, 8 bands of 2). No oracle (engine-specific hash family);
+    // signatures, 4 bands of 4 — 2-row bands collide massively on a
+    // shared-vocabulary corpus). No oracle (engine-specific hash family);
     // property-tested against exact Jaccard in SimilaritySpec.
     QueryDef("q_dedup_minhash", None) { (s, d) =>
+      // round-robin spread BEFORE shingling (the corpus may arrive as one
+      // split); the operator's own hash exchange then materializes shingles
       val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id").as("id"), T.ngrams(T.tokens(col("text")), 3).as("shingles"))
         .filter(size(col("shingles")) > 0)
-      Similarity.minhashCandidatePairs(docs, k = 16, nBands = 8, minEstJaccard = 0.5)
+      Similarity.minhashCandidatePairs(docs, k = 16, nBands = 4, minEstJaccard = 0.5)
         .select(col("id_a"), col("id_b"), Num.round2(col("est_jaccard")).as("est_jaccard"))
         .orderBy("id_a", "id_b")
     },
@@ -78,6 +82,7 @@ object SimilarityQueries {
     QueryDef("q_dedup_simhash", None) { (s, d) =>
       val wFp = Window.partitionBy("simhash")
       Tables.documents(s, d)
+        .repartition(col("doc_id")) // spread per-row hashing across cores
         .select(col("doc_id"), SimHash.simhash64(T.tokens(col("text"))).as("simhash"))
         .withColumn("n_same", count(lit(1)).over(wFp).cast("long"))
         .orderBy("doc_id")

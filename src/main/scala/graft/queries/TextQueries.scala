@@ -72,6 +72,7 @@ object TextQueries {
                       FROM documents))
               GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30""")) { (s, d) =>
       Tables.documents(s, d)
+        .repartition(col("doc_id")) // spread interpreted ngram HOF work
         .select(explode(T.ngrams(T.tokens(col("text")), 2)).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("n"))
