@@ -76,6 +76,52 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
+    * their nearest centroid once (a broadcast join against C centroids —
+    * embarrassingly parallel); each query searches only the nprobe
+    * partitions whose centroids are nearest to it. Recall/cost trade-off is
+    * explicit; at 100 TB the per-query scan touches nprobe/C of the corpus.
+    *
+    * Centroid "training" is a deterministic sample (every C-th corpus
+    * vector) — k-means iterations can replace it without changing the
+    * query-side plan.
+    */
+  def ivfTopK(
+      queries: DataFrame, // (q_id, qv: array<double>)
+      corpus: DataFrame,  // (vec_id, cv: array<double>)
+      nCentroids: Int,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("vec_id"))
+    val centroids = corpus
+      .orderBy("vec_id") // deterministic training sample
+      .limit(nCentroids)
+      .select(col("vec_id").as("c_id"), col("cv").as("centroid"))
+    // assignment: argmin L2 distance over the broadcast centroid set
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("c_id"))
+    val assigned = corpus
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist", V.l2Dist(col("cv"), col("centroid")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("cv"), col("c_id"))
+      .repartition(col("c_id")) // materialize assignment, cluster by cell
+    // probe: each query picks its nProbe nearest centroids
+    val wProbe = Window.partitionBy("q_id").orderBy(col("qdist"), col("c_id"))
+    val probes = queries
+      .crossJoin(broadcast(centroids))
+      .withColumn("qdist", V.l2Dist(col("qv"), col("centroid")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("c_id"))
+    // search only the probed cells (equi-join on cell id, not a cross join)
+    assigned.join(probes, Seq("c_id"))
+      .withColumn("cos", V.cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "vec_id", "cos", "rn")
+  }
+
   /** MinHash/LSH candidate pairs over a document table: shingle → signature
     * → bands → band-key equi-join → distinct pairs with estimated Jaccard.
     * `docs` must carry (id, shingles: array<string>). */

@@ -76,6 +76,80 @@ object AggQueries {
         .orderBy("l_returnflag")
     },
 
+    // Statistical aggregates: stddev/variance/correlation/covariance.
+    QueryDef(
+      "q_agg_stats",
+      Some("""SELECT l_returnflag,
+                     CAST(round(CAST(stddev_samp(l_quantity) AS DECIMAL(28,6)), 2) AS DOUBLE) AS sd_qty,
+                     CAST(round(CAST(var_samp(l_quantity) AS DECIMAL(28,6)), 2) AS DOUBLE) AS var_qty,
+                     CAST(round(CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(28,6)), 2) AS DOUBLE) AS corr_qp,
+                     CAST(round(CAST(covar_samp(l_discount, l_tax) AS DECIMAL(28,6)), 2) AS DOUBLE) AS cov_dt
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          Num.round2(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          Num.round2(var_samp(col("l_quantity"))).as("var_qty"),
+          Num.round2(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+          Num.round2(covar_samp(col("l_discount"), col("l_tax"))).as("cov_dt"))
+        .orderBy("l_returnflag")
+    },
+
+    // Exact interpolated percentiles + median.
+    QueryDef(
+      "q_agg_percentile",
+      Some("""SELECT l_returnflag,
+                     CAST(round(CAST(median(l_quantity) AS DECIMAL(28,6)), 2) AS DOUBLE) AS med_qty,
+                     CAST(round(CAST(quantile_cont(l_extendedprice, 0.25) AS DECIMAL(28,6)), 2) AS DOUBLE) AS p25_price,
+                     CAST(round(CAST(quantile_cont(l_extendedprice, 0.75) AS DECIMAL(28,6)), 2) AS DOUBLE) AS p75_price
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          Num.round2(median(col("l_quantity"))).as("med_qty"),
+          // exact interpolated percentile (approx_percentile picks a real
+          // element — it would NOT match DuckDB's quantile_cont)
+          Num.round2(expr("percentile(l_extendedprice, 0.25)")).as("p25_price"),
+          Num.round2(expr("percentile(l_extendedprice, 0.75)")).as("p75_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // Pivot: one column per order status, conditional-aggregate oracle.
+    QueryDef(
+      "q_pivot",
+      Some("""SELECT o_orderpriority,
+                     CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+                     CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+                     CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .orderBy("o_orderpriority")
+    },
+
+    // Unpivot (melt): wide numeric columns to (metric, value) rows.
+    QueryDef(
+      "q_unpivot",
+      Some("""SELECT l_orderkey, l_linenumber, metric, value FROM (
+                SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+              WHERE l_orderkey < 300
+              ORDER BY l_orderkey, l_linenumber, metric, value""")) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 300)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric", "value")
+    },
+
     // Rollup (grouping sets): subtotals + grand total. NULL group keys from
     // rolled-up levels are labeled 'ALL' on both sides so the hash compare
     // sees identical values.

@@ -77,6 +77,21 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // IVF approximate top-k — the other scale path for ANN: nearest-centroid
+    // partitioning, nProbe-cell search. No oracle (multi-stage argmin ties);
+    // SimilaritySpec asserts recall vs brute force.
+    QueryDef("q_sim_ivf", None) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), V.asDouble(col("embedding")).as("qv"))
+      val corpus = emb.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), V.asDouble(col("embedding")).as("cv"))
+      Similarity.ivfTopK(queries, corpus, nCentroids = 16, nProbe = 4, k = 10)
+        .select(col("q_id"), col("vec_id"), Num.round2(col("cos")).as("sim"),
+          col("rn").cast("long"))
+        .orderBy("q_id", "rn")
+    },
+
     // SimHash fingerprints + bucket sizes (near-dup by identical fingerprint).
     // No oracle (hash-family specific); unit-tested on crafted documents.
     QueryDef("q_dedup_simhash", None) { (s, d) =>

@@ -98,6 +98,29 @@ object WindowQueries {
         .orderBy("event_id")
     },
 
+    // ntile bucketing + first/last value over an explicit frame.
+    QueryDef(
+      "q_win_ntile",
+      Some("""SELECT o_custkey, o_orderkey,
+                     CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                     first_value(o_orderkey) OVER w AS first_ok,
+                     last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+              ORDER BY o_custkey, o_orderkey""")) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(wFull).as("last_ok"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // Cumulative sum (integral doubles — exact, no rounding needed).
     // (l_suppkey, l_orderkey, l_linenumber) is NOT unique in the synthetic
     // data, so the window order adds l_quantity (ties beyond that add the

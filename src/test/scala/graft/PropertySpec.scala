@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.{MinHash, TextFunctions => T}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck-generator-driven properties — SURVEY.md §5.3: dedup
+  * idempotence, MinHash determinism, resume equivalence, camel→snake and
+  * n-gram invariants. Generators are sampled with fixed seeds (each case
+  * round-trips through Spark, so a bounded deterministic sample beats an
+  * open-ended Prop run for both speed and reproducibility).
+  */
+class PropertySpec extends AnyFunSuite with SparkTest {
+
+  private val word = Gen.oneOf(
+    "spark", "data", "row", "join", "filter", "window", "group", "scan")
+  private val doc = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("property: exact dedup is idempotent and keeps distinct keys") {
+    import spark.implicits._
+    samples(Gen.nonEmptyListOf(doc), 8).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val once = Dedup.exactKeepFirst(df, Seq("text"), "id")
+      val twice = Dedup.exactKeepFirst(once, Seq("text"), "id")
+      assert(once.orderBy("id").collect().toSeq ==
+        twice.orderBy("id").collect().toSeq)
+      assert(once.count() == texts.distinct.size)
+    }
+  }
+
+  test("property: identical docs always share a minhash signature") {
+    import spark.implicits._
+    samples(doc, 8).foreach { t =>
+      val sigs = Seq(t, t).toDF("text")
+        .select(MinHash.signature(T.tokens(col("text")), 16).as("sig"))
+        .collect().map(_.getSeq[Long](0))
+      assert(sigs(0) == sigs(1))
+    }
+  }
+
+  test("property: camelToSnake is a fixpoint on already-snake input") {
+    import spark.implicits._
+    val snake = Gen.nonEmptyListOf(
+      Gen.oneOf("ALPHA", "BETA2", "GAMMA")).map(_.mkString("_"))
+    samples(snake, 8).foreach { s =>
+      val out = Seq(s).toDF("s")
+        .select(T.camelToSnake(col("s"))).collect()(0).getString(0)
+      assert(out == s) // upper snake has no lower→upper boundaries
+    }
+  }
+
+  test("property: ngram count is max(0, tokens - n + 1)") {
+    import spark.implicits._
+    val cases = for {
+      ws <- Gen.listOf(word)
+      n <- Gen.choose(2, 4)
+    } yield (ws, n)
+    samples(cases, 12).foreach { case (ws, n) =>
+      val cnt = Seq(ws.mkString(" ")).toDF("s")
+        .select(size(T.ngrams(T.tokens(col("s")), n))).collect()(0).getInt(0)
+      assert(cnt == math.max(0, ws.size - n + 1), s"ws=$ws n=$n")
+    }
+  }
+
+  test("property: resume equivalence — prefix ++ remainder == full scan") {
+    import spark.implicits._
+    samples(Gen.choose(0, 20), 6).foreach { cut =>
+      val full = (1L to 20L).map(i => (i, s"row$i")).toDF("id", "v")
+      val prefix = full.filter(col("id") <= cut)
+      val resumed = full.filter(col("id") > cut)
+      assert(prefix.unionByName(resumed).orderBy("id").collect().toSeq ==
+        full.orderBy("id").collect().toSeq)
+    }
+  }
+}

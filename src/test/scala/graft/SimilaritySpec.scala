@@ -55,6 +55,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(want.subsetOf(pairs))
   }
 
+  test("IVF top-k achieves high recall vs brute force on the same corpus") {
+    import spark.implicits._
+    val corpus = (0L until 80L).map(i => (i, vec(i.toInt + 3, 32))).toDF("vec_id", "cv")
+    val queries = (0 until 3).map(q => (q.toLong, vec(q + 3, 32))).toDF("q_id", "qv")
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topSet(Similarity.bruteForceTopK(queries, corpus, 5))
+    val approx = topSet(
+      Similarity.ivfTopK(queries, corpus, nCentroids = 8, nProbe = 4, k = 5))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+    // each query's own vector is in the corpus → must be its top hit
+    assert((0L until 3L).forall(q => approx.contains((q, q))))
+  }
+
   test("LSH candidate set is far smaller than all pairs (pruning works)") {
     import spark.implicits._
     val emb = (0L until 60L).map(i => (i, vec(i.toInt + 7, 32))).toDF("vec_id", "v")
