@@ -1,0 +1,26 @@
+package graft
+
+import graft.expressions.CosineSimilarity
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SQL-surface registration for the engine's custom expressions —
+  * SURVEY.md §7.4. Attach with:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * }}}
+  *
+  * or `spark.sql.extensions=graft.GraftExtensions`. After that,
+  * `SELECT graft_cosine(a.embedding, b.embedding)` works from plain SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(children(0), children(1))))
+  }
+}

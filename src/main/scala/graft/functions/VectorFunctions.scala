@@ -28,6 +28,15 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Cosine via the native codegen expression (graft.expressions) — same
+    * values as [[cosine]] (identical accumulation order), one fused loop
+    * instead of the interpreted HOF path. Use in per-row hot loops
+    * (similarity joins); the HOF form remains for reference/testing. */
+  def cosineNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.CosineSimilarity(expression(a), expression(b)))
+  }
+
   def l2Dist(a: Column, b: Column): Column =
     sqrt(aggregate(
       zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x))

@@ -28,7 +28,7 @@ object Similarity {
       k: Int): DataFrame = {
     val scored = corpus
       .crossJoin(broadcast(queries))
-      .withColumn("cos", V.cosine(col("qv"), col("cv")))
+      .withColumn("cos", V.cosineNative(col("qv"), col("cv")))
     val w = Window.partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("vec_id"))
     scored
       .withColumn("rn", row_number().over(w))
@@ -71,7 +71,7 @@ object Similarity {
       col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", V.cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", V.cosineNative(col("v_a"), col("v_b")))
       .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -116,7 +116,7 @@ object Similarity {
       .select(col("q_id"), col("qv"), col("c_id"))
     // search only the probed cells (equi-join on cell id, not a cross join)
     assigned.join(probes, Seq("c_id"))
-      .withColumn("cos", V.cosine(col("qv"), col("cv")))
+      .withColumn("cos", V.cosineNative(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("q_id", "vec_id", "cos", "rn")

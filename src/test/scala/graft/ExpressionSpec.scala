@@ -1,0 +1,72 @@
+package graft
+
+import graft.expressions.CosineSimilarity
+import graft.functions.{VectorFunctions => V}
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExpressionSpec extends AnyFunSuite with SparkTest {
+
+  private def vecs = {
+    import spark.implicits._
+    (0 until 50).map { i =>
+      (i.toLong, (0 until 16).map(j => math.sin(i * 17 + j).toDouble))
+    }.toDF("id", "v")
+  }
+
+  test("native cosine expression matches the HOF formulation bit-for-bit") {
+    val df = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(
+        V.cosine(col("a.v"), col("b.v")).as("hof"),
+        V.cosineNative(col("a.v"), col("b.v")).as("native"))
+    val mismatches = df.filter(col("hof") =!= col("native")).count()
+    assert(mismatches == 0)
+  }
+
+  test("expression survives both codegen and interpreted eval paths") {
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      Seq("true", "false").foreach { cg =>
+        spark.conf.set("spark.sql.codegen.wholeStage", cg)
+        val n = vecs.select(V.cosineNative(col("v"), col("v")).as("c"))
+          .filter(abs(col("c") - 1.0) < 1e-12).count()
+        assert(n == 50, s"codegen=$cg")
+      }
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
+  test("graft_cosine is callable from SQL after registration") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c," +
+        " graft_cosine(array(1.0D, 2.0D), array(1.0D, 2.0D)) AS s")
+      .collect()(0)
+    assert(math.abs(r.getDouble(0)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("salted join equals the plain join result") {
+    import spark.implicits._
+    // heavy skew: 90% of left rows share key 1
+    val left = ((1 to 180).map(i => (1L, i.toLong)) ++
+      (1 to 20).map(i => (i.toLong % 5 + 2, i.toLong))).toDF("k", "lv")
+    val right = (1L to 10L).map(k => (k, s"r$k")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).orderBy("k", "lv").collect().toSeq
+    val salted = Skew.saltedJoin(left, right, "k", saltFactor = 8)
+      .select("k", "lv", "rv").orderBy("k", "lv").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("salted aggregation equals the plain aggregation") {
+    import spark.implicits._
+    val df = ((1 to 500).map(_ => ("hot", 1.0)) ++
+      (1 to 50).map(i => (s"k${i % 7}", 2.0))).toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum("v").as("v_agg"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val salted = Skew.saltedAgg(df, "k", 8, sum(_), "v", sum(_))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(salted == plain)
+  }
+}
