@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.operators.Enrich
-import graft.sources.{Audit, CatalogSchema, Ingest, SchemaInfer}
+import graft.sources.{Audit, CatalogSchema, Ingest, SchemaInfer, UrlTemplating}
 import org.apache.spark.sql.functions._
 
 /** The reference pipeline's own semantics, Spark-native — SURVEY.md §2.1,
@@ -77,6 +77,30 @@ object PipelineQueries {
       SchemaInfer.inferColumns(pages)
         .select("ordinal", "english", "col_name")
         .orderBy("ordinal")
+    },
+
+    // Sample-URL surgery (cf. auth-key substitution + trailing-slash fix +
+    // rsplit truncation, data_seoul_3_csv.py:93-106) over derived URLs.
+    QueryDef(
+      "q_url_template",
+      Some("""SELECT n_nationkey,
+                     regexp_replace(u, '/sample/', '/MYKEY/') AS auth_url,
+                     CASE WHEN u LIKE '%/' THEN u ELSE u || '/' END AS slashed,
+                     regexp_replace(regexp_replace(u, '/[^/]*$', ''), '/[^/]*$', '') AS truncated
+              FROM (SELECT n_nationkey,
+                           'http://host/sample/xml/Svc' || CAST(n_nationkey AS VARCHAR) || '/1/5' AS u
+                    FROM nation)
+              ORDER BY n_nationkey""")) { (s, d) =>
+      val u = concat(lit("http://host/sample/xml/Svc"),
+        col("n_nationkey").cast("string"), lit("/1/5"))
+      Tables.nation(s, d)
+        .select(col("n_nationkey"), u.as("u"))
+        .select(
+          col("n_nationkey"),
+          UrlTemplating.withAuthKey(col("u"), lit("MYKEY")).as("auth_url"),
+          UrlTemplating.ensureTrailingSlash(col("u")).as("slashed"),
+          UrlTemplating.dropLastSegments(col("u"), 2).as("truncated"))
+        .orderBy("n_nationkey")
     },
 
     // MERGE enrichment (cf. the category write-back UPDATE,

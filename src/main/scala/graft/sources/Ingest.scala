@@ -50,8 +50,18 @@ object Ingest {
       .filter(col("id") > startIdx)
 
   /** Explicit typing stage: cast the all-string staging frame to the
-    * catalog types (the reference lets the DB coerce on INSERT). */
+    * catalog types. Spark 4 runs ANSI mode by default, so a malformed value
+    * FAILS THE JOB — the loud-failure semantics SURVEY §1.5 calls for at
+    * scale (the reference let the DB reject such rows one INSERT at a
+    * time). Use [[applyTypesLenient]] for the null-on-bad-value policy. */
   def applyTypes(staged: DataFrame, schema: StructType): DataFrame =
     staged.select(schema.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)) :+ col("id"): _*)
+
+  /** Permissive typing: malformed values become NULL (try_cast) instead of
+    * failing the job — the quarantine-and-continue ingest policy. */
+  def applyTypesLenient(staged: DataFrame, schema: StructType): DataFrame =
+    staged.select(schema.fields.map(f =>
+      expr(s"try_cast(${f.name} AS ${f.dataType.sql})").as(f.name))
+      :+ col("id"): _*)
 }

@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed table storage — the co-located-join strategy from SURVEY.md
+  * §4.2's 100 TB rules: write both sides of a recurring large-large join
+  * bucketed by the join key, and the join plans with zero exchanges (each
+  * bucket pair joins locally). The write cost is paid once; every
+  * subsequent join on that key skips its shuffle.
+  */
+object Warehouse {
+
+  /** Write `df` as a bucketed managed table (parquet). */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      nBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** Join two bucketed tables on their bucket key — shuffle-free when both
+    * were written with the same bucket count on the join key. */
+  def colocatedJoin(
+      spark: SparkSession,
+      leftTable: String,
+      rightTable: String,
+      key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+}

@@ -71,6 +71,57 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(rows.contains((10L, 3L, 10.0)))
   }
 
+  test("watermark drops late rows beyond the delay (append mode)") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    val agg = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("n"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("late").start()
+    // batch 1: events at 10:05 and 11:00 -> watermark advances to 10:50,
+    // finalizing (and emitting) the 10:00-10:10 window
+    input.addData(Seq(ev(1, 5), Ev(2, Timestamp.valueOf("2024-01-01 11:00:00"), 1L, "click", 1.0)))
+    q.processAllAvailable()
+    // batch 2: a LATE row for the already-finalized 10:00 window
+    input.addData(Seq(ev(3, 7)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    // the finalized 10:00 window counted only the on-time row; the late
+    // arrival was dropped from state, not re-emitted
+    assert(rows("2024-01-01 10:00:00.0") == 1L)
+  }
+
+  test("file-source streaming resumes from checkpointed offsets (START_IDX generalized)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toFile
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    val data = new java.io.File(dir, "in").getAbsolutePath
+    def write(ids: Seq[Long]): Unit =
+      ids.map(i => Ev(i, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0))
+        .toDF().write.mode("append").parquet(data)
+    write(1L to 3L)
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val schema = spark.read.parquet(data).schema
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(data)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 3)
+    // new files arrive; the RESTARTED query processes only the delta —
+    // exactly-once overall, no reprocessing of rows 1-3
+    write(4L to 5L)
+    run()
+    assert(spark.read.parquet(out).select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == (1L to 5L))
+  }
+
   test("session windows split on the 30-minute gap in streaming mode") {
     import spark.implicits._
     val input = MemoryStream[Ev](spark)
