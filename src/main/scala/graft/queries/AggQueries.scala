@@ -76,6 +76,26 @@ object AggQueries {
         .orderBy("l_returnflag")
     },
 
+    // Cube: all grouping-set combinations of two keys.
+    QueryDef(
+      "q_agg_cube",
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                     coalesce(l_linestatus, 'ALL') AS ls,
+                     CAST(count(*) AS BIGINT) AS n,
+                     sum(l_quantity) AS sum_qty
+              FROM lineitem
+              GROUP BY CUBE(l_returnflag, l_linestatus)
+              ORDER BY rf, ls""")) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    },
+
     // Statistical aggregates: stddev/variance/correlation/covariance.
     QueryDef(
       "q_agg_stats",

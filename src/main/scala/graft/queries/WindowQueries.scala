@@ -98,6 +98,30 @@ object WindowQueries {
         .orderBy("event_id")
     },
 
+    // RANGE frame over a numeric (epoch-seconds) ordering: per user, the
+    // event count and value sum within the trailing 10 minutes — the
+    // time-based sliding aggregate (vs the ROWS frame of q_win_moving).
+    QueryDef(
+      "q_win_range",
+      Some("""SELECT event_id,
+                     CAST(count(*) OVER w AS BIGINT) AS n_10m,
+                     CAST(round(CAST(sum(value) OVER w AS DECIMAL(28,6)), 2) AS DOUBLE) AS sum_10m
+              FROM (SELECT event_id, user_id, value,
+                           CAST(epoch(ts) AS BIGINT) AS ts_sec FROM events)
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                           RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+              ORDER BY event_id""")) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_sec")
+        .rangeBetween(-600, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("ts_sec", unix_timestamp(col("ts")))
+        .select(
+          col("event_id"),
+          count(lit(1)).over(w).as("n_10m"),
+          Num.round2(sum("value").over(w)).as("sum_10m"))
+        .orderBy("event_id")
+    },
+
     // ntile bucketing + first/last value over an explicit frame.
     QueryDef(
       "q_win_ntile",
