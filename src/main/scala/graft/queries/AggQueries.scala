@@ -96,6 +96,26 @@ object AggQueries {
         .orderBy("rf", "ls")
     },
 
+    // Explicit GROUPING SETS: per-status totals and per-priority totals in
+    // one pass (neither rollup nor cube — an arbitrary set list).
+    QueryDef(
+      "q_agg_grouping_sets",
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                     coalesce(o_orderpriority, 'ALL') AS priority,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM orders
+              GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+              ORDER BY status, priority""")) { (s, d) =>
+      Tables.orders(s, d)
+        .createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                      coalesce(o_orderpriority, 'ALL') AS priority,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM orders_gs
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+               ORDER BY status, priority""")
+    },
+
     // Statistical aggregates: stddev/variance/correlation/covariance.
     QueryDef(
       "q_agg_stats",

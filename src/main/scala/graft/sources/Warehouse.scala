@@ -33,4 +33,12 @@ object Warehouse {
       rightTable: String,
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+
+  /** Date/key-partitioned parquet sink — SURVEY §4.2's "every sink
+    * partitioned": readers filtering on the partition column scan only
+    * matching directories (partition pruning), and incremental loads append
+    * whole partitions idempotently. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 }
