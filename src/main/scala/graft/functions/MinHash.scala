@@ -25,6 +25,15 @@ object MinHash {
     array((0 until k).map(j =>
       array_min(transform(shingles, t => xxhash64(t, lit(j))))): _*)
 
+  /** [[signature]] via the native codegen expression — bit-identical values
+    * (same xxhash64 fold), one string hash per shingle instead of k, JIT
+    * loop instead of the interpreted HOF evaluator. Preferred in hot paths
+    * (Similarity.minhashCandidatePairs). */
+  def signatureNative(shingles: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.MinHashSignature(expression(shingles), k))
+  }
+
   /** Band hashes of a signature: nBands hashes of rowsPerBand consecutive
     * components each. Pair with posexplode to get (band_idx, band_hash).
     * Statically unrolled for the same interpreted-path reason as

@@ -137,7 +137,7 @@ object Similarity {
     // per row. The exchange materializes shingles once and spreads the
     // hashing across the cluster.
     val signed = docs.repartition(col("id"))
-      .withColumn("sig", MinHash.signature(col("shingles"), k))
+      .withColumn("sig", MinHash.signatureNative(col("shingles"), k))
     // The repartition is load-bearing, not a tuning knob: without an
     // exchange, CollapseProject inlines the signature expression into the
     // self-join and recomputes the full MinHash PER CANDIDATE PAIR (360s at

@@ -47,6 +47,26 @@ class ExpressionSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("native minhash signature is bit-identical to the HOF formulation") {
+    import spark.implicits._
+    import graft.functions.{MinHash, TextFunctions => T}
+    val docs = Seq(
+      "the quick brown fox", "spark shuffles partitions", "one"
+    ).toDF("text").select(T.tokens(col("text")).as("toks"))
+    val both = docs.select(
+      MinHash.signature(col("toks"), 16).as("hof"),
+      MinHash.signatureNative(col("toks"), 16).as("native"))
+    val rows = both.collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+    // divergence on EMPTY input is deliberate: HOF = null components
+    // (array_min([])), native = Long.MaxValue fold identity
+    val empty = Seq("").toDF("text").select(T.tokens(col("text")).as("toks"))
+      .select(MinHash.signatureNative(col("toks"), 4)).collect()(0).getSeq[Long](0)
+    assert(empty == Seq.fill(4)(Long.MaxValue))
+  }
+
   test("salted join equals the plain join result") {
     import spark.implicits._
     // heavy skew: 90% of left rows share key 1
