@@ -15,12 +15,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which the vectorized reader
-    // rejects; read as long and convert in the events() accessor.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
-  }
+  // Analyzed-plan cache: a DataFrame is an immutable plan, so reusing it
+  // across queries in one session skips repeated footer reads and analysis
+  // (74 registered queries × 10 tables is pure fixed overhead otherwise).
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, dir, name), { key =>
+      // events.parquet carries TIMESTAMP(NANOS), which the vectorized reader
+      // rejects; read as long and convert in the events() accessor.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"${key._2}/${key._3}.parquet")
+    })
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
