@@ -10,8 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb JVM/codegen/session warmup outside any query's timing
+    spark.range(100000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     // deterministic execution order (name-sorted) so per-query timings are
-    // comparable across rounds; the first query still absorbs JVM warmup
+    // comparable across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
