@@ -122,6 +122,54 @@ object Similarity {
       .select("q_id", "vec_id", "cos", "rn")
   }
 
+  /** Lloyd's k-means over an embedding table — centroid refinement for
+    * [[ivfTopK]]. Each iteration is one broadcast-assign pass plus one
+    * aggregation (element-wise mean via posexplode + groupBy), both fully
+    * distributed; only the C×dim centroid table ever reaches the driver.
+    * Deterministic: init = first C vectors by id, ties in assignment break
+    * by centroid id.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame, // (vec_id, cv: array<double>)
+      nCentroids: Int,
+      iterations: Int): DataFrame = {
+    var centroids = corpus
+      .orderBy("vec_id")
+      .limit(nCentroids)
+      .select(col("vec_id").as("c_id"), col("cv").as("centroid"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("c_id"))
+    for (_ <- 0 until iterations) {
+      val assigned = corpus
+        .crossJoin(broadcast(centroids))
+        .withColumn("dist", V.l2Dist(col("cv"), col("centroid")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("c_id"), col("cv"))
+      // element-wise mean per cell: explode positions, average, re-assemble
+      val means = assigned
+        .select(col("c_id"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy("c_id", "pos")
+        .agg(avg("x").as("m"))
+        .groupBy("c_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("c_id"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+      // empty cells keep their previous centroid; collect the C×dim result
+      // to the driver (bounded by centroid count — the one collect() the
+      // 100 TB rules allow, same as MLlib KMeans) so each iteration starts
+      // from a literal frame and plans don't stack across iterations
+      val next = centroids.select(col("c_id"), col("centroid").as("prev"))
+        .join(means, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("centroid"), col("prev")).as("centroid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toSeq
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      centroids = next.toDF("c_id", "centroid")
+    }
+    centroids
+  }
+
   /** MinHash/LSH candidate pairs over a document table: shingle → signature
     * → bands → band-key equi-join → distinct pairs with estimated Jaccard.
     * `docs` must carry (id, shingles: array<string>). */

@@ -71,6 +71,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert((0L until 3L).forall(q => approx.contains((q, q))))
   }
 
+  test("k-means refines centroids toward cluster means") {
+    import spark.implicits._
+    // two tight clusters around distinct anchors
+    val a = vec(1, 16); val b = vec(2, 16).map(_ + 3.0)
+    val corpus = ((0 until 10).map(i =>
+      (i.toLong, a.zipWithIndex.map { case (x, d) => x + 0.01 * ((i + d) % 3) })) ++
+      (10 until 20).map(i =>
+        (i.toLong, b.zipWithIndex.map { case (x, d) => x + 0.01 * ((i + d) % 3) })))
+      .toDF("vec_id", "cv")
+    val refined = Similarity.kmeansCentroids(corpus, nCentroids = 2, iterations = 3)
+      .collect().map(r => r.getSeq[Double](1)).sortBy(_.sum)
+    // after refinement, one centroid sits near each cluster mean
+    def dist(u: Seq[Double], v: Seq[Double]) =
+      math.sqrt(u.zip(v).map { case (x, y) => (x - y) * (x - y) }.sum)
+    assert(dist(refined(0), a) < 0.5, s"centroid0 far from cluster A")
+    assert(dist(refined(1), b) < 0.5, s"centroid1 far from cluster B")
+  }
+
   test("LSH candidate set is far smaller than all pairs (pruning works)") {
     import spark.implicits._
     val emb = (0L until 60L).map(i => (i, vec(i.toInt + 7, 32))).toDF("vec_id", "v")
