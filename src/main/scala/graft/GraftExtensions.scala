@@ -1,9 +1,9 @@
 package graft
 
-import graft.expressions.CosineSimilarity
+import graft.expressions.{CosineSimilarity, MinHashSignature}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
 
 /** SQL-surface registration for the engine's custom expressions —
   * SURVEY.md §7.4. Attach with:
@@ -22,5 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(children(0), children(1))))
+    // graft_minhash(tokens, k) — k must be a literal int (plan-time constant)
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSignature(
+          children(0),
+          children(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
   }
 }

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import scala.jdk.CollectionConverters._
 
 /** Structured Streaming surface — SURVEY.md §2.9.
   *
@@ -64,6 +65,52 @@ object Streams {
           state.update(next)
           Iterator.single(next)
       }
+  }
+
+  /** Stream-stream inner join: purchases matched to clicks of the same user
+    * within the preceding 20 minutes. Both sides watermarked so join state
+    * is bounded; the time-bound condition is what makes unbounded
+    * stream-stream joins feasible at all. */
+  def purchaseAfterClick(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(
+      clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 20 MINUTES"))
+  }
+
+  /** Streaming MERGE sink — the streaming generalization of the reference's
+    * enrichment write-back (UPDATE ... WHERE ID=?): each micro-batch of
+    * updates is merged into the target state via foreachBatch +
+    * Enrich.merge. Returns the started query; read the merged state from
+    * `stateRef` after processing. */
+  def mergeSink(
+      updates: DataFrame,
+      initial: DataFrame,
+      key: String,
+      updateCols: Seq[String],
+      stateRef: java.util.concurrent.atomic.AtomicReference[DataFrame])
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    stateRef.set(initial)
+    updates.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val merged = graft.operators.Enrich
+          .merge(stateRef.get(), batch, key, updateCols)
+        // materialize the new state so it survives the source batch's scope
+        stateRef.set(batch.sparkSession.createDataFrame(
+          merged.collect().toIndexedSeq.asJava, merged.schema))
+        ()
+      }
+      .start()
   }
 
   /** File-source streaming read of an events directory with an explicit

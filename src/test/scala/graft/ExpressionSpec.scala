@@ -67,6 +67,20 @@ class ExpressionSpec extends AnyFunSuite with SparkTest {
     assert(empty == Seq.fill(4)(Long.MaxValue))
   }
 
+  test("graft_minhash is callable from SQL with a literal k") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => graft.expressions.MinHashSignature(
+        exprs(0),
+        exprs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int]),
+      "built-in")
+    val sig = spark.sql(
+      "SELECT graft_minhash(array('a','b','c'), 8) AS s").collect()(0).getSeq[Long](0)
+    assert(sig.length == 8)
+    assert(sig.forall(_ != Long.MaxValue)) // non-empty input -> real mins
+  }
+
   test("salted join equals the plain join result") {
     import spark.implicits._
     // heavy skew: 90% of left rows share key 1

@@ -37,6 +37,30 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     assert(frames.map(_.getInt(1)).forall(_ % 2 == 0)) // every 2nd chunk
   }
 
+  test("full training-data shape: decode -> featurize -> embed -> ANN") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorFunctions => V}
+    // media -> stub features -> deterministic fake embedding (bytes-driven)
+    // -> cosine top-k against itself: the end-to-end pipeline plumbing a
+    // real decoder/encoder would slot into without schema changes
+    val media = (0 until 20).map(i =>
+      MediaRecord(i.toLong, "image", s"payload-$i-${"x" * (i % 5)}".getBytes("UTF-8"))).toDS()
+    val feats = Multimodal.decodeFeatures(media)
+    val embedded = feats.toDF()
+      .select(col("media_id").as("vec_id"),
+        array((0 until 8).map(j =>
+          (pmod(pmod(col("checksum"), lit(100000)) * (j + 1), lit(1000))
+            .cast("double") / 1000.0)): _*)
+          .as("cv"))
+    val queries = embedded.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("cv").as("qv"))
+    val top = graft.operators.Similarity.bruteForceTopK(queries, embedded, 3)
+      .orderBy("rn").select("vec_id").collect().map(_.getLong(0))
+    assert(top.head == 0L) // self-match ranks first
+    assert(top.length == 3)
+  }
+
   test("fromDocuments wraps text tables in the media schema") {
     import spark.implicits._
     val docs = Seq((7L, "hello world")).toDF("doc_id", "text")

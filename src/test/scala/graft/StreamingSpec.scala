@@ -122,6 +122,42 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .map(_.getLong(0)).sorted.toSeq == (1L to 5L))
   }
 
+  test("stream-stream join matches purchases to recent clicks, state bounded") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    input.addData(Seq(
+      ev(1, 0, typ = "click"),
+      ev(2, 10, typ = "purchase"),          // 10 min after click -> match
+      ev(3, 45, typ = "purchase"),          // 45 min after click -> no match
+      ev(4, 50, typ = "click"),
+      ev(5, 55, typ = "purchase")))         // 5 min after click 4 -> match
+    runToMemory(
+      Streams.purchaseAfterClick(input.toDF())
+        .select(col("purchase_id"), col("click_id")),
+      "ssj")
+    val got = spark.table("ssj").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 1L), (5L, 4L)))
+  }
+
+  test("foreachBatch merge sink applies streaming updates to target state") {
+    import spark.implicits._
+    val initial = Seq((1L, "old"), (2L, "old"), (3L, "old")).toDF("id", "cat")
+    val input = MemoryStream[(Long, String)](spark)
+    val state = new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+    val q = Streams.mergeSink(
+      input.toDF().toDF("id", "cat"), initial, "id", Seq("cat"), state)
+    input.addData(Seq((2L, "v2")))
+    q.processAllAvailable()
+    input.addData(Seq((3L, "v3")))
+    q.processAllAvailable()
+    q.stop()
+    val got = state.get().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // both micro-batches merged cumulatively; unmatched row untouched
+    assert(got == Seq((1L, "old"), (2L, "v2"), (3L, "v3")))
+  }
+
   test("session windows split on the 30-minute gap in streaming mode") {
     import spark.implicits._
     val input = MemoryStream[Ev](spark)
