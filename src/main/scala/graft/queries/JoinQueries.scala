@@ -109,6 +109,35 @@ object JoinQueries {
         .orderBy("band")
     },
 
+    // Full outer join: customers with F-orders vs customers with O-orders —
+    // unmatched sides surface with NULL counts (labeled 0 for the compare).
+    QueryDef(
+      "q_join_full",
+      Some("""SELECT coalesce(f.k, o.k) AS custkey,
+                     CAST(coalesce(f.n, 0) AS BIGINT) AS n_f,
+                     CAST(coalesce(o.n, 0) AS BIGINT) AS n_o
+              FROM (SELECT o_custkey AS k, count(*) AS n FROM orders
+                    WHERE o_orderstatus = 'F' AND o_totalprice > 350000.0 GROUP BY 1) f
+              FULL OUTER JOIN
+                   (SELECT o_custkey AS k, count(*) AS n FROM orders
+                    WHERE o_orderstatus = 'O' AND o_totalprice > 350000.0 GROUP BY 1) o
+                ON f.k = o.k
+              ORDER BY custkey""")) { (s, d) =>
+      val orders = Tables.orders(s, d).filter(col("o_totalprice") > 350000.0)
+      def side(status: String) = orders
+        .filter(col("o_orderstatus") === status)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("n"))
+      val f = side("F").select(col("k").as("f_k"), col("n").as("f_n"))
+      val o = side("O").select(col("k").as("o_k"), col("n").as("o_n"))
+      f.join(o, col("f_k") === col("o_k"), "full_outer")
+        .select(
+          coalesce(col("f_k"), col("o_k")).as("custkey"),
+          coalesce(col("f_n"), lit(0L)).as("n_f"),
+          coalesce(col("o_n"), lit(0L)).as("n_o"))
+        .orderBy("custkey")
+    },
+
     // As-of join: for each purchase event, the latest order of that user at
     // or before the event time. Implemented as an equi join on the key plus
     // a windowed top-1 per event (graft.operators.Joins.asOf) — the

@@ -150,6 +150,42 @@ object ScalarQueries {
         .orderBy("o_orderkey")
     },
 
+    // Interval arithmetic: month/day offsets and truncation-based buckets.
+    QueryDef(
+      "q_date_arith",
+      Some("""SELECT o_orderkey,
+                     strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+                     strftime(o_orderdate - INTERVAL 45 DAY, '%Y-%m-%d') AS minus_45d,
+                     CAST(CAST(strftime(o_orderdate, '%u') AS INT) % 7 AS BIGINT) AS dow
+              FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""")) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 100)
+        .select(
+          col("o_orderkey"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus_3m"),
+          date_format(date_sub(col("o_orderdate").cast("date"), 45), "yyyy-MM-dd")
+            .as("minus_45d"),
+          // ISO day-of-week mod 7 (Mon=1..Sat=6, Sun=0): Spark weekday is
+          // Mon=0..Sun=6, DuckDB %u is Mon=1..Sun=7 — (weekday+1)%7 == %u%7
+          (weekday(col("o_orderdate")) + 1).mod(7).cast("long").as("dow"))
+        .orderBy("o_orderkey")
+    },
+
+    // Character translation (cf. the reference's chained .replace calls,
+    // data_seoul_1_category.py:72).
+    QueryDef(
+      "q_str_translate",
+      Some("""SELECT c_custkey,
+                     translate(c_name, '#0', '-_') AS translated
+              FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""")) { (s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_custkey") < 50)
+        .select(
+          col("c_custkey"),
+          translate(col("c_name"), "#0", "-_").as("translated"))
+        .orderBy("c_custkey")
+    },
+
     // Math surface: modulo banding (cf. idx % 3 == 0, data_seoul_3_csv.py:132),
     // sqrt/ln/floor/ceil/abs over a group-by.
     QueryDef(

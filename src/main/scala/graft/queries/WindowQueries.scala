@@ -98,6 +98,26 @@ object WindowQueries {
         .orderBy("event_id")
     },
 
+    // Relative-rank windows: percent_rank and cume_dist per segment.
+    QueryDef(
+      "q_win_relrank",
+      Some("""SELECT c_custkey,
+                     CAST(round(CAST(percent_rank() OVER w AS DECIMAL(28,6)), 2) AS DOUBLE) AS pct_rank,
+                     CAST(round(CAST(cume_dist() OVER w AS DECIMAL(28,6)), 2) AS DOUBLE) AS cume
+              FROM customer
+              WINDOW w AS (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal, c_custkey)
+              ORDER BY c_custkey""")) { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          Num.round2(percent_rank().over(w)).as("pct_rank"),
+          Num.round2(cume_dist().over(w)).as("cume"))
+        .orderBy("c_custkey")
+    },
+
     // RANGE frame over a numeric (epoch-seconds) ordering: per user, the
     // event count and value sum within the trailing 10 minutes — the
     // time-based sliding aggregate (vs the ROWS frame of q_win_moving).
