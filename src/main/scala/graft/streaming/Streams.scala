@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import scala.jdk.CollectionConverters._
 
 /** Structured Streaming surface — SURVEY.md §2.9.
   *
@@ -87,30 +86,79 @@ object Streams {
         col("c_ts") >= col("p_ts") - expr("INTERVAL 20 MINUTES"))
   }
 
-  /** Streaming MERGE sink — the streaming generalization of the reference's
-    * enrichment write-back (UPDATE ... WHERE ID=?): each micro-batch of
-    * updates is merged into the target state via foreachBatch +
-    * Enrich.merge. Returns the started query; read the merged state from
-    * `stateRef` after processing. */
+  /** Streaming MERGE sink backed by a generation-versioned Parquet state
+    * table — the streaming generalization of the reference's enrichment
+    * write-back (UPDATE ... WHERE ID=?).
+    *
+    * Each micro-batch lazily reads the newest state generation under
+    * `statePath`, merges the batch via Enrich.merge (a distributed left
+    * join), and writes the result as the NEXT generation directory
+    * `gen=<batchId+1>`. Nothing is ever materialized on the driver, so the
+    * state table can be arbitrarily large. Generation = batchId + 1 makes a
+    * checkpoint replay of the same micro-batch overwrite the same directory
+    * — idempotent, hence exactly-once end to end. Generations older than
+    * the previous one are pruned through the Hadoop FileSystem API (works
+    * on HDFS/S3A the same as on local disk).
+    */
   def mergeSink(
       updates: DataFrame,
       initial: DataFrame,
       key: String,
       updateCols: Seq[String],
-      stateRef: java.util.concurrent.atomic.AtomicReference[DataFrame])
+      statePath: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    stateRef.set(initial)
+    initial.write.mode("overwrite").parquet(genDir(statePath, 0L))
     updates.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val merged = graft.operators.Enrich
-          .merge(stateRef.get(), batch, key, updateCols)
-        // materialize the new state so it survives the source batch's scope
-        stateRef.set(batch.sparkSession.createDataFrame(
-          merged.collect().toIndexedSeq.asJava, merged.schema))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // newest generation at or below this batch id: on a replay after a
+        // crash the just-written gen=batchId+1 may exist but is ignored, so
+        // the merge re-runs from the same input state it saw the first time
+        val prev = latestGen(spark, statePath, atOrBelow = batchId)
+        val state = spark.read.parquet(genDir(statePath, prev))
+        val merged = graft.operators.Enrich.merge(state, batch, key, updateCols)
+        merged.write.mode("overwrite").parquet(genDir(statePath, batchId + 1))
+        pruneGens(spark, statePath, keepFrom = batchId)
         ()
       }
       .start()
+  }
+
+  /** Lazily read the newest state generation written by [[mergeSink]]. */
+  def mergeState(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(genDir(statePath, latestGen(spark, statePath, Long.MaxValue)))
+
+  private def genDir(statePath: String, gen: Long): String =
+    s"$statePath/gen=$gen"
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def listGens(spark: SparkSession, statePath: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(statePath)
+    val f = fs(spark, statePath)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toLong }
+  }
+
+  private def latestGen(spark: SparkSession, statePath: String, atOrBelow: Long): Long = {
+    val gens = listGens(spark, statePath).filter(_ <= atOrBelow)
+    require(gens.nonEmpty, s"no state generation <= $atOrBelow under $statePath")
+    gens.max
+  }
+
+  /** Drop generations older than `keepFrom`, keeping the merge input of the
+    * current batch so an interrupted write can still replay. */
+  private def pruneGens(spark: SparkSession, statePath: String, keepFrom: Long): Unit = {
+    val f = fs(spark, statePath)
+    listGens(spark, statePath).filter(_ < keepFrom).foreach { g =>
+      f.delete(new org.apache.hadoop.fs.Path(genDir(statePath, g)), true)
+    }
   }
 
   /** File-source streaming read of an events directory with an explicit

@@ -142,20 +142,48 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
 
   test("foreachBatch merge sink applies streaming updates to target state") {
     import spark.implicits._
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-merge-state").toString
     val initial = Seq((1L, "old"), (2L, "old"), (3L, "old")).toDF("id", "cat")
     val input = MemoryStream[(Long, String)](spark)
-    val state = new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
     val q = Streams.mergeSink(
-      input.toDF().toDF("id", "cat"), initial, "id", Seq("cat"), state)
+      input.toDF().toDF("id", "cat"), initial, "id", Seq("cat"), statePath)
     input.addData(Seq((2L, "v2")))
     q.processAllAvailable()
     input.addData(Seq((3L, "v3")))
     q.processAllAvailable()
     q.stop()
-    val got = state.get().orderBy("id").collect()
+    val got = Streams.mergeState(spark, statePath).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     // both micro-batches merged cumulatively; unmatched row untouched
     assert(got == Seq((1L, "old"), (2L, "v2"), (3L, "v3")))
+  }
+
+  test("merge-sink state survives many micro-batches without driver materialization") {
+    import spark.implicits._
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-merge-state-n").toString
+    val initial = (1L to 5L).map(i => (i, "old", 0L)).toDF("id", "cat", "seen")
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val q = Streams.mergeSink(
+      input.toDF().toDF("id", "cat", "seen"), initial, "id",
+      Seq("cat", "seen"), statePath)
+    // four micro-batches, each updating a different key; later batches must
+    // see the cumulative result of the earlier ones (state table carry)
+    (1L to 4L).foreach { b =>
+      input.addData(Seq((b, s"v$b", b)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = Streams.mergeState(spark, statePath).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, "v1", 1L), (2L, "v2", 2L), (3L, "v3", 3L),
+      (4L, "v4", 4L), (5L, "old", 0L)))
+    // old generations pruned: at most the merge input + output remain
+    val gens = new java.io.File(statePath).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(gens.length <= 2 && gens.contains("gen=4"))
   }
 
   test("session windows split on the 30-minute gap in streaming mode") {
