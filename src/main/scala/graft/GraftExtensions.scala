@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, MinHashSignature}
+import graft.expressions.{CosineSimilarity, MinHashSignature, NGrams, Tokenize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
@@ -28,6 +28,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSignature(
+          children(0),
+          children(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[Tokenize].getName, "graft_tokens"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Tokenize(children(0))))
+    // graft_ngrams(tokens, n) — n must be a literal int (plan-time constant)
+    ext.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[NGrams].getName, "graft_ngrams"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NGrams(
           children(0),
           children(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
   }

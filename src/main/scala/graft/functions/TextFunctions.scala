@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import graft.expressions.{NGrams, Tokenize}
+import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
 /** Text / string column functions — SURVEY.md §2.8, §2.10.
@@ -30,15 +31,30 @@ object TextFunctions {
   def paddedName(prefix: String, id: Column, width: Int): Column =
     concat(lit(prefix), lpad(id.cast("string"), width, "0"))
 
-  /** Whitespace tokens, lowercased, empties removed. */
+  /** Whitespace tokens, lowercased, empties removed — native codegen
+    * expression (graft.expressions.Tokenize); see [[tokensHof]] for the
+    * built-in formulation it is verified against. */
   def tokens(c: Column): Column =
+    GraftColumnBridge.column(Tokenize(GraftColumnBridge.expression(c)))
+
+  /** Built-in-composition tokenizer, kept as the differential-test oracle
+    * for [[tokens]]. The `filter` lambda runs interpreted — measurably
+    * slower on hot paths, which is why the native expression exists. */
+  def tokensHof(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => t =!= "")
 
   /** BPE-ish tokenization: word pieces plus single punctuation marks. */
   def bpeTokens(c: Column): Column =
     regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0))
 
-  /** Token n-grams as space-joined strings (n >= 2).
+  /** Token n-grams as space-joined strings (n >= 2) — native codegen
+    * expression (graft.expressions.NGrams); see [[ngramsHof]] for the
+    * built-in formulation it is verified against. */
+  def ngrams(toks: Column, n: Int): Column =
+    GraftColumnBridge.column(NGrams(GraftColumnBridge.expression(toks), n))
+
+  /** Built-in-composition n-grams, kept as the differential-test oracle
+    * for [[ngrams]].
     *
     * Formulated as zip_with over n shifted slices, NOT as an index walk
     * (`transform(sequence(1, L), i -> element_at(toks, i + k))`): HOFs run
@@ -47,7 +63,7 @@ object TextFunctions {
     * per document measured. The slice/zip_with form evaluates each input
     * array once per row. Short inputs: the slice length clamps to 0 →
     * empty result (also sidesteps sequence(1, 0) being DESCENDING). */
-  def ngrams(toks: Column, n: Int): Column = {
+  def ngramsHof(toks: Column, n: Int): Column = {
     val len = greatest(size(toks) - (n - 1), lit(0))
     val parts = (0 until n).map(k => slice(toks, lit(k + 1), len))
     parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))

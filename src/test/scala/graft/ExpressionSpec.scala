@@ -81,6 +81,54 @@ class ExpressionSpec extends AnyFunSuite with SparkTest {
     assert(sig.forall(_ != Long.MaxValue)) // non-empty input -> real mins
   }
 
+  test("native tokenizer matches the HOF formulation on awkward inputs") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    val texts = Seq(
+      "The Quick  Brown\tFox", "  leading and trailing  ", "",
+      "\t\n\r\f ", "one", "MIXED case WITH Ünïcode Tökens",
+      "tabs\tand\nnewlines\randvt", "a  b   c    d",
+      "한국어 텍스트 토큰화 테스트", "punct, marks! kept? as-is.")
+    val df = texts.toDF("text").select(
+      T.tokens(col("text")).as("native"), T.tokensHof(col("text")).as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.getSeq[String](0))
+    }
+  }
+
+  test("native ngrams match the HOF formulation including short inputs") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    val texts = Seq("a b c d e", "a b", "single", "", "x y z")
+    (2 to 4).foreach { n =>
+      val df = texts.toDF("text")
+        .select(T.tokens(col("text")).as("toks"))
+        .select(
+          T.ngrams(col("toks"), n).as("native"),
+          T.ngramsHof(col("toks"), n).as("hof"))
+      df.collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n")
+      }
+    }
+  }
+
+  test("graft_tokens and graft_ngrams are callable from SQL") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tokens", exprs => graft.expressions.Tokenize(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngrams",
+      exprs => graft.expressions.NGrams(
+        exprs(0),
+        exprs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int]),
+      "built-in")
+    val r = spark.sql(
+      "SELECT graft_tokens('The  Quick Fox') AS t," +
+        " graft_ngrams(graft_tokens('a b c'), 2) AS g").collect()(0)
+    assert(r.getSeq[String](0) == Seq("the", "quick", "fox"))
+    assert(r.getSeq[String](1) == Seq("a b", "b c"))
+  }
+
   test("salted join equals the plain join result") {
     import spark.implicits._
     // heavy skew: 90% of left rows share key 1
