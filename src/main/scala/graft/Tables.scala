@@ -23,11 +23,15 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, dir, name), { key =>
-      // events.parquet carries TIMESTAMP(NANOS), which the vectorized reader
-      // rejects; read as long and convert in the events() accessor.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"${key._2}/${key._3}.parquet")
     })
+
+  /** Session configs every graft session needs — call once at session
+    * construction (Bench/Verify/Explain and the test harness do).
+    * `nanosAsLong`: events.parquet carries TIMESTAMP(NANOS), which the
+    * vectorized reader rejects; read as long and convert in [[events]]. */
+  def configure(builder: SparkSession.Builder): SparkSession.Builder =
+    builder.config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

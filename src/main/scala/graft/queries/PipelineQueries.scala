@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.operators.Enrich
 import graft.sources.{Audit, CatalogSchema, Ingest, SchemaInfer, UrlTemplating}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType, TimestampType}
 
 /** The reference pipeline's own semantics, Spark-native — SURVEY.md §2.1,
   * §3: catalog-schema CSV ingest with offset resume, MERGE enrichment,
@@ -101,6 +102,59 @@ object PipelineQueries {
           UrlTemplating.ensureTrailingSlash(col("u")).as("slashed"),
           UrlTemplating.dropLastSegments(col("u"), 2).as("truncated"))
         .orderBy("n_nationkey")
+    },
+
+    // Typed-cast stage, strict ANSI policy (Ingest.applyTypes): the staged
+    // all-string frame casts back to the catalog types, and clean values
+    // must round-trip exactly. The reference defers typing to the DB (type
+    // carried but never consulted, data_seoul_2_csv_noopenapi.py:89); here
+    // typing is an explicit, oracle-checked stage.
+    QueryDef(
+      "q_cast_strict",
+      Some("""SELECT CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS o_orderkey,
+                     CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS o_totalprice,
+                     CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP) AS o_orderdate,
+                     o_orderkey AS id
+              FROM orders ORDER BY id""")) { (s, d) =>
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampType)))
+      val staged = Tables.orders(s, d).select(
+        col("o_orderkey").cast("string").as("o_orderkey"),
+        col("o_totalprice").cast("string").as("o_totalprice"),
+        col("o_orderdate").cast("string").as("o_orderdate"),
+        col("o_orderkey").as("id"))
+      Ingest.applyTypes(staged, schema).orderBy("id")
+    },
+
+    // Typed-cast stage, lenient policy (Ingest.applyTypesLenient):
+    // deterministically corrupted values (every 7th price, every 11th
+    // timestamp) become NULL via try_cast instead of failing the job —
+    // the quarantine-and-continue ingest policy, vs DuckDB TRY_CAST.
+    QueryDef(
+      "q_cast_lenient",
+      Some("""SELECT TRY_CAST(CASE WHEN o_orderkey % 7 = 0
+                                   THEN 'x' || CAST(o_totalprice AS VARCHAR)
+                                   ELSE CAST(o_totalprice AS VARCHAR) END
+                              AS DOUBLE) AS o_totalprice,
+                     TRY_CAST(CASE WHEN o_orderkey % 11 = 0
+                                   THEN 'not-a-timestamp'
+                                   ELSE CAST(o_orderdate AS VARCHAR) END
+                              AS TIMESTAMP) AS o_orderdate,
+                     o_orderkey AS id
+              FROM orders ORDER BY id""")) { (s, d) =>
+      val schema = StructType(Seq(
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampType)))
+      val staged = Tables.orders(s, d).select(
+        when(col("o_orderkey") % 7 === 0,
+          concat(lit("x"), col("o_totalprice").cast("string")))
+          .otherwise(col("o_totalprice").cast("string")).as("o_totalprice"),
+        when(col("o_orderkey") % 11 === 0, lit("not-a-timestamp"))
+          .otherwise(col("o_orderdate").cast("string")).as("o_orderdate"),
+        col("o_orderkey").as("id"))
+      Ingest.applyTypesLenient(staged, schema).orderBy("id")
     },
 
     // MERGE enrichment (cf. the category write-back UPDATE,

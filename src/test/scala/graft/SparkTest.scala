@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** One shared local session per test JVM (suites reuse via getOrCreate). */
 trait SparkTest {
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = Tables.configure(SparkSession.builder())
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
