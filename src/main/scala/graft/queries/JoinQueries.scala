@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.functions.Num
 import graft.operators.Joins
+import graft.sources.Warehouse
 import org.apache.spark.sql.functions._
 
 /** Join surface — SURVEY.md §2.3.
@@ -166,6 +167,32 @@ object JoinQueries {
           col("o_orderkey").as("asof_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_date"))
         .orderBy("event_id")
+    },
+
+    // Bucketed co-located join (Warehouse): both sides pre-bucketed on the
+    // join key, so the recurring join — and the downstream per-key
+    // aggregate — plan with ZERO Exchange (SURVEY §4.2's shuffle-elimination
+    // strategy for 100 TB recurring joins). SourcesSpec asserts the
+    // no-Exchange physical plan; this entry oracle-checks the values
+    // through the driver gate.
+    QueryDef(
+      "q_join_colocated",
+      Some("""SELECT o.o_custkey AS custkey,
+                     CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(round(CAST(sum(o.o_totalprice) AS DECIMAL(28,6)), 2) AS DOUBLE) AS sum_price
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY o.o_custkey ORDER BY custkey""")) { (s, d) =>
+      val cust = Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+      val ords = Tables.orders(s, d)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      Warehouse.writeBucketed(ords, "graft_orders_bkt", "custkey", 8)
+      Warehouse.writeBucketed(cust, "graft_cust_bkt", "custkey", 8)
+      Warehouse.colocatedJoin(s, "graft_orders_bkt", "graft_cust_bkt", "custkey")
+        .groupBy("custkey")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          Num.round2(sum("o_totalprice")).as("sum_price"))
+        .orderBy("custkey")
     }
   )
 }

@@ -48,7 +48,14 @@ class SourcesSpec extends AnyFunSuite with SparkTest {
       val joined = Warehouse.colocatedJoin(spark, "t_fact", "t_dim", "k")
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected bucket SMJ in:\n$plan")
       assert(joined.count() == 1000L)
+      // the downstream per-bucket-key aggregate also needs no exchange:
+      // bucketing satisfies the group-by's required distribution too
+      val agg = joined.groupBy("k").count()
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), s"unexpected shuffle in:\n$aggPlan")
+      assert(agg.count() == 50L)
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.sql("DROP TABLE IF EXISTS t_fact")
