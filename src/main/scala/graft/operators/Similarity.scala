@@ -170,6 +170,44 @@ object Similarity {
     centroids
   }
 
+  /** Exact-Jaccard near-dup pairs with log-length-band blocking.
+    *
+    * Candidates must share `lang` and land in the same or an ADJACENT
+    * log(1+n_chars) band — real near-dups rarely have identical lengths
+    * (the flaw of blocking on exact n_chars), but their length ratio is
+    * bounded: token-set Jaccard >= 0.5 implies a <= 2x size ratio. The
+    * adjacency join stays an equi-join: the probe side explodes each doc
+    * to bands {b-1, b, b+1}, the build side keeps its own band, and a pair
+    * matches exactly once (the three probe keys are distinct).
+    *
+    * `bandWidth` is the recall/cost dial: width w with +-1 adjacency
+    * catches pairs whose length ratio is under ~e^(2w). The 0.1 default
+    * (ratio ~1.2) suits corpora where near-dups are light edits; width
+    * ln(2) ~ 0.7 guarantees full recall for any pair with Jaccard >= 0.5
+    * at a larger candidate volume.
+    */
+  def jaccardNearDupPairs(
+      docs: DataFrame, // (doc_id, lang, n_chars, toks: array<string>)
+      minJaccard: Double,
+      bandWidth: Double = 0.1): DataFrame = {
+    def band(c: Column): Column = floor(log1p(c) / bandWidth).cast("long")
+    val a = docs.select(
+      col("doc_id").as("doc_a"), col("lang"),
+      band(col("n_chars")).as("band"), col("toks").as("toks_a"))
+    val b = docs.select(
+      col("doc_id").as("doc_b"), col("lang"),
+      band(col("n_chars")).as("b_band"), col("toks").as("toks_b"))
+      .withColumn("band",
+        explode(array(col("b_band") - 1, col("b_band"), col("b_band") + 1)))
+      .drop("b_band")
+    val jac = MinHash.exactJaccard(col("toks_a"), col("toks_b"))
+    a.join(b, Seq("lang", "band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** MinHash/LSH candidate pairs over a document table: shingle → signature
     * → bands → band-key equi-join → distinct pairs with estimated Jaccard.
     * `docs` must carry (id, shingles: array<string>). */

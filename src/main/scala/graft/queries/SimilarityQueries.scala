@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.functions.{MinHash, Num, SimHash, TextFunctions => T, VectorFunctions => V}
+import graft.functions.{Num, SimHash, TextFunctions => T, VectorFunctions => V}
 import graft.operators.Similarity
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -103,12 +103,16 @@ object SimilarityQueries {
         .orderBy("doc_id")
     },
 
-    // Exact n-gram Jaccard near-dup with cheap blocking: candidate pairs
-    // share (lang, n_chars) — a real equi-join, no all-pairs — then exact
-    // token-set Jaccard >= 0.5. Fully oracle-checkable.
+    // Exact n-gram Jaccard near-dup with log-length-band blocking:
+    // candidate pairs share lang and sit in the same or an adjacent
+    // log(1+n_chars) band — still a real equi-join (see
+    // Similarity.jaccardNearDupPairs), but unlike exact-n_chars blocking
+    // it survives near-dups whose lengths differ. Fully oracle-checkable:
+    // the oracle applies the identical banding.
     QueryDef(
       "q_dedup_jaccard",
-      Some("""WITH t AS (SELECT doc_id, lang, n_chars,
+      Some("""WITH t AS (SELECT doc_id, lang,
+                                CAST(floor(ln(1 + n_chars) / 0.1) AS BIGINT) AS band,
                                 list_filter(string_split_regex(lower(text), '\s+'),
                                             x -> x <> '') AS toks
                          FROM documents)
@@ -118,20 +122,15 @@ object SimilarityQueries {
                        len(list_distinct(list_concat(a.toks, b.toks)))
                      AS DECIMAL(28,6)), 2) AS DOUBLE) AS jaccard
               FROM t a JOIN t b
-                ON a.lang = b.lang AND a.n_chars = b.n_chars
+                ON a.lang = b.lang AND abs(a.band - b.band) <= 1
                AND a.doc_id < b.doc_id
               WHERE CAST(len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) AS DOUBLE) /
                     len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
               ORDER BY doc_a, doc_b""")) { (s, d) =>
       val t = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"), T.tokens(col("text")).as("toks"))
-      val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("n_chars"), col("toks").as("toks_a"))
-      val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("n_chars"), col("toks").as("toks_b"))
-      val jac = MinHash.exactJaccard(col("toks_a"), col("toks_b"))
-      a.join(b, Seq("lang", "n_chars"))
-        .filter(col("doc_a") < col("doc_b"))
-        .filter(jac >= 0.5)
-        .select(col("doc_a"), col("doc_b"), Num.round2(jac).as("jaccard"))
+      Similarity.jaccardNearDupPairs(t, minJaccard = 0.5)
+        .select(col("doc_a"), col("doc_b"), Num.round2(col("jaccard")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     }
   )

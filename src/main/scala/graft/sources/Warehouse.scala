@@ -10,13 +10,24 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Warehouse {
 
-  /** Write `df` as a bucketed managed table (parquet). */
+  /** Write `df` as a bucketed managed table (parquet).
+    *
+    * Drops any previous incarnation first, including a stale on-disk
+    * location left by an earlier session — a managed-table overwrite fails
+    * with LOCATION_ALREADY_EXISTS when the catalog (in-memory per session)
+    * has forgotten the table but its directory survived. */
   def writeBucketed(
       df: DataFrame,
       table: String,
       bucketCol: String,
       nBuckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")

@@ -97,4 +97,48 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       .filter(col("x.vec_id") < col("y.vec_id")).count()
     assert(candidates < 60L * 59L / 2 / 4) // ≥4× pruning on random data
   }
+
+  test("jaccard banding finds near-dups of DIFFERENT lengths (old blocking missed)") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    // doc 2 is doc 1 plus one token: different n_chars, Jaccard 10/11
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = t1 + " lambda"
+    // unrelated filler of yet other lengths
+    val docs = Seq(
+      (1L, "en", t1), (2L, "en", t2),
+      (3L, "en", "completely different words about spark and shuffles here"),
+      (4L, "ko", "한국어 문서 하나")
+    ).toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", length(col("text")))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        T.tokens(col("text")).as("toks"))
+    val pairs = Similarity.jaccardNearDupPairs(docs, minJaccard = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+    // exact-n_chars blocking (the round-1 formulation) misses this pair
+    val exactBlock = docs.select(col("doc_id").as("a"), col("lang"), col("n_chars"))
+      .join(docs.select(col("doc_id").as("b"), col("lang"), col("n_chars")),
+        Seq("lang", "n_chars"))
+      .filter(col("a") === 1L && col("b") === 2L).count()
+    assert(exactBlock == 0L)
+  }
+
+  test("wider jaccard bands catch larger length gaps (recall dial)") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    // ~1.9x length ratio at Jaccard 10/19 >= 0.5: outside the 0.1-width
+    // default's reach, caught at bandWidth = ln(2)
+    val base = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val big = base + " " + (11 to 19).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, "en", base), (2L, "en", big))
+      .toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", length(col("text")))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        T.tokens(col("text")).as("toks"))
+    val narrow = Similarity.jaccardNearDupPairs(docs, 0.5).count()
+    val wide = Similarity.jaccardNearDupPairs(docs, 0.5, bandWidth = math.log(2)).count()
+    assert(narrow == 0L)
+    assert(wide == 1L)
+  }
 }
