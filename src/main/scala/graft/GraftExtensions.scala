@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, MinHashSignature, NGrams, Tokenize}
+import graft.expressions.{CosineSimilarity, JaccardSimilarity, MinHashSignature, NGrams, Tokenize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSignature(
           children(0),
           children(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaccard"),
+      new ExpressionInfo(classOf[JaccardSimilarity].getName, "graft_jaccard"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        JaccardSimilarity(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_tokens"),
       new ExpressionInfo(classOf[Tokenize].getName, "graft_tokens"),

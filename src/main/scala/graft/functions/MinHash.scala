@@ -49,8 +49,22 @@ object MinHash {
       lit(0),
       (s, x) => s + x).cast("double") / lit(k.toDouble)
 
-  /** Exact Jaccard over two token arrays (set semantics). */
-  def exactJaccard(a: Column, b: Column): Column =
-    size(array_intersect(array_distinct(a), array_distinct(b))).cast("double") /
-      size(array_union(a, b)).cast("double")
+  /** Exact Jaccard over two token arrays (set semantics) — native one-pass
+    * expression; see [[exactJaccardHof]] for the built-in formulation it is
+    * verified against. Two empty sets yield NaN (0/0), which any
+    * `>= threshold` filter drops — unlike a plain ANSI division, which
+    * would fail the whole job on the first empty-empty pair. */
+  def exactJaccard(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.JaccardSimilarity(expression(a), expression(b)))
+  }
+
+  /** Built-in-composition exact Jaccard, kept as the differential-test
+    * oracle for [[exactJaccard]] (three interpreted set ops per pair).
+    * try_divide keeps it total under ANSI: two empty sets give NULL here
+    * where the native expression gives NaN — both fail any threshold. */
+  def exactJaccardHof(a: Column, b: Column): Column =
+    try_divide(
+      size(array_intersect(array_distinct(a), array_distinct(b))).cast("double"),
+      size(array_union(a, b)).cast("double"))
 }

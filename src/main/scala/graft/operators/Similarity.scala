@@ -53,22 +53,48 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** Bits for [[lshBucketJoin]] sized from the corpus: 2^nBits buckets
+    * targeting `targetBucketSize` expected rows per bucket, so in-bucket
+    * pair work stays ~corpus × targetBucketSize (linear, not quadratic)
+    * and bucket count — the join's parallelism bound — GROWS with the
+    * corpus instead of being a fixed constant that saturates at scale.
+    * Clamped to [4, 24]: below 4 bits buckets are a broadcast-sized
+    * handful; above 24 the hyperplane evaluation dominates. */
+  def lshNBits(corpusSize: Long, targetBucketSize: Long = 64L): Int = {
+    val buckets = math.max(1L, corpusSize / math.max(1L, targetBucketSize))
+    math.min(24, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
+  }
+
   /** LSH near-dup pairs over an embedding table: bucket by SRP bits, compare
     * only within buckets, keep pairs with cosine >= threshold. The self-join
-    * is an equi-join on the bucket id — shuffle-partitioned, no cross join. */
+    * is an equi-join on the bucket id — shuffle-partitioned, no cross join.
+    *
+    * `multiProbe` trades candidate volume for recall: the probe side also
+    * emits every Hamming-distance-1 bucket (nBits extra keys per row), so a
+    * near-dup pair split by ONE unlucky hyperplane still collides. The
+    * probe keys per row are distinct, so each pair still matches at most
+    * once and needs no dedup. Higher nBits (from [[lshNBits]]) + multiProbe
+    * is the scale posture: smaller buckets, recall recovered by probing. */
   def lshBucketJoin(
       emb: DataFrame, // (vec_id, v: array<double>)
       dim: Int,
       nBits: Int,
-      minCosine: Double): DataFrame = {
+      minCosine: Double,
+      multiProbe: Boolean = false): DataFrame = {
     // exchange on the join key: materializes the bucket bits once instead
     // of letting CollapseProject recompute 16 dot products per joined row
     val bucketed = emb.withColumn("bucket", srpBucket(col("v"), dim, nBits))
       .repartition(col("bucket"))
     val a = bucketed.select(
       col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"))
-    val b = bucketed.select(
-      col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"))
+    val probeKeys =
+      if (!multiProbe) array(col("b_bucket"))
+      else array(col("b_bucket") +:
+        (0 until nBits).map(j => col("b_bucket").bitwiseXOR(lit(1L << j))): _*)
+    val b = bucketed
+      .select(col("bucket").as("b_bucket"), col("vec_id").as("id_b"), col("v").as("v_b"))
+      .withColumn("bucket", explode(probeKeys))
+      .drop("b_bucket")
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", V.cosineNative(col("v_a"), col("v_b")))
@@ -191,10 +217,14 @@ object Similarity {
       minJaccard: Double,
       bandWidth: Double = 0.1): DataFrame = {
     def band(c: Column): Column = floor(log1p(c) / bandWidth).cast("long")
-    val a = docs.select(
+    // Jaccard is set-semantic, so only DISTINCT tokens need to ride the
+    // shuffle — computed once per doc here, before the exchange fans the
+    // probe side out threefold.
+    val dedup = docs.withColumn("toks", array_distinct(col("toks")))
+    val a = dedup.select(
       col("doc_id").as("doc_a"), col("lang"),
       band(col("n_chars")).as("band"), col("toks").as("toks_a"))
-    val b = docs.select(
+    val b = dedup.select(
       col("doc_id").as("doc_b"), col("lang"),
       band(col("n_chars")).as("b_band"), col("toks").as("toks_b"))
       .withColumn("band",

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.functions.{Num, SimHash, TextFunctions => T, VectorFunctions => V}
+import graft.functions.{MinHashAggregator, Num, SimHash, TextFunctions => T, VectorFunctions => V}
 import graft.operators.Similarity
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -56,7 +56,11 @@ object SimilarityQueries {
     QueryDef("q_sim_lsh", None) { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
-      Similarity.lshBucketJoin(emb, dim = 64, nBits = 8, minCosine = 0.3)
+      // bits derived from corpus size (bucket count grows with the data;
+      // expected bucket ~64 rows), recall recovered via Hamming-1 probing
+      val nBits = Similarity.lshNBits(emb.count())
+      Similarity.lshBucketJoin(emb, dim = 64, nBits = nBits, minCosine = 0.3,
+          multiProbe = true)
         .select(col("id_a"), col("id_b"), Num.round2(col("cos")).as("cos"))
         .orderBy("id_a", "id_b")
     },
@@ -90,6 +94,22 @@ object SimilarityQueries {
         .select(col("q_id"), col("vec_id"), Num.round2(col("cos")).as("sim"),
           col("rn").cast("long"))
         .orderBy("q_id", "rn")
+    },
+
+    // Grouped MinHash signature via the custom typed UDAF: one signature
+    // per language across ALL its documents' tokens — the multi-row-entity
+    // path (chunked documents, per-user event histories) that avoids
+    // collect_list-ing tokens into one giant array. Buffer is k longs per
+    // group with map-side merge, so the shuffle is constant-size per group.
+    // No oracle (hash-family specific); SchemaInferSpec proves grouped ==
+    // per-row signature of the concatenated tokens and split invariance.
+    QueryDef("q_dedup_minhash_grouped", None) { (s, d) =>
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("lang"), T.tokens(col("text")).as("toks"))
+        .groupBy("lang")
+        .agg(MinHashAggregator.column(16)(col("toks")).as("sig"))
+        .orderBy("lang")
     },
 
     // SimHash fingerprints + bucket sizes (near-dup by identical fingerprint).

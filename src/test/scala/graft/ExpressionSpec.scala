@@ -112,6 +112,25 @@ class ExpressionSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("native jaccard matches the HOF formulation including dup tokens and empties") {
+    import spark.implicits._
+    import graft.functions.{MinHash, TextFunctions => T}
+    val pairs = Seq(
+      ("a b c d", "a b c d"), ("a b c d", "c d e f"), ("a a a b", "a b b b"),
+      ("x y", "p q"), ("", "a b"), ("", ""), ("one", "one one one"))
+    val df = pairs.toDF("s1", "s2").select(
+      T.tokens(col("s1")).as("t1"), T.tokens(col("s2")).as("t2"))
+    val both = df.select(
+      MinHash.exactJaccard(col("t1"), col("t2")).as("native"),
+      MinHash.exactJaccardHof(col("t1"), col("t2")).as("hof"))
+    both.collect().foreach { r =>
+      val n = r.getDouble(0)
+      // empty-vs-empty: native NaN, try_divide-HOF NULL — both sub-threshold
+      if (r.isNullAt(1)) assert(n.isNaN, s"native=$n for empty/empty")
+      else assert(n == r.getDouble(1), s"native=$n hof=${r.getDouble(1)}")
+    }
+  }
+
   test("graft_tokens and graft_ngrams are callable from SQL") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tokens", exprs => graft.expressions.Tokenize(exprs(0)), "built-in")

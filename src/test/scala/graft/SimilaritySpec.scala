@@ -89,6 +89,34 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(dist(refined(1), b) < 0.5, s"centroid1 far from cluster B")
   }
 
+  test("LSH at 10x corpus: derived bits + multi-probe keep recall, bound buckets") {
+    import spark.implicits._
+    // 10x the original recall fixture: 450 random vectors + 25 planted pairs
+    val randoms = (0L until 450L).map(i => (i, vec(i.toInt + 100, 32)))
+    val planted = (0 until 25).flatMap { p =>
+      val v = vec(p + 1000, 32)
+      Seq((1000L + p * 2, v), (1001L + p * 2, nearDup(v)))
+    }
+    val emb = (randoms ++ planted).toDF("vec_id", "v").repartition(8)
+    val n = emb.count()
+    val nBits = Similarity.lshNBits(n, targetBucketSize = 16)
+    assert(nBits == 5, s"500/16 -> 32 buckets -> 5 bits, got $nBits")
+    val pairs = Similarity
+      .lshBucketJoin(emb, dim = 32, nBits = nBits, minCosine = 0.99, multiProbe = true)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0 until 25).map(p => (1000L + p * 2, 1001L + p * 2)).toSet
+    val recall = (pairs & want).size.toDouble / want.size
+    assert(recall >= 0.95, s"recall $recall with nBits=$nBits multi-probe")
+    // bucket-pair work is bounded: the largest bucket stays far under the
+    // corpus (the all-pairs degenerate case), keeping in-bucket cost linear
+    val maxBucket = emb
+      .withColumn("b", Similarity.srpBucket(col("v"), 32, nBits))
+      .groupBy("b").count().agg(max("count")).collect()(0).getLong(0)
+    info(s"nBits=$nBits maxBucket=$maxBucket of $n rows")
+    assert(maxBucket < n / 4, s"max bucket $maxBucket vs corpus $n")
+  }
+
   test("LSH candidate set is far smaller than all pairs (pruning works)") {
     import spark.implicits._
     val emb = (0L until 60L).map(i => (i, vec(i.toInt + 7, 32))).toDF("vec_id", "v")
