@@ -4,7 +4,8 @@ import graft.{QueryDef, Tables}
 import graft.operators.Enrich
 import graft.sources.{Audit, CatalogSchema, Ingest, SchemaInfer, UrlTemplating}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampType}
+import scala.jdk.CollectionConverters._
 
 /** The reference pipeline's own semantics, Spark-native — SURVEY.md §2.1,
   * §3: catalog-schema CSV ingest with offset resume, MERGE enrichment,
@@ -78,6 +79,35 @@ object PipelineQueries {
       SchemaInfer.inferColumns(pages)
         .select("ordinal", "english", "col_name")
         .orderBy("ordinal")
+    },
+
+    // XML extraction — the reference's vestigial XML path (ElementTree
+    // import at data_seoul_1_category.py:11-12; save_xml_path carried at
+    // data_seoul_2_csv_noopenapi.py:81 but never executed) made real with
+    // Spark 4's built-in from_xml. The payload is built from the nation
+    // table and parsed back, so the oracle can check the full round trip
+    // against the base columns.
+    QueryDef(
+      "q_xml_extract",
+      Some("""SELECT n_nationkey, upper(n_name) AS name_up, n_regionkey
+              FROM nation ORDER BY n_nationkey""")) { (s, d) =>
+      val payload = concat(
+        lit("<row><key>"), col("n_nationkey"),
+        lit("</key><name>"), col("n_name"),
+        lit("</name><region>"), col("n_regionkey"),
+        lit("</region></row>"))
+      val xmlSchema = StructType(Seq(
+        StructField("key", LongType),
+        StructField("name", StringType),
+        StructField("region", LongType)))
+      Tables.nation(s, d)
+        .select(from_xml(payload, xmlSchema,
+          Map.empty[String, String].asJava).as("x"))
+        .select(
+          col("x.key").as("n_nationkey"),
+          upper(col("x.name")).as("name_up"),
+          col("x.region").as("n_regionkey"))
+        .orderBy("n_nationkey")
     },
 
     // Sample-URL surgery (cf. auth-key substitution + trailing-slash fix +

@@ -107,7 +107,10 @@ object Streams {
       updateCols: Seq[String],
       statePath: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    initial.write.mode("overwrite").parquet(genDir(statePath, 0L))
+    // seed only on first start; a restarted query resumes from the
+    // generations its earlier batches wrote
+    if (listGens(initial.sparkSession, statePath).isEmpty)
+      initial.write.mode("overwrite").parquet(genDir(statePath, 0L))
     updates.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
