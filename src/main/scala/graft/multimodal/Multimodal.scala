@@ -75,9 +75,9 @@ object Multimodal {
 
   /** Wrap a text table as media records (UTF-8 bytes) — the fixture path
     * used by queries/tests, since the corpus has no true binary column. */
-  def fromDocuments(docs: DataFrame): DataFrame =
+  def fromDocuments(docs: DataFrame, kind: String = "image"): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
-      lit("image").as("kind"),
+      lit(kind).as("kind"),
       encode(col("text"), "UTF-8").as("payload"))
 }

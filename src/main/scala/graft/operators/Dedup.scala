@@ -29,4 +29,72 @@ object Dedup {
       .filter(col("__dd_rn") === 1)
       .drop("__dd_rn")
   }
+
+  /** Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
+    * by iterative min-label propagation (the GraphFrames/Pregel shape as
+    * plain joins — each iteration is one equi-join plus one aggregation,
+    * both map-side-combinable; nothing reaches the driver but the per-
+    * iteration convergence count). Converges in diameter(component)
+    * iterations; near-dup components are clique-like, so 2-3 in practice.
+    * Input: (doc_a, doc_b) pairs; output: (id, root) with root = smallest
+    * id reachable — the canonical cluster representative. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (eager) on the loop-carried frames: truncates the
+    // logical plan each iteration — without it the plan nests the previous
+    // iteration (and the caller's whole candidate pipeline) TWICE per
+    // round, and analysis alone goes exponential by iteration ~4. The
+    // checkpointed blocks live on executors (spillable), not the driver.
+    // materialize the (possibly expensive) pair pipeline ONCE — the
+    // symmetric union below references it twice
+    val p = pairs.select("doc_a", "doc_b").localCheckpoint(true)
+    val edges = p
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst")) // reused by every iteration's join
+      .localCheckpoint(true)
+    // init already folds one neighbor-min round: root = min(id, neighbors)
+    var labels = edges.groupBy("src").agg(min("dst").as("mnd"))
+      .select(col("src").as("id"), least(col("src"), col("mnd")).as("root"))
+      .localCheckpoint(true)
+    // Convergence probe: roots only ever shrink, so the exact root sum is
+    // strictly monotone — one tiny aggregate per round replaces a
+    // compare-join against the previous labels.
+    def rootSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("root").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var prevSum = rootSum(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // neighbor-min step: adopt the smallest root among neighbors
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("root"))
+      val folded = labels.unionAll(prop)
+        .groupBy("id").agg(min("root").as("root"))
+        .localCheckpoint(true) // read twice by the self-join below
+      // pointer-jump step: follow root -> root-of-root, halving every
+      // root path — O(log diameter) rounds instead of O(diameter), which
+      // is what makes long chains (dense band graphs) converge fast
+      val jump = folded.select(col("id").as("r_id"), col("root").as("r_root"))
+      val next = folded
+        .join(jump, folded("root") === jump("r_id"), "left")
+        .select(folded("id"),
+          coalesce(col("r_root"), folded("root")).as("root"))
+        .localCheckpoint(false) // materialized by the rootSum job below
+      val s = rootSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Greedy keeper set from near-dup pairs: every id that appears only as
+    * a larger partner of some pair is dropped; the smallest id of each
+    * cluster (and every unpaired id) survives. One anti-join — the
+    * FAISS-style pragmatic dedup when full clustering isn't needed. */
+  def keepFromPairs(corpus: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    corpus.join(
+      pairs.select(col("doc_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 }

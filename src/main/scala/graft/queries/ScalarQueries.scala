@@ -300,6 +300,33 @@ object ScalarQueries {
           length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
           sha2(encode(col("text"), "UTF-8"), 256).as("content_sha"))
         .orderBy("doc_id")
+    },
+
+    // Multimodal frame sampling: payloads chunked into 64-byte "frames",
+    // every 2nd frame kept (the video frame-stride shape; the stub stands
+    // in for the codec, the partition-iterator plumbing and the chunk
+    // arithmetic are real). Oracle reproduces the chunk arithmetic from
+    // the byte length.
+    QueryDef(
+      "q_mm_frames",
+      Some("""SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+                     CAST(sum(least(64, nb - f * 64)) AS BIGINT) AS sum_bytes
+              FROM (
+                SELECT doc_id AS media_id, octet_length(encode(text)) AS nb,
+                       unnest(generate_series(0,
+                         CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64) AS BIGINT) - 1)) AS f
+                FROM documents)
+              WHERE f % 2 = 0
+              GROUP BY media_id ORDER BY media_id""")) { (s, d) =>
+      import s.implicits._
+      val media = graft.multimodal.Multimodal
+        .fromDocuments(Tables.documents(s, d), kind = "video")
+        .as[graft.multimodal.Multimodal.MediaRecord]
+      graft.multimodal.Multimodal.sampleFrames(media, stride = 64)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("frame_bytes")).cast("long").as("sum_bytes"))
+        .orderBy("media_id")
     }
   )
 }

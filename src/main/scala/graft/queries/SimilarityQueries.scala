@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.{MinHashAggregator, Num, SimHash, TextFunctions => T, VectorFunctions => V}
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -94,6 +94,58 @@ object SimilarityQueries {
         .select(col("q_id"), col("vec_id"), Num.round2(col("cos")).as("sim"),
           col("rn").cast("long"))
         .orderBy("q_id", "rn")
+    },
+
+    // Near-dup pairs resolved into duplicate CLUSTERS: connected components
+    // over the jaccard pair graph via iterative min-label propagation
+    // (Dedup.duplicateClusters — joins + aggregations only, converges in
+    // diameter iterations). Oracle: the same closure via a DuckDB
+    // recursive CTE — full transitive reachability, so a hash match also
+    // proves the propagation ran to convergence.
+    QueryDef(
+      "q_dedup_clusters",
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, lang,
+                     CAST(floor(ln(1 + n_chars) / 0.1) AS BIGINT) AS band,
+                     list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                               x -> x <> '')) AS toks
+                FROM documents),
+              pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM t a JOIN t b
+                  ON a.lang = b.lang AND abs(a.band - b.band) <= 1
+                 AND a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5),
+              edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+              reach AS (
+                SELECT DISTINCT src AS id, src AS r FROM edges
+                UNION
+                SELECT e.src AS id, reach.r AS r
+                FROM edges e JOIN reach ON e.dst = reach.id)
+              SELECT id, min(r) AS root FROM reach GROUP BY id ORDER BY id""")) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), T.tokens(col("text")).as("toks"))
+      val pairs = Similarity.jaccardNearDupPairs(t, minJaccard = 0.5)
+      Dedup.duplicateClusters(pairs.select("doc_a", "doc_b"))
+        .orderBy("id")
+    },
+
+    // Embedding-cosine near-dup KEEPER: LSH pairs at cosine >= 0.98 mark
+    // near-identical vectors; every id appearing as the larger partner is
+    // dropped, smallest id per cluster (and all unpaired ids) survive —
+    // one anti-join (Dedup.keepFromPairs). No oracle (SRP bucket hash is
+    // engine-local); SimilaritySpec plants embedding dups and checks the
+    // survivor set.
+    QueryDef("q_dedup_embed", None) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+      val pairs = Similarity.lshBucketJoin(
+          emb, dim = 64, nBits = Similarity.lshNBits(emb.count()),
+          minCosine = 0.98, multiProbe = true)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      Dedup.keepFromPairs(emb.select("vec_id"), "vec_id", pairs)
+        .orderBy("vec_id")
     },
 
     // Grouped MinHash signature via the custom typed UDAF: one signature

@@ -126,6 +126,41 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(candidates < 60L * 59L / 2 / 4) // ≥4× pruning on random data
   }
 
+  test("duplicateClusters resolves chains and cliques to min-root components") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // component 1: chain 1-2-3-4 (diameter 3 forces several iterations);
+    // component 2: clique {10,11,12}; component 3: pair {20,21}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("keepFromPairs drops planted embedding dups, keeps originals and singletons") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val originals = (0L until 30L).map(i => (i, vec(i.toInt + 50, 32)))
+    // ids 100+ are near-identical copies of vectors 0..4 -> must be dropped
+    val copies = (0 until 5).map(p => (100L + p, nearDup(vec(p + 50, 32))))
+    val emb = (originals ++ copies).toDF("vec_id", "v")
+    // 0.999: planted copies score ~0.9999; the closest accidental pair of
+    // the pseudo-random originals sits just above 0.99
+    val pairs = Similarity.lshBucketJoin(
+        emb, dim = 32, nBits = 6, minCosine = 0.999, multiProbe = true)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val kept = Dedup.keepFromPairs(emb.select("vec_id"), "vec_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    (0 until 5).foreach(p => assert(!kept.contains(100L + p), s"copy $p kept"))
+    (0L until 30L).foreach(i => assert(kept.contains(i), s"original $i dropped"))
+  }
+
   test("jaccard banding finds near-dups of DIFFERENT lengths (old blocking missed)") {
     import spark.implicits._
     import graft.functions.{TextFunctions => T}
