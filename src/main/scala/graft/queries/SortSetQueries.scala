@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.Dedup
+import graft.operators.{Dedup, Sample}
 import org.apache.spark.sql.functions._
 
 /** Sorts / limits / top-k (SURVEY.md §2.6) and set operations (§2.7). */
@@ -95,6 +95,28 @@ object SortSetQueries {
               FROM documents GROUP BY text ORDER BY keep_id""")) { (s, d) =>
       Dedup.exactGroups(Tables.documents(s, d), Seq("text"), "doc_id")
         .orderBy("keep_id")
+    },
+
+    // Deterministic stratified sampling (graft.operators.Sample): keep 25%
+    // of English documents and 50% of the rest, selected by an arithmetic
+    // id hash — the SAME rows on every run and on every engine (the oracle
+    // applies identical arithmetic), so incremental re-ingestion stays
+    // consistent. The corpus-balancing primitive of a training pipeline.
+    QueryDef(
+      "q_sample_stratified",
+      Some("""SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       ((doc_id % 1000003) * 2654435761 + 40503) % 1000003 % 100 AS b
+                FROM documents)
+              WHERE (lang = 'en' AND b < 25) OR (lang <> 'en' AND b < 50)
+              ORDER BY doc_id""")) { (s, d) =>
+      val b = Sample.hashBucket(col("doc_id"), 100)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), b.as("b"))
+        .filter((col("lang") === "en" && col("b") < 25) ||
+          (col("lang") =!= "en" && col("b") < 50))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     }
   )
 }

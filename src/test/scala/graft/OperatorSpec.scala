@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Enrich, Joins}
+import graft.operators.{Dedup, Enrich, Joins, Sample}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -83,5 +83,30 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     val twice = Dedup.exactKeepFirst(once, Seq("text"), "id")
     assert(once.orderBy("id").collect().toSeq ==
       twice.orderBy("id").collect().toSeq)
+  }
+
+  test("Sample: deterministic across runs, rate in tolerance, row fate stable") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, if (i % 3 == 0) "en" else "ko"))
+      .toDF("id", "lang")
+    val s1 = Sample.byRate(df, "id", 25).select("id").collect().map(_.getLong(0)).toSet
+    val s2 = Sample.byRate(df, "id", 25).select("id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    assert(math.abs(s1.size - 500) < 100, s"rate off: ${s1.size}/2000")
+    // removing other rows never changes a surviving row's fate
+    val sub = Sample.byRate(df.filter(col("id") < 1000), "id", 25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sub == s1.filter(_ < 1000L))
+  }
+
+  test("Sample.fixedPerStratum caps each stratum deterministically") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, s"lang${i % 3}")).toDF("id", "lang")
+    val take = Sample.fixedPerStratum(df, "lang", "id", 10)
+    val byLang = take.collect().map(r => r.getString(1)).groupBy(identity)
+    assert(byLang.values.forall(_.length == 10))
+    val again = Sample.fixedPerStratum(df, "lang", "id", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == take.select("id").collect().map(_.getLong(0)).toSet)
   }
 }
