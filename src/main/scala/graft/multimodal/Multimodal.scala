@@ -73,6 +73,33 @@ object Multimodal {
       .toDF("media_id", "frame_idx", "frame_bytes")
   }
 
+  /** Resized media row: payload downsampled to the target cell count. */
+  case class ResizedMedia(
+      media_id: Long, kind: String, width: Int, height: Int,
+      payload: Array[Byte])
+
+  /** Resize stage: every payload reduced to a `targetW x targetH` byte
+    * grid by strided selection — the STUB standing in for a real
+    * interpolating resampler, with the real pipeline shape: one typed
+    * mapPartitions stage, per-partition setup amortization, bounded output
+    * size regardless of input payload size (the property that makes the
+    * downstream shuffle predictable at 100 TB). */
+  def resize(media: Dataset[MediaRecord], targetW: Int, targetH: Int)
+      : Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    val cells = targetW * targetH
+    media.mapPartitions { it =>
+      // real impl: allocate the resampler once per partition here
+      it.map { r =>
+        val n = r.payload.length
+        val out =
+          if (n == 0) Array.emptyByteArray
+          else Array.tabulate(cells)(i => r.payload((i.toLong * n / cells).toInt))
+        ResizedMedia(r.media_id, r.kind, targetW, targetH, out)
+      }
+    }
+  }
+
   /** Wrap a text table as media records (UTF-8 bytes) — the fixture path
     * used by queries/tests, since the corpus has no true binary column. */
   def fromDocuments(docs: DataFrame, kind: String = "image"): DataFrame =

@@ -117,12 +117,17 @@ object Similarity {
       corpus: DataFrame,  // (vec_id, cv: array<double>)
       nCentroids: Int,
       nProbe: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      refineIters: Int = 0): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("vec_id"))
-    val centroids = corpus
-      .orderBy("vec_id") // deterministic training sample
-      .limit(nCentroids)
-      .select(col("vec_id").as("c_id"), col("cv").as("centroid"))
+    // refineIters > 0 replaces the deterministic sample with Lloyd-refined
+    // centroids ([[kmeansCentroids]]) — tighter cells, same query plan
+    val centroids =
+      if (refineIters > 0) kmeansCentroids(corpus, nCentroids, refineIters)
+      else corpus
+        .orderBy("vec_id") // deterministic training sample
+        .limit(nCentroids)
+        .select(col("vec_id").as("c_id"), col("cv").as("centroid"))
     // assignment: argmin L2 distance over the broadcast centroid set
     val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("c_id"))
     val assigned = corpus

@@ -69,4 +69,19 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     assert(m.schema("payload").dataType.typeName == "binary")
     assert(m.count() == 1)
   }
+
+  test("resize bounds every payload to the target grid, deterministically") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", Array.tabulate(1000)(_.toByte)),
+      Multimodal.MediaRecord(2L, "image", Array.tabulate(7)(_.toByte)),
+      Multimodal.MediaRecord(3L, "image", Array.emptyByteArray)).toDS()
+    val r = Multimodal.resize(media, 8, 4).collect().sortBy(_.media_id)
+    assert(r.forall(x => x.width == 8 && x.height == 4))
+    assert(r(0).payload.length == 32 && r(1).payload.length == 32)
+    assert(r(2).payload.isEmpty)
+    // strided selection is reproducible
+    val again = Multimodal.resize(media, 8, 4).collect().sortBy(_.media_id)
+    assert(r.zip(again).forall { case (a, b) => a.payload.sameElements(b.payload) })
+  }
 }
