@@ -99,6 +99,13 @@ object Streams {
     * — idempotent, hence exactly-once end to end. Generations older than
     * the previous one are pruned through the Hadoop FileSystem API (works
     * on HDFS/S3A the same as on local disk).
+    *
+    * Contract: one checkpoint lineage per statePath. Generation numbers
+    * are derived from the query's checkpointed batch ids, so RESUME the
+    * same checkpoint to continue a state table (Spark replays/advances
+    * batch ids correctly); pointing a brand-new checkpoint at an old
+    * statePath restarts generation numbering and is only valid while
+    * gen=0 still exists (i.e. before the first prune).
     */
   def mergeSink(
       updates: DataFrame,
