@@ -33,6 +33,15 @@ object Tables {
   def configure(builder: SparkSession.Builder): SparkSession.Builder =
     builder.config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  // Row-count memo for operators that size themselves from the corpus
+  // (LSH bits): one count job per (session, dir, table), not per query.
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), java.lang.Long]()
+
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    countCache.computeIfAbsent((spark, dir, name),
+      key => table(key._1, key._2, key._3).count())
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

@@ -36,22 +36,36 @@ case class JaccardSimilarity(left: Expression, right: Expression)
 object JaccardSimilarity {
 
   /** |distinct(a) ∩ distinct(b)| / |distinct(a) ∪ distinct(b)| with double
-    * division semantics (0/0 = NaN, matching the built-in spelling). */
+    * division semantics (0/0 = NaN, matching the built-in spelling).
+    * A null element is one distinct value, exactly as array_distinct /
+    * array_intersect / array_union treat it — relevant for the SQL-exposed
+    * graft_jaccard, which accepts arbitrary arrays. */
   def compute(a: ArrayData, b: ArrayData): Double = {
     val setA = new java.util.HashSet[UTF8String](math.max(8, a.numElements() * 2))
+    var nullA = false
     var i = 0
     val nA = a.numElements()
-    while (i < nA) { setA.add(a.getUTF8String(i)); i += 1 }
+    while (i < nA) {
+      if (a.isNullAt(i)) nullA = true else setA.add(a.getUTF8String(i))
+      i += 1
+    }
     val seenB = new java.util.HashSet[UTF8String](math.max(8, b.numElements() * 2))
+    var nullB = false
     var inter = 0
     var j = 0
     val nB = b.numElements()
     while (j < nB) {
-      val t = b.getUTF8String(j)
-      if (seenB.add(t) && setA.contains(t)) inter += 1
+      if (b.isNullAt(j)) nullB = true
+      else {
+        val t = b.getUTF8String(j)
+        if (seenB.add(t) && setA.contains(t)) inter += 1
+      }
       j += 1
     }
-    val union = setA.size + seenB.size - inter
+    if (nullA && nullB) inter += 1
+    val sizeA = setA.size + (if (nullA) 1 else 0)
+    val sizeB = seenB.size + (if (nullB) 1 else 0)
+    val union = sizeA + sizeB - inter
     inter.toDouble / union.toDouble
   }
 }

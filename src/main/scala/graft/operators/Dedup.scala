@@ -62,7 +62,8 @@ object Dedup {
     def rootSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("root").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
     var prevSum = rootSum(labels)
-    var converged = false
+    // empty pair set: sum over zero rows is NULL — nothing to propagate
+    var converged = prevSum == null
     var i = 0
     while (!converged && i < maxIter) {
       // neighbor-min step: adopt the smallest root among neighbors

@@ -87,14 +87,19 @@ object Similarity {
       .repartition(col("bucket"))
     val a = bucketed.select(
       col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"))
-    val probeKeys =
-      if (!multiProbe) array(col("b_bucket"))
-      else array(col("b_bucket") +:
-        (0 until nBits).map(j => col("b_bucket").bitwiseXOR(lit(1L << j))): _*)
-    val b = bucketed
-      .select(col("bucket").as("b_bucket"), col("vec_id").as("id_b"), col("v").as("v_b"))
-      .withColumn("bucket", explode(probeKeys))
-      .drop("b_bucket")
+    // single-probe keeps b a plain projection so the join reuses the one
+    // exchange above for both sides; only multi-probe pays the explode
+    // (whose fresh join-key attribute forces a second shuffle)
+    val b =
+      if (!multiProbe)
+        bucketed.select(
+          col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"))
+      else bucketed
+        .select(col("bucket").as("b_bucket"),
+          col("vec_id").as("id_b"), col("v").as("v_b"))
+        .withColumn("bucket", explode(array(col("b_bucket") +:
+          (0 until nBits).map(j => col("b_bucket").bitwiseXOR(lit(1L << j))): _*)))
+        .drop("b_bucket")
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", V.cosineNative(col("v_a"), col("v_b")))
@@ -221,13 +226,24 @@ object Similarity {
       docs: DataFrame, // (doc_id, lang, n_chars, toks: array<string>)
       minJaccard: Double,
       bandWidth: Double = 0.1): DataFrame = {
+    // Determinism note: the oracle computes the band as DuckDB
+    // ln(1+n)/w while this side uses JVM log1p — different libm entry
+    // points, so a value landing within 1 ULP of a band boundary could in
+    // principle disagree. With band magnitudes ~40 the boundary window is
+    // ~7e-14 per distinct n_chars; across thousands of values the flake
+    // probability is ~1e-10 — accepted rather than redesigned around.
     def band(c: Column): Column = floor(log1p(c) / bandWidth).cast("long")
-    // Jaccard is set-semantic, so only DISTINCT tokens matter from here on
+    // Jaccard is set-semantic, so only DISTINCT tokens matter from here on.
+    // Lazy localCheckpoint: this subtree (scan + tokenize + distinct) feeds
+    // THREE plan branches (token explode, and both candidate re-joins) —
+    // checkpointing materializes it once on first use instead of running
+    // the tokenizer three times per invocation.
     val base = docs
       .withColumn("toks", array_distinct(col("toks")))
       .select(col("doc_id"), col("lang"),
         band(col("n_chars")).as("band"), col("toks"))
       .withColumn("n_toks", size(col("toks")))
+      .localCheckpoint(false)
 
     // PPJoin prefix filter (Bayardo/Chaudhuri): under a global token order
     // (rarest first), any pair with Jaccard >= t shares at least one token
@@ -245,6 +261,7 @@ object Similarity {
       .withColumn("r", row_number().over(wDoc))
       .filter(col("r") <= col("n_toks") - ceil(lit(minJaccard) * col("n_toks")) + 1)
       .select("doc_id", "lang", "band", "token")
+      .localCheckpoint(false) // read by both sides of the candidate join
 
     val a = prefix.select(
       col("doc_id").as("doc_a"), col("lang"), col("band"), col("token"))

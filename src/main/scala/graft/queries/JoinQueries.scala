@@ -185,9 +185,15 @@ object JoinQueries {
       val cust = Tables.customer(s, d).select(col("c_custkey").as("custkey"))
       val ords = Tables.orders(s, d)
         .select(col("o_custkey").as("custkey"), col("o_totalprice"))
-      Warehouse.writeBucketed(ords, "graft_orders_bkt", "custkey", 8)
-      Warehouse.writeBucketed(cust, "graft_cust_bkt", "custkey", 8)
-      Warehouse.colocatedJoin(s, "graft_orders_bkt", "graft_cust_bkt", "custkey")
+      // table names keyed by the source dir; write once per session+dir so
+      // rebuilding the plan (Explain, repeated calls) doesn't rewrite
+      val tag = Integer.toHexString(d.hashCode)
+      val (ordsT, custT) = (s"graft_orders_bkt_$tag", s"graft_cust_bkt_$tag")
+      if (!s.catalog.tableExists(ordsT))
+        Warehouse.writeBucketed(ords, ordsT, "custkey", 8)
+      if (!s.catalog.tableExists(custT))
+        Warehouse.writeBucketed(cust, custT, "custkey", 8)
+      Warehouse.colocatedJoin(s, ordsT, custT, "custkey")
         .groupBy("custkey")
         .agg(
           count(lit(1)).as("n_orders"),

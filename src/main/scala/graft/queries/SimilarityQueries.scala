@@ -57,8 +57,10 @@ object SimilarityQueries {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
       // bits derived from corpus size (bucket count grows with the data;
-      // expected bucket ~64 rows), recall recovered via Hamming-1 probing
-      val nBits = Similarity.lshNBits(emb.count())
+      // expected bucket ~64 rows), recall recovered via Hamming-1 probing.
+      // Memoized count: one sizing job per session+dir, shared with
+      // q_dedup_embed, and re-running the builder (Explain) stays cheap.
+      val nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings"))
       Similarity.lshBucketJoin(emb, dim = 64, nBits = nBits, minCosine = 0.3,
           multiProbe = true)
         .select(col("id_a"), col("id_b"), Num.round2(col("cos")).as("cos"))
@@ -141,7 +143,8 @@ object SimilarityQueries {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
       val pairs = Similarity.lshBucketJoin(
-          emb, dim = 64, nBits = Similarity.lshNBits(emb.count()),
+          emb, dim = 64,
+          nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings")),
           minCosine = 0.98, multiProbe = true)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       Dedup.keepFromPairs(emb.select("vec_id"), "vec_id", pairs)

@@ -146,12 +146,20 @@ object Streams {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Only COMMITTED generations count: a directory is valid once Spark's
+    * file committer placed its _SUCCESS marker. A crash mid-write (the
+    * initial seed, or an overwrite that deleted the old files first)
+    * leaves no marker, so the partial directory is invisible — seeding
+    * re-runs, replays merge from the last good generation, and a
+    * concurrent [[mergeState]] reader never selects an in-flight one. */
   private def listGens(spark: SparkSession, statePath: String): Seq[Long] = {
     val dir = new org.apache.hadoop.fs.Path(statePath)
     val f = fs(spark, statePath)
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq
       .filter(_.isDirectory)
+      .filter(s => f.exists(
+        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("gen=") => s.stripPrefix("gen=").toLong }
   }

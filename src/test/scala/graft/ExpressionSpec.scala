@@ -131,6 +131,20 @@ class ExpressionSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("native jaccard treats null elements as one distinct value (built-in parity)") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaccard",
+      exprs => graft.expressions.JaccardSimilarity(exprs(0), exprs(1)), "built-in")
+    val r = spark.sql(
+      "SELECT graft_jaccard(array('x', NULL), array('x', '')) AS a," +
+        // built-in reference for the same inputs
+        " CAST(size(array_intersect(array_distinct(array('x', NULL)), array_distinct(array('x', '')))) AS DOUBLE)" +
+        "  / size(array_union(array('x', NULL), array('x', ''))) AS b," +
+        " graft_jaccard(array('x', NULL), array(NULL, 'y')) AS c").collect()(0)
+    assert(r.getDouble(0) == r.getDouble(1)) // 1/3: null != ''
+    assert(math.abs(r.getDouble(2) - 1.0 / 3.0) < 1e-12) // shared null counts
+  }
+
   test("graft_tokens and graft_ngrams are callable from SQL") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tokens", exprs => graft.expressions.Tokenize(exprs(0)), "built-in")
