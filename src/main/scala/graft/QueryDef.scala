@@ -26,6 +26,7 @@ object Registry {
       graft.queries.SortSetQueries.defs ++
       graft.queries.ScalarQueries.defs ++
       graft.queries.TextQueries.defs ++
+      graft.queries.TextQueries.extraDefs ++
       graft.queries.SimilarityQueries.defs ++
       graft.queries.StreamShapeQueries.defs ++
       graft.queries.PipelineQueries.defs

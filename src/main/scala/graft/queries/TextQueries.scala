@@ -171,4 +171,65 @@ object TextQueries {
   /** Render a Scala string list as a DuckDB list literal. */
   private def dk(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ",", "]")
+
+  val extraDefs: Seq[QueryDef] = Seq(
+
+    // Document chunking: fixed 32-token windows with stride 24 (25%
+    // overlap) — the pre-training windowing primitive. One narrow map per
+    // doc (chunk count is tokens/stride, so per-row work is bounded);
+    // output = one row per chunk with its text and token span.
+    QueryDef(
+      "q_text_chunks",
+      Some("""SELECT doc_id, CAST(c AS BIGINT) AS chunk_idx,
+                     CAST(c * 24 AS BIGINT) AS tok_start,
+                     array_to_string(toks[c * 24 + 1 : c * 24 + 32], ' ') AS chunk
+              FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS toks,
+                       unnest(generate_series(0,
+                         CAST(ceil(greatest(
+                           len(list_filter(string_split_regex(lower(text), '\s+'),
+                                           x -> x <> '')) - 8, 1) / 24.0)
+                          AS BIGINT) - 1)) AS c
+                FROM documents)
+              ORDER BY doc_id, chunk_idx""")) { (s, d) =>
+      val size = 32
+      val stride = 24
+      val toks = T.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .withColumn("n_chunks",
+          ceil(greatest(org.apache.spark.sql.functions.size(col("toks")) - (size - stride), lit(1))
+            .cast("double") / stride).cast("long"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(0L), col("n_chunks") - 1)).as(Seq("pos", "c")))
+        .select(
+          col("doc_id"),
+          col("c").as("chunk_idx"),
+          (col("c") * stride).as("tok_start"),
+          array_join(slice(col("toks"), (col("c") * stride + 1).cast("int"), lit(size)), " ")
+            .as("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Per-source corpus statistics — the "which crawl/feed is junk"
+    // dashboard aggregate every corpus pipeline keeps.
+    QueryDef(
+      "q_text_source_stats",
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(round(CAST(avg(n_chars) AS DECIMAL(28,6)), 2) AS DOUBLE) AS avg_chars,
+                     CAST(max(n_chars) AS BIGINT) AS max_chars,
+                     CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+              FROM documents GROUP BY source ORDER BY source""")) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          Num.round2(avg("n_chars")).as("avg_chars"),
+          max("n_chars").cast("long").as("max_chars"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("source")
+    }
+  )
 }
