@@ -28,7 +28,6 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorStr) = args
-    val factor = factorStr.toInt
     val spark = graft.Tables.configure(SparkSession.builder())
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -36,7 +35,12 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, srcDir, outDir, factorStr.toInt)
+    println(s"""{"scaled": "$outDir", "factor": $factorStr}""")
+    spark.stop()
+  }
 
+  def run(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def read(name: String): DataFrame =
       spark.read.parquet(s"$srcDir/$name.parquet")
     def write(df: DataFrame, name: String): Unit =
@@ -105,8 +109,5 @@ object ScaleUp {
       fresh.withColumn("vec_id", col("vec_id") + lit(c * vMax))
     }.reduce(_ unionAll _)
     write(scaledEmb, "embeddings")
-
-    println(s"""{"scaled": "$outDir", "factor": $factor}""")
-    spark.stop()
   }
 }

@@ -26,7 +26,9 @@ class EntrySpec extends AnyFunSuite with SparkTest {
     val sample = Seq(
       "q_agg_group", "q_join_asof", "q_win_latest", "q_set_except",
       "q_str_snake", "q_json_extract", "q_text_tf", "q_sim_topk",
-      "q_stream_session", "q_ingest_resume", "q_scan_csv", "q_dedup_minhash")
+      "q_stream_session", "q_ingest_resume", "q_scan_csv", "q_dedup_minhash",
+      "q_cast_lenient", "q_xml_extract", "q_sample_stratified",
+      "q_text_chunks", "q_dedup_clusters", "q_mm_frames")
     sample.foreach { name =>
       val n = SparkEntry.queries(name)(spark, sf).count()
       assert(n > 0, s"$name returned no rows")
