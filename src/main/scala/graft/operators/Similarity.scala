@@ -285,6 +285,43 @@ object Similarity {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Persistable band table of a shingled corpus: (id, band_idx,
+    * band_hash) — the compact representation incremental dedup joins
+    * against. k longs per doc regardless of document size, so the table is
+    * orders of magnitude smaller than the corpus text and is the ONLY
+    * state an ingest pipeline must keep to near-dup new arrivals. */
+  def bandTable(
+      docs: DataFrame, // (id, shingles: array<string>)
+      k: Int,
+      nBands: Int): DataFrame = {
+    val rowsPerBand = k / nBands
+    docs.repartition(col("id"))
+      .withColumn("sig", MinHash.signatureNative(col("shingles"), k))
+      .select(col("id"),
+        posexplode(MinHash.bands(col("sig"), nBands, rowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Incremental near-dup: which incoming docs collide with the EXISTING
+    * corpus, joining the new batch's bands against the persisted
+    * [[bandTable]] — the corpus text is never rescanned. Output one row
+    * per (incoming id, matched existing id); anti-join the ids off the
+    * batch to admit only fresh content. The streaming-ingest shape: state
+    * = band table, growth = append the admitted docs' bands. */
+  def incrementalNearDup(
+      existingBands: DataFrame, // (id, band_idx, band_hash)
+      incoming: DataFrame,      // (id, shingles: array<string>)
+      k: Int,
+      nBands: Int): DataFrame = {
+    val inBands = bandTable(incoming, k, nBands)
+    inBands.join(
+        existingBands.select(col("id").as("matched_id"),
+          col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .select(col("id"), col("matched_id"))
+      .dropDuplicates("id", "matched_id")
+  }
+
   /** MinHash/LSH candidate pairs over a document table: shingle → signature
     * → bands → band-key equi-join → distinct pairs with estimated Jaccard.
     * `docs` must carry (id, shingles: array<string>). */

@@ -161,6 +161,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     (0L until 30L).foreach(i => assert(kept.contains(i), s"original $i dropped"))
   }
 
+  test("incremental near-dup flags arrivals colliding with the persisted band table") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    def shingled(rows: Seq[(Long, String)]) =
+      rows.toDF("id", "text")
+        .select(col("id"), T.ngrams(T.tokens(col("text")), 3).as("shingles"))
+        .filter(size(col("shingles")) > 0)
+    val corpus = shingled(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "spark shuffles partitions across the cluster respecting locality"),
+      (3L, "completely unrelated text about astronomy and telescopes")))
+    // persist ONLY the band table — the corpus text is gone
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-bands").toString + "/bands"
+    Similarity.bandTable(corpus, k = 16, nBands = 4)
+      .write.parquet(statePath)
+    val bands = spark.read.parquet(statePath)
+    val incoming = shingled(Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (101L, "entirely fresh content mentioning gardens and rivers flowing")))
+    val hits = Similarity.incrementalNearDup(bands, incoming, k = 16, nBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((100L, 1L)), s"near-dup of doc 1 not flagged: $hits")
+    assert(!hits.exists(_._1 == 101L), s"fresh doc flagged: $hits")
+  }
+
   test("jaccard banding finds near-dups of DIFFERENT lengths (old blocking missed)") {
     import spark.implicits._
     import graft.functions.{TextFunctions => T}
