@@ -69,6 +69,49 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("property: native tokenizer == HOF formulation on adversarial strings") {
+    import spark.implicits._
+    // characters chosen to stress the byte scan: every ASCII whitespace
+    // class, multi-byte UTF-8, case-fold targets, punctuation, empties
+    val ch = Gen.oneOf(
+      Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r'),
+      Gen.alphaNumChar, Gen.oneOf('É', 'ß', '한', '.', ',', '!', 'Ω'))
+    val text = Gen.listOf(ch).map(_.mkString)
+    samples(text, 40).foreach { t =>
+      val r = Seq(t).toDF("s").select(
+        T.tokens(col("s")).as("n"), T.tokensHof(col("s")).as("h")).collect()(0)
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"input=${t.map(_.toInt)}")
+    }
+  }
+
+  test("property: native ngrams == HOF formulation for n in 2..5") {
+    import spark.implicits._
+    val cases = for {
+      ws <- Gen.listOf(word)
+      n <- Gen.choose(2, 5)
+    } yield (ws, n)
+    samples(cases, 25).foreach { case (ws, n) =>
+      val r = Seq(ws.mkString(" ")).toDF("s")
+        .select(T.tokens(col("s")).as("t"))
+        .select(T.ngrams(col("t"), n).as("a"), T.ngramsHof(col("t"), n).as("b"))
+        .collect()(0)
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"ws=$ws n=$n")
+    }
+  }
+
+  test("property: native jaccard == HOF formulation on random token multisets") {
+    import spark.implicits._
+    val toks = Gen.listOf(word)
+    val cases = Gen.zip(toks, toks)
+    samples(cases, 30).foreach { case (a, b) =>
+      val r = Seq((a, b)).toDF("a", "b").select(
+        MinHash.exactJaccard(col("a"), col("b")).as("n"),
+        MinHash.exactJaccardHof(col("a"), col("b")).as("h")).collect()(0)
+      if (r.isNullAt(1)) assert(r.getDouble(0).isNaN, s"a=$a b=$b")
+      else assert(r.getDouble(0) == r.getDouble(1), s"a=$a b=$b")
+    }
+  }
+
   test("property: resume equivalence — prefix ++ remainder == full scan") {
     import spark.implicits._
     samples(Gen.choose(0, 20), 6).foreach { cut =>
