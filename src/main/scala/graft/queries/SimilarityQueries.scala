@@ -151,6 +151,25 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // Incremental near-dup: every 5th document plays the "incoming batch"
+    // and is deduped against the band table of the rest — the corpus text
+    // is never rescanned, only its (id, band_idx, band_hash) state (k
+    // longs per doc). The streaming-ingest shape at 100 TB. No oracle
+    // (engine-specific hash family); SimilaritySpec persists the band
+    // table to parquet and checks planted dup/fresh behavior.
+    QueryDef("q_dedup_incremental", None) { (s, d) =>
+      val shingled = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id").as("id"),
+          T.ngrams(T.tokens(col("text")), 3).as("shingles"))
+        .filter(size(col("shingles")) > 0)
+      val existing = shingled.filter(col("id") % 5 =!= 0)
+      val incoming = shingled.filter(col("id") % 5 === 0)
+      val bands = Similarity.bandTable(existing, k = 16, nBands = 4)
+      Similarity.incrementalNearDup(bands, incoming, k = 16, nBands = 4)
+        .orderBy("id", "matched_id")
+    },
+
     // Grouped MinHash signature via the custom typed UDAF: one signature
     // per language across ALL its documents' tokens — the multi-row-entity
     // path (chunked documents, per-user event histories) that avoids
