@@ -101,6 +101,32 @@ object StreamShapeQueries {
         .orderBy("event_type")
     },
 
+    // Stream-stream time-bounded join (purchases ↔ clicks of the same user
+    // within the preceding 20 minutes). Batch mode runs the identical
+    // transform; StreamingSpec drives it through MemoryStream. The time
+    // bound is what keeps join state finite on unbounded streams; in batch
+    // it plans as an equi-join on user_id with a range residual.
+    QueryDef(
+      "q_stream_join",
+      Some(s"""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                      p.user_id,
+                      strftime(p.ts, '$dfmt') AS p_ts,
+                      strftime(c.ts, '$dfmt') AS c_ts
+               FROM events p JOIN events c
+                 ON p.user_id = c.user_id
+                AND c.ts <= p.ts
+                AND c.ts >= p.ts - INTERVAL 20 MINUTE
+               WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+               ORDER BY purchase_id, click_id""")) { (s, d) =>
+      Streams.purchaseAfterClick(Tables.events(s, d))
+        .select(
+          col("purchase_id"), col("click_id"),
+          col("p_user").as("user_id"),
+          date_format(col("p_ts"), fmt).as("p_ts"),
+          date_format(col("c_ts"), fmt).as("c_ts"))
+        .orderBy("purchase_id", "click_id")
+    },
+
     // Stateful per-key running totals (flatMapGroupsWithState) — batch mode
     // processes each key's whole history in one state update, so the final
     // totals are oracle-checkable with a plain aggregate + top-1 window.
