@@ -27,6 +27,7 @@ object Registry {
       graft.queries.ScalarQueries.defs ++
       graft.queries.TextQueries.defs ++
       graft.queries.TextQueries.extraDefs ++
+      graft.queries.CorpusQueries.defs ++
       graft.queries.SimilarityQueries.defs ++
       graft.queries.StreamShapeQueries.defs ++
       graft.queries.PipelineQueries.defs

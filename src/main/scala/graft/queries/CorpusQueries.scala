@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.{Num, TextFunctions => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators beyond basic text analytics — the filters a
+  * pre-training data pipeline runs corpus-wide: TF-IDF term weighting,
+  * PII redaction, repetition-based quality signals (Gopher-style), and
+  * benchmark decontamination by n-gram overlap.
+  *
+  * Scale shapes: every query is explode/groupBy/join over codegen'd
+  * built-ins plus the native Tokenize/NGrams expressions. The only shuffles
+  * are keyed aggregations with map-side partials; the decontamination join
+  * broadcasts the (small-by-construction) benchmark n-gram set.
+  */
+object CorpusQueries {
+
+  // Regexes kept RE2-compatible (no lookarounds) so the identical pattern
+  // runs in Spark (java.util.regex) and the DuckDB oracle (RE2).
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+1-555-[0-9]{4}"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TF-IDF: top-3 terms per document. tf is a (doc, token) aggregate, df
+    // a token aggregate derived from it, N a broadcast one-row aggregate —
+    // two shuffles total, both with partial aggregation. Ranking uses the
+    // integer-deterministic key (tf desc, df asc, token) so both engines
+    // pick identical rows regardless of float ULP differences in ln().
+    QueryDef(
+      "q_text_tfidf",
+      Some("""WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                          t -> t <> '')) AS token
+                FROM documents),
+              tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+              df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT count(*) AS n_docs FROM documents)
+              SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+                     CAST(round(CAST(tf * ln(CAST(n_docs AS DOUBLE) / df)
+                       AS DECIMAL(28,6)), 2) AS DOUBLE) AS tfidf,
+                     CAST(rn AS BIGINT) AS rn
+              FROM (SELECT tf.doc_id, tf.token, tf.tf, df.df, n.n_docs,
+                           row_number() OVER (PARTITION BY tf.doc_id
+                             ORDER BY tf.tf DESC, df.df ASC, tf.token) AS rn
+                    FROM tf JOIN df USING (token) CROSS JOIN n)
+              WHERE rn <= 3 ORDER BY doc_id, rn""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("token"))
+      tf.join(df, "token")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(
+          col("doc_id"), col("token"), col("tf"),
+          Num.round2(col("tf") * log(col("n_docs").cast("double") / col("df")))
+            .as("tfidf"),
+          col("rn").cast("long"))
+        .orderBy("doc_id", "rn")
+    },
+
+    // PII detection + redaction. The corpus is synthetic, so deterministic
+    // PII is planted from doc_id on BOTH sides first; the operator under
+    // test is the count + redact pass — a narrow per-row map, no shuffle.
+    QueryDef(
+      "q_text_pii",
+      Some(s"""SELECT doc_id,
+                      CAST(len(regexp_extract_all(txt, '$emailRe')) AS BIGINT) AS n_email,
+                      CAST(len(regexp_extract_all(txt, '$phoneRe')) AS BIGINT) AS n_phone,
+                      regexp_replace(regexp_replace(txt, '$emailRe', '<EMAIL>', 'g'),
+                                     '$phoneRe', '<PHONE>', 'g') AS redacted
+               FROM (SELECT doc_id,
+                            text || ' contact user' || doc_id ||
+                            '@example.com or +1-555-' ||
+                            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+                     FROM documents)
+               ORDER BY doc_id""")) { (s, d) =>
+      val txt = concat(
+        col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), txt.as("txt"))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("txt"), lit(emailRe), lit(0)))
+            .cast("long").as("n_email"),
+          size(regexp_extract_all(col("txt"), lit(phoneRe), lit(0)))
+            .cast("long").as("n_phone"),
+          regexp_replace(
+            regexp_replace(col("txt"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // Repetition quality signals (the Gopher-rule family): duplicate-token
+    // ratio and most-frequent-token fraction per document. One shuffle on
+    // (doc_id, token) with map-side partials, then a doc_id re-aggregate.
+    QueryDef(
+      "q_text_repetition",
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                          x -> x <> '')) AS token
+                FROM documents),
+              per AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY 1, 2)
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(max(c) AS BIGINT) AS top_n,
+                     CAST(round(CAST(1.0 - CAST(count(*) AS DOUBLE) / sum(c)
+                       AS DECIMAL(28,6)), 2) AS DOUBLE) AS dup_ratio,
+                     CAST(round(CAST(CAST(max(c) AS DOUBLE) / sum(c)
+                       AS DECIMAL(28,6)), 2) AS DOUBLE) AS top_frac
+              FROM per GROUP BY doc_id ORDER BY doc_id""")) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          sum("c").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max("c").as("top_n"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_n"),
+          Num.round2(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+            .as("dup_ratio"),
+          Num.round2(col("top_n").cast("double") / col("n_tokens"))
+            .as("top_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination: flag training docs sharing any 5-gram with
+    // the held-out set (here: doc_id % 97 == 0 stands in for the benchmark).
+    // The benchmark n-gram set is small by construction → broadcast to the
+    // corpus-side scan; per-doc array_distinct bounds the explode volume.
+    QueryDef(
+      "q_text_decontam",
+      Some("""WITH grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                         generate_series(1, len(toks) - 4),
+                         i -> array_to_string(toks[i:i+4], ' ')))) AS g
+                FROM (SELECT doc_id,
+                             list_filter(string_split_regex(lower(text), '\s+'),
+                                         t -> t <> '') AS toks
+                      FROM documents)),
+              ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+              SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_shared
+              FROM grams JOIN ev USING (g)
+              WHERE doc_id % 97 <> 0
+              GROUP BY doc_id ORDER BY doc_id""")) { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          explode(array_distinct(T.ngrams(T.tokens(col("text")), 5))).as("g"))
+      val ev = grams.filter(col("doc_id") % 97 === 0).select("g").distinct()
+      grams
+        .filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(countDistinct("g").as("n_shared"))
+        .orderBy("doc_id")
+    }
+  )
+}

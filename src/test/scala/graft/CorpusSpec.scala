@@ -1,0 +1,108 @@
+package graft
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior specs for the corpus-preparation queries (CorpusQueries):
+  * PII redaction, repetition signals, TF-IDF ranking, decontamination.
+  * The DuckDB oracle proves engine equivalence; these prove the operator
+  * semantics on crafted inputs.
+  */
+class CorpusSpec extends AnyFunSuite with SparkTest {
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+1-555-[0-9]{4}"
+
+  test("PII redaction removes every planted email and phone") {
+    import spark.implicits._
+    val df = Seq(
+      "reach me at jane.doe+x@corp.example.org today",
+      "call +1-555-0199 or mail a@b.io",
+      "no pii here").toDF("txt")
+    val red = df.select(
+      regexp_replace(regexp_replace(col("txt"), emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>").as("r"),
+      size(regexp_extract_all(col("txt"), lit(emailRe), lit(0))).as("ne"),
+      size(regexp_extract_all(col("txt"), lit(phoneRe), lit(0))).as("np"))
+      .collect()
+    assert(red(0).getString(0) == "reach me at <EMAIL> today")
+    assert(red(1).getString(0) == "call <PHONE> or mail <EMAIL>")
+    assert(red(2).getString(0) == "no pii here")
+    assert(red.map(_.getInt(1)).toSeq == Seq(1, 1, 0))
+    assert(red.map(_.getInt(2)).toSeq == Seq(0, 1, 0))
+  }
+
+  test("repetition signals separate repetitive from diverse documents") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam"), // 1 distinct / 4 tokens
+      (2L, "all tokens are different here")).toDF("doc_id", "text")
+    val per = df
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("d"), max("c").as("m"))
+      .orderBy("doc_id")
+      .collect()
+    assert(per(0).getLong(1) == 4 && per(0).getLong(2) == 1 &&
+      per(0).getLong(3) == 4) // dup_ratio 0.75, top_frac 1.0
+    assert(per(1).getLong(1) == 5 && per(1).getLong(2) == 5 &&
+      per(1).getLong(3) == 1) // dup_ratio 0, top_frac 0.2
+  }
+
+  test("tf-idf ranks a document's distinctive term above ubiquitous ones") {
+    import spark.implicits._
+    // "zebra" appears only in doc 1; "common" in all three docs.
+    val df = Seq(
+      (1L, "common zebra zebra"),
+      (2L, "common filler words"),
+      (3L, "common other stuff")).toDF("doc_id", "text")
+    val tf = df.select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("token"))
+    val top = tf.join(dfreq, "token")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("doc_id") === 1 && col("rn") === 1)
+      .select("token").collect()
+    assert(top.head.getString(0) == "zebra")
+  }
+
+  test("decontamination flags exactly the docs sharing a 5-gram with the eval set") {
+    import spark.implicits._
+    val eval = "alpha beta gamma delta epsilon unique tail"
+    val df = Seq(
+      (0L, eval), // plays the benchmark (id % 97 == 0)
+      (1L, "prefix alpha beta gamma delta epsilon suffix"), // contaminated
+      (2L, "completely unrelated words in this document"), // clean
+      (3L, "alpha beta gamma only four tokens overlap no")) // 3-gram only → clean
+      .toDF("doc_id", "text")
+    val grams = df.select(col("doc_id"),
+      explode(array_distinct(T.ngrams(T.tokens(col("text")), 5))).as("g"))
+    val ev = grams.filter(col("doc_id") % 97 === 0).select("g").distinct()
+    val flagged = grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(ev), "g")
+      .groupBy("doc_id").agg(countDistinct("g").as("n_shared"))
+      .orderBy("doc_id").collect()
+    assert(flagged.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(flagged.head.getLong(1) == 1L)
+  }
+
+  test("stream-stream join matches clicks within the 20-minute window only") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val events = Seq(
+      (1L, 7L, "click", at(0)),
+      (2L, 7L, "click", at(50)),
+      (3L, 7L, "purchase", at(60)), // joins click 2 (10 min) not click 1 (60)
+      (4L, 8L, "purchase", at(60))) // no click for user 8
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.streaming.Streams.purchaseAfterClick(events)
+      .select("purchase_id", "click_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 2L)))
+  }
+}
