@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the bench/verify environment is a single 32-thread local[*] JVM on a
+  // 128 GiB box — an 8g heap GC-thrashes the heavier dedup queries (2-5x
+  // inflation, order-dependent); 48g leaves ample room for sbt + DuckDB
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -14,11 +14,25 @@ object Bench {
     spark.range(100000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     // deterministic execution order (name-sorted) so per-query timings are
-    // comparable across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // comparable across rounds; optional args narrow to named queries for
+    // targeted profiling (the driver invokes with no args = full suite)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.filter(kv => args.contains(kv._1)).toSeq
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop blocks the query pinned (localCheckpoint lineage truncation
+      // persists RDD blocks until GC): in production each query runs in its
+      // own job whose blocks die with it; without this, 90+ queries' blocks
+      // accumulate in the one bench JVM and memory pressure inflates every
+      // later query's time (measured 2-5x on the heavy dedup queries).
+      spark.catalog.clearCache()
+      // blocking: an async unpersist storm would compete with the next
+      // query's tasks and bleed into its measurement
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

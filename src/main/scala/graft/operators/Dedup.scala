@@ -44,18 +44,35 @@ object Dedup {
     // iteration (and the caller's whole candidate pipeline) TWICE per
     // round, and analysis alone goes exponential by iteration ~4. The
     // checkpointed blocks live on executors (spillable), not the driver.
+    //
+    // Block hygiene: checkpointing persists RDD blocks that would otherwise
+    // stay pinned until JVM GC notices the dead reference. Superseded
+    // iteration frames are unpersisted EXPLICITLY once their successor is
+    // materialized — at scale, letting maxIter copies of the label set
+    // accumulate is a storage-memory leak. Ids are tracked around each
+    // checkpoint call (the loop is single-threaded per query).
+    val sc = pairs.sparkSession.sparkContext
+    def tracked(df: DataFrame, eager: Boolean): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(eager)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     // materialize the (possibly expensive) pair pipeline ONCE — the
     // symmetric union below references it twice
-    val p = pairs.select("doc_a", "doc_b").localCheckpoint(true)
-    val edges = p
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .repartition(col("dst")) // reused by every iteration's join
-      .localCheckpoint(true)
+    val (p, pIds) = tracked(pairs.select("doc_a", "doc_b"), eager = true)
+    val (edges, edgeIds) = tracked(
+      p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .repartition(col("dst")), // reused by every iteration's join
+      eager = true)
+    release(pIds) // edges is materialized; the pair frame is dead
     // init already folds one neighbor-min round: root = min(id, neighbors)
-    var labels = edges.groupBy("src").agg(min("dst").as("mnd"))
-      .select(col("src").as("id"), least(col("src"), col("mnd")).as("root"))
-      .localCheckpoint(true)
+    var (labels, labelIds) = tracked(
+      edges.groupBy("src").agg(min("dst").as("mnd"))
+        .select(col("src").as("id"), least(col("src"), col("mnd")).as("root")),
+      eager = true)
     // Convergence probe: roots only ever shrink, so the exact root sum is
     // strictly monotone — one tiny aggregate per round replaces a
     // compare-join against the previous labels.
@@ -69,24 +86,28 @@ object Dedup {
       // neighbor-min step: adopt the smallest root among neighbors
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("root"))
-      val folded = labels.unionAll(prop)
-        .groupBy("id").agg(min("root").as("root"))
-        .localCheckpoint(true) // read twice by the self-join below
+      val (folded, foldedIds) = tracked(
+        labels.unionAll(prop).groupBy("id").agg(min("root").as("root")),
+        eager = true) // read twice by the self-join below
       // pointer-jump step: follow root -> root-of-root, halving every
       // root path — O(log diameter) rounds instead of O(diameter), which
       // is what makes long chains (dense band graphs) converge fast
       val jump = folded.select(col("id").as("r_id"), col("root").as("r_root"))
-      val next = folded
-        .join(jump, folded("root") === jump("r_id"), "left")
-        .select(folded("id"),
-          coalesce(col("r_root"), folded("root")).as("root"))
-        .localCheckpoint(false) // materialized by the rootSum job below
+      val (next, nextIds) = tracked(
+        folded
+          .join(jump, folded("root") === jump("r_id"), "left")
+          .select(folded("id"),
+            coalesce(col("r_root"), folded("root")).as("root")),
+        eager = false) // materialized by the rootSum job below
       val s = rootSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      release(labelIds ++ foldedIds) // next is materialized; drop ancestors
       labels = next
+      labelIds = nextIds
       i += 1
     }
+    release(edgeIds) // the returned labels frame is checkpointed data
     labels
   }
 

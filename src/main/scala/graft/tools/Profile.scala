@@ -1,0 +1,45 @@
+package graft.tools
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only phase profiler for the expensive near-dup pipeline: times the
+  * jaccard pair generation and the connected-components resolution
+  * separately. Usage: runMain graft.tools.Profile <sfDir>
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.configure(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(100000).selectExpr("sum(id)").collect()
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val t = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), T.tokens(col("text")).as("toks"))
+    val pairs = Similarity.jaccardNearDupPairs(t, minJaccard = 0.5)
+    val nPairs = time("jaccard pairs count")(pairs.count())
+    println(s"[profile] n_pairs = $nPairs")
+    val pairs2 = Similarity.jaccardNearDupPairs(t, minJaccard = 0.5)
+    time("clusters total (pairs + CC)")(
+      Dedup.duplicateClusters(pairs2.select("doc_a", "doc_b")).count())
+    // CC on a cheap precomputed frame: isolates the iteration overhead
+    val cached = pairs.select("doc_a", "doc_b").localCheckpoint(true)
+    time("CC on checkpointed pairs")(Dedup.duplicateClusters(cached).count())
+    spark.stop()
+  }
+}
