@@ -238,6 +238,12 @@ object Similarity {
     // THREE plan branches (token explode, and both candidate re-joins) —
     // checkpointing materializes it once on first use instead of running
     // the tokenizer three times per invocation.
+    // Measured dead ends (sf0.1, do not redo): eager checkpoints, count()
+    // barriers after each checkpoint, and checkpointing `cand` all came out
+    // 1.5-1.6x SLOWER end-to-end than this lazy one-action form — the
+    // single action lets AQE overlap the checkpoint-materializing stages,
+    // and the dominant cost is the candidate join+dedup stage (~70%), not
+    // recomputation. Profile `pairs` mode times build vs count if revisiting.
     val base = docs
       .withColumn("toks", array_distinct(col("toks")))
       .select(col("doc_id"), col("lang"),

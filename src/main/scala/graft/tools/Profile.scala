@@ -29,17 +29,35 @@ object Profile {
       r
     }
 
+    // one phase per JVM (second arg selects) so persisted blocks from an
+    // earlier phase can't distort a later measurement
+    val mode = args.drop(1).headOption.getOrElse("all")
     val t = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("n_chars"), T.tokens(col("text")).as("toks"))
-    val pairs = Similarity.jaccardNearDupPairs(t, minJaccard = 0.5)
-    val nPairs = time("jaccard pairs count")(pairs.count())
-    println(s"[profile] n_pairs = $nPairs")
-    val pairs2 = Similarity.jaccardNearDupPairs(t, minJaccard = 0.5)
-    time("clusters total (pairs + CC)")(
-      Dedup.duplicateClusters(pairs2.select("doc_a", "doc_b")).count())
-    // CC on a cheap precomputed frame: isolates the iteration overhead
-    val cached = pairs.select("doc_a", "doc_b").localCheckpoint(true)
-    time("CC on checkpointed pairs")(Dedup.duplicateClusters(cached).count())
+    if (mode == "pairs" || mode == "all") {
+      val pairs = time("jaccard pairs build")(
+        Similarity.jaccardNearDupPairs(t, minJaccard = 0.5))
+      val nPairs = time("jaccard pairs count")(pairs.count())
+      println(s"[profile] n_pairs = $nPairs")
+    }
+    if (mode == "clusters" || mode == "all") {
+      val pairs2 = Similarity.jaccardNearDupPairs(t, minJaccard = 0.5)
+      time("clusters total (pairs + CC)")(
+        Dedup.duplicateClusters(pairs2.select("doc_a", "doc_b")).count())
+    }
+    // NOTE: a per-stage mode that checkpointed each pipeline stage and
+    // timed the count()s separately was removed — localCheckpoint executes
+    // the subtree's AQE stages inside the CALL (untimed val definition), so
+    // its numbers attributed ~70% of the cost to the wrong stages and
+    // motivated three "optimizations" that each made the end-to-end slower.
+    // Time build vs count (above) instead; the build time IS the AQE
+    // stage execution of whatever the operator checkpoints.
+    if (mode == "cc" || mode == "all") {
+      // CC on a cheap precomputed frame: isolates the iteration overhead
+      val cached = Similarity.jaccardNearDupPairs(t, minJaccard = 0.5)
+        .select("doc_a", "doc_b").localCheckpoint(true)
+      time("CC on checkpointed pairs")(Dedup.duplicateClusters(cached).count())
+    }
     spark.stop()
   }
 }
