@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.expressions.{NGrams, Tokenize}
+import graft.expressions.{DeflateRatio, NGrams, Tokenize}
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
@@ -68,6 +68,12 @@ object TextFunctions {
     val parts = (0 until n).map(k => slice(toks, lit(k + 1), len))
     parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
   }
+
+  /** zlib-deflate compression ratio (compressed/raw bytes) — the
+    * repetitiveness quality signal; native codegen expression
+    * (graft.expressions.DeflateRatio). */
+  def deflateRatio(c: Column): Column =
+    GraftColumnBridge.column(DeflateRatio(GraftColumnBridge.expression(c)))
 
   /** Count of tokens that appear in a fixed vocabulary. */
   def vocabCount(toks: Column, vocab: Seq[String]): Column =

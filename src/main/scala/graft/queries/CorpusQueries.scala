@@ -141,6 +141,58 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // Compression-ratio quality signal (the other Gopher repetitiveness
+    // rule): zlib-deflate size over raw size, one native expression per
+    // row, no shuffle. No DuckDB-side deflate exists, so no oracle;
+    // CorpusSpec proves repetitive text scores far below diverse text and
+    // that the ratio is deterministic.
+    QueryDef("q_text_compress", None) { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          Num.round2(T.deflateRatio(col("text"))).as("deflate_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // URL/domain analysis: the corpus filter that drops blocklisted
+    // domains and reports per-domain volume/quality. Deterministic URLs
+    // are planted from (source, doc_id) on both sides; the operator under
+    // test is host extraction + domain aggregation + blocklist flag — one
+    // keyed aggregation over a narrow map. The extraction regex is
+    // RE2-compatible so the identical pattern runs in both engines.
+    QueryDef(
+      "q_text_domains",
+      Some("""WITH u AS (
+                SELECT doc_id, n_chars,
+                       'https://' || source || '.example.' ||
+                       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'com'
+                            WHEN 1 THEN 'org' ELSE 'net' END ||
+                       '/p/' || doc_id AS url
+                FROM documents)
+              SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(round(CAST(avg(n_chars) AS DECIMAL(28,6)), 2) AS DOUBLE)
+                       AS avg_chars,
+                     regexp_extract(url, '^https?://([^/]+)/', 1) LIKE '%.net'
+                       AS blocked
+              FROM u GROUP BY 1 ORDER BY domain""")) { (s, d) =>
+      val url = concat(
+        lit("https://"), col("source"), lit(".example."),
+        element_at(array(lit("com"), lit("org"), lit("net")),
+          (col("doc_id") % 3).cast("int") + 1),
+        lit("/p/"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), url.as("url"))
+        .withColumn("domain", regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+        .groupBy("domain")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          Num.round2(avg(col("n_chars"))).as("avg_chars"))
+        .withColumn("blocked", col("domain").endsWith(".net"))
+        .orderBy("domain")
+    },
+
     // Benchmark decontamination: flag training docs sharing any 5-gram with
     // the held-out set (here: doc_id % 97 == 0 stands in for the benchmark).
     // The benchmark n-gram set is small by construction → broadcast to the

@@ -91,6 +91,47 @@ class CorpusSpec extends AnyFunSuite with SparkTest {
     assert(flagged.head.getLong(1) == 1L)
   }
 
+  test("deflate ratio separates repetitive from diverse text and is deterministic") {
+    import spark.implicits._
+    val rep = "spam spam spam spam spam spam spam spam spam spam " * 20
+    val div = (0 until 200).map(i => s"w${i * 7919 % 9973}x${i}").mkString(" ")
+    val df = Seq((1L, rep), (2L, div), (3L, "")).toDF("id", "txt")
+      .select(col("id"), T.deflateRatio(col("txt")).as("r"))
+      .orderBy("id").collect()
+    val (rRep, rDiv, rEmpty) =
+      (df(0).getDouble(1), df(1).getDouble(1), df(2).getDouble(1))
+    assert(rRep < 0.1, s"repetitive ratio $rRep should be tiny")
+    assert(rDiv > 0.3, s"diverse ratio $rDiv should stay high")
+    assert(rRep < rDiv / 3)
+    assert(rEmpty == 1.0)
+    // deterministic across evaluations (and vs the eval path)
+    assert(graft.expressions.DeflateRatio.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(rep)) == rRep)
+  }
+
+  test("domain extraction, aggregation, and blocklist flag") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "src1", 100L), // com
+      (2L, "src1", 200L), // net -> blocked
+      (5L, "src2", 300L)) // net -> blocked
+      .toDF("doc_id", "source", "n_chars")
+    val url = concat(
+      lit("https://"), col("source"), lit(".example."),
+      element_at(array(lit("com"), lit("org"), lit("net")),
+        (col("doc_id") % 3).cast("int") + 1),
+      lit("/p/"), col("doc_id"))
+    val got = df.select(col("n_chars"), url.as("url"))
+      .withColumn("domain", regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+      .groupBy("domain").agg(count(lit(1)).as("n"), avg("n_chars").as("a"))
+      .withColumn("blocked", col("domain").endsWith(".net"))
+      .orderBy("domain").collect()
+    assert(got.map(_.getString(0)).toSeq ==
+      Seq("src1.example.com", "src1.example.net", "src2.example.net"))
+    assert(got.map(_.getBoolean(3)).toSeq == Seq(false, true, true))
+    assert(got(1).getLong(1) == 1 && got(1).getDouble(2) == 200.0)
+  }
+
   test("stream-stream join matches clicks within the 20-minute window only") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
