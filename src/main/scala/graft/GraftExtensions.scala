@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, JaccardSimilarity, MinHashSignature, NGrams, Tokenize}
+import graft.expressions.{CosineSimilarity, JaccardSimilarity, MinHashSignature, NGrams, SimHash64, Tokenize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Tokenize].getName, "graft_tokens"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Tokenize(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(children(0))))
     // graft_ngrams(tokens, n) — n must be a literal int (plan-time constant)
     ext.injectFunction((
       FunctionIdentifier("graft_ngrams"),

@@ -81,6 +81,33 @@ class ExpressionSpec extends AnyFunSuite with SparkTest {
     assert(sig.forall(_ != Long.MaxValue)) // non-empty input -> real mins
   }
 
+  test("native simhash is bit-identical to the HOF formulation") {
+    import spark.implicits._
+    import graft.functions.{SimHash, TextFunctions => T}
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "spark shuffles partitions across the cluster",
+      "one", "", "repeated repeated repeated tokens tokens"
+    ).toDF("text").select(T.tokens(col("text")).as("toks"))
+    val both = docs.select(
+      SimHash.simhash64Hof(col("toks")).as("hof"),
+      SimHash.simhash64(col("toks")).as("native"))
+    both.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"hof=${r.getLong(0)} native=${r.getLong(1)}")
+    }
+  }
+
+  test("graft_simhash is callable from SQL") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash",
+      exprs => graft.expressions.SimHash64(exprs(0)), "built-in")
+    val r = spark.sql(
+      "SELECT graft_simhash(array('a','b','c')) AS h," +
+        " graft_simhash(CAST(array() AS array<string>)) AS e").collect()(0)
+    assert(r.getLong(0) != 0L)
+    assert(r.getLong(1) == 0L) // empty input: no positive votes
+  }
+
   test("native tokenizer matches the HOF formulation on awkward inputs") {
     import spark.implicits._
     import graft.functions.{TextFunctions => T}
