@@ -229,6 +229,84 @@ object CorpusQueries {
         .groupBy("doc_id")
         .agg(countDistinct("g").as("n_shared"))
         .orderBy("doc_id")
+    },
+
+    // End-to-end corpus preparation — the flagship composition: quality
+    // gate -> exact dedup (deterministic keep-first) -> benchmark
+    // decontamination -> per-language corpus stats, all as ONE declarative
+    // plan (Catalyst sees every stage; nothing materializes in between).
+    // Scale shapes per stage: the gate is a narrow map; dedup is one hash
+    // shuffle on the fingerprint; decontamination broadcasts the eval
+    // n-gram set and anti-joins the contaminated id set; stats are a
+    // map-side-partial aggregation. The eval set reads the RAW corpus
+    // (a benchmark is fixed externally, not subject to training filters).
+    QueryDef(
+      "q_corpus_pipeline",
+      Some("""WITH base AS (
+                SELECT doc_id, lang, n_chars, text,
+                       len(list_filter(string_split_regex(lower(text), '\s+'),
+                                       t -> t <> '')) AS n_tokens
+                FROM documents),
+              quality AS (
+                SELECT * FROM base
+                WHERE n_tokens >= 5 AND CAST(n_chars AS DOUBLE) / n_tokens <= 15.0),
+              deduped AS (
+                SELECT * FROM (
+                  SELECT *, row_number() OVER (
+                    PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                    ORDER BY doc_id) AS rn
+                  FROM quality) WHERE rn = 1),
+              ev AS (
+                SELECT DISTINCT unnest(list_distinct(list_transform(
+                         generate_series(1, len(toks) - 4),
+                         i -> array_to_string(toks[i:i+4], ' ')))) AS g
+                FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                                         t -> t <> '') AS toks
+                      FROM documents WHERE doc_id % 97 = 0 AND doc_id < 700)),
+              train AS (
+                SELECT * FROM deduped WHERE NOT (doc_id % 97 = 0 AND doc_id < 700)),
+              contaminated AS (
+                SELECT DISTINCT doc_id
+                FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                            generate_series(1, len(toks) - 4),
+                            i -> array_to_string(toks[i:i+4], ' ')))) AS g
+                      FROM (SELECT doc_id,
+                                   list_filter(string_split_regex(lower(text), '\s+'),
+                                               t -> t <> '') AS toks
+                            FROM train)) JOIN ev USING (g)),
+              clean AS (
+                SELECT * FROM train
+                WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                     CAST(round(CAST(avg(CAST(n_chars AS DOUBLE) / n_tokens)
+                       AS DECIMAL(28,6)), 2) AS DOUBLE) AS avg_cpt
+              FROM clean GROUP BY lang ORDER BY lang""")) { (s, d) =>
+      import graft.operators.Dedup
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        .withColumn("n_tokens", size(T.tokens(col("text"))))
+      val quality = base.filter(col("n_tokens") >= 5 &&
+        col("n_chars").cast("double") / col("n_tokens") <= 15.0)
+      val deduped = Dedup.exactKeepFirst(
+        quality.withColumn("fp", T.fingerprintMd5(col("text"))), Seq("fp"), "doc_id")
+      val isEval = col("doc_id") % 97 === 0 && col("doc_id") < 700
+      def gramsOf(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("doc_id"),
+        explode(array_distinct(T.ngrams(T.tokens(col("text")), 5))).as("g"))
+      val evGrams = gramsOf(Tables.documents(s, d).filter(isEval))
+        .select("g").distinct()
+      val train = deduped.filter(!isEval)
+      val contaminated = gramsOf(train).join(broadcast(evGrams), "g")
+        .select("doc_id").distinct()
+      val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+      clean.groupBy("lang")
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum("n_tokens").cast("long").as("total_tokens"),
+          Num.round2(avg(col("n_chars").cast("double") / col("n_tokens")))
+            .as("avg_cpt"))
+        .orderBy("lang")
     }
   )
 }
