@@ -224,6 +224,43 @@ object PipelineQueries {
           col("table_name"), col("data_inserted_yn"),
           col("data_insert_date").isNotNull.as("ts_ok"),
           col("data_insert_row"), col("high_water_mark"))
+    },
+
+    // Z-order clustering key (Layout.zValue2): bucketize two dimensions
+    // into 16-bit ranks with integer-exact arithmetic (bounds from a tiny
+    // broadcast agg — the whole thing is ONE declarative plan), then
+    // interleave the bits. Sorting by this key is what Layout.zorderWrite
+    // does before writing; the spec (LayoutSpec) proves the resulting
+    // files cluster BOTH dimensions. The z arithmetic itself is exact
+    // integer math, so it oracle-checks bit-for-bit in DuckDB.
+    QueryDef(
+      "q_layout_zorder",
+      Some("""WITH b AS (SELECT min(l_partkey) AS minx, max(l_partkey) AS maxx,
+                                min(l_suppkey) AS miny, max(l_suppkey) AS maxy
+                         FROM lineitem),
+              z AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                           ((l_partkey - minx) * 65536) // (maxx - minx + 1) AS bx,
+                           ((l_suppkey - miny) * 65536) // (maxy - miny + 1) AS by
+                    FROM lineitem, b)
+              SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                     CAST(list_sum(list_transform(generate_series(0, 15), bb ->
+                       (((bx >> bb) & 1) << (2 * bb)) +
+                       (((by >> bb) & 1) << (2 * bb + 1)))) AS BIGINT) AS zv
+              FROM z
+              ORDER BY zv, l_orderkey, l_linenumber, l_partkey, l_suppkey
+              LIMIT 5000""")) { (s, d) =>
+      import graft.operators.Layout
+      val bounds = Tables.lineitem(s, d).agg(
+        min("l_partkey").as("minx"), max("l_partkey").as("maxx"),
+        min("l_suppkey").as("miny"), max("l_suppkey").as("maxy"))
+      Tables.lineitem(s, d)
+        .crossJoin(broadcast(bounds))
+        .withColumn("bx", expr("((l_partkey - minx) * 65536) div (maxx - minx + 1)"))
+        .withColumn("by", expr("((l_suppkey - miny) * 65536) div (maxy - miny + 1)"))
+        .withColumn("zv", Layout.zValue2(col("bx"), col("by"), 16))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "zv")
+        .orderBy("zv", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .limit(5000)
     }
   )
 }
