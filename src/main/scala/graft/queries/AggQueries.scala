@@ -210,6 +210,39 @@ object AggQueries {
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n"), col("sum_price"))
         .orderBy("status", "priority")
+    },
+
+    // Misra-Gries heavy hitters (custom bounded-memory UDAF,
+    // graft.functions.HeavyHittersAggregator): the sketch buffer is at
+    // most k counters regardless of item cardinality, so the shuffle
+    // carries k entries total — the "frequent items without a full
+    // per-item shuffle" primitive. Determinism contract making this
+    // oracle-checkable: MG guarantees any item with true count > 2n/(k+1)
+    // is emitted (est >= true - n/(k+1) > n/(k+1)) and any item with
+    // true count <= n/(k+1) never is (est <= true); o_orderstatus has 3
+    // values at ~n/3 each with k=7, so the (n/8, n/4] indeterminate band
+    // is empty and the emitted SET is exact. Sketch estimates are
+    // merge-order-dependent, so the output joins back to exact counts.
+    QueryDef(
+      "q_agg_heavy",
+      Some("""WITH t AS (SELECT count(*) AS n FROM orders)
+              SELECT o_orderstatus AS item, CAST(count(*) AS BIGINT) AS n_item
+              FROM orders, t GROUP BY o_orderstatus, t.n
+              HAVING count(*) * 4 > n ORDER BY item""")) { (s, d) =>
+      import graft.functions.HeavyHitters
+      val orders = Tables.orders(s, d)
+      val k = 7
+      val sketch = orders
+        .agg(HeavyHitters.column(k)(col("o_orderstatus")).as("hh"))
+        .select(explode(col("hh")).as(Seq("item", "est")))
+      val total = orders.agg(count(lit(1)).as("n"))
+      val exact = orders.groupBy(col("o_orderstatus").as("item"))
+        .agg(count(lit(1)).as("n_item"))
+      sketch.crossJoin(broadcast(total))
+        .filter(col("est") * (k + 1) > col("n")) // guaranteed-real band
+        .join(exact, "item")
+        .select(col("item"), col("n_item"))
+        .orderBy("item")
     }
   )
 }
