@@ -32,6 +32,13 @@ object Bench {
       // blocking: an async unpersist storm would compete with the next
       // query's tasks and bleed into its measurement
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // broadcast blocks are only destroyed after ContextCleaner GCs their
+      // weak refs, and a 100-query session accumulates enough old-gen
+      // garbage that collection otherwise fires MID-next-query; one
+      // explicit GC here keeps each query's timing free of its
+      // predecessors' cleanup (measured: removes 2-5x tail inflation on
+      // queries that follow global sorts / large broadcasts)
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
