@@ -146,4 +146,25 @@ class CorpusSpec extends AnyFunSuite with SparkTest {
       .select("purchase_id", "click_id").collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 2L)))
   }
+
+  test("corpus pipeline drops each planted reject for its own stage's reason") {
+    import spark.implicits._
+    val evalText = "one two three four five six seven" // doc 0: eval set member
+    val docs = Seq(
+      (0L, evalText, "en", "src1"),                              // eval: excluded
+      (10L, "alpha beta gamma delta epsilon zeta", "en", "src1"), // survives
+      (11L, "alpha  beta gamma   delta epsilon zeta", "en", "src1"), // dup of 10 after normalization
+      (12L, "zzz one two three four five yyy qqq", "en", "src1"), // contaminated (shared 5-gram)
+      (13L, "too short here", "en", "src1"),                      // quality: < 5 tokens
+      (14L, "un deux trois quatre cinq six", "fr", "src1"))       // survives
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_corpus_pipeline")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // en: only doc 10 (11 deduped into it, 12 decontaminated, 13 gated, 0 eval)
+    // fr: only doc 14
+    assert(out == Seq(("en", 1L, 6L), ("fr", 1L, 6L)), out.toString)
+  }
 }
