@@ -307,6 +307,91 @@ object CorpusQueries {
           Num.round2(avg(col("n_chars").cast("double") / col("n_tokens")))
             .as("avg_cpt"))
         .orderBy("lang")
+    },
+
+    // Sequence packing: assign documents (in deterministic id order) to
+    // fixed token-budget bins — the pre-training batch-construction
+    // primitive ("pack docs into 512-token training sequences"). The
+    // running token sum is a partitioned window (per-lang corpora pack
+    // independently; partition count grows with languages/sources at
+    // scale); the budget is a power of two so the bin division is
+    // integer-exact in both engines. Emits per-bin fill stats — the
+    // padding-waste signal a pipeline monitors.
+    QueryDef(
+      "q_corpus_pack",
+      Some("""WITH d AS (SELECT doc_id, lang,
+                     len(list_filter(string_split_regex(lower(text), '\s+'),
+                                     t -> t <> '')) AS n_tokens
+                FROM documents),
+              c AS (SELECT lang, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+                FROM d)
+              SELECT lang, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+                     CAST(round(CAST(sum(n_tokens) / 512.0 AS DECIMAL(28,6)), 2)
+                       AS DOUBLE) AS fill
+              FROM c GROUP BY lang, (cum - n_tokens) // 512
+              ORDER BY lang, bin""")) { (s, d) =>
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(T.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .withColumn("bin", expr("(cum - n_tokens) div 512"))
+        .groupBy("lang", "bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("bin_tokens"),
+          Num.round2(sum("n_tokens") / lit(512.0)).as("fill"))
+        .orderBy("lang", "bin")
+    },
+
+    // Int8 embedding quantization: symmetric per-vector scale
+    // (max|x|/127), quantize, and report the reconstruction error — the
+    // memory side of ANN at scale (4x smaller vectors; a 100 TB corpus'
+    // embedding store is the cost driver). Pure narrow map over
+    // integer-exact-enough arithmetic: both engines compute scale and
+    // error in double, so the rounded outputs oracle-match.
+    QueryDef(
+      "q_embed_quant",
+      Some("""WITH v AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+                FROM embeddings),
+              s AS (SELECT vec_id, dv,
+                     list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale
+                FROM v),
+              q AS (SELECT vec_id, scale,
+                     list_transform(dv, x -> CAST(round(x / scale) AS BIGINT)) AS qv,
+                     list_max(list_transform(dv,
+                       x -> abs(CAST(round(x / scale) AS BIGINT) * scale - x))) AS err
+                FROM s)
+              SELECT vec_id,
+                     CAST(list_min(qv) AS BIGINT) AS q_min,
+                     CAST(list_max(qv) AS BIGINT) AS q_max,
+                     CAST(round(CAST(scale * 1000 AS DECIMAL(28,6)), 2) AS DOUBLE) AS scale_mil,
+                     CAST(round(CAST(err * 1000 AS DECIMAL(28,6)), 2) AS DOUBLE) AS err_mil
+              FROM q ORDER BY vec_id""")) { (s, d) =>
+      import graft.functions.{VectorFunctions => V}
+      val dv = V.asDouble(col("embedding"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), dv.as("dv"))
+        .withColumn("scale",
+          array_max(transform(col("dv"), x => abs(x))) / lit(127.0))
+        .withColumn("qv",
+          transform(col("dv"), x => round(x / col("scale")).cast("long")))
+        .withColumn("err",
+          array_max(zip_with(col("dv"), col("qv"),
+            (x, q) => abs(q * col("scale") - x))))
+        .select(
+          col("vec_id"),
+          array_min(col("qv")).cast("long").as("q_min"),
+          array_max(col("qv")).cast("long").as("q_max"),
+          Num.round2(col("scale") * 1000).as("scale_mil"),
+          Num.round2(col("err") * 1000).as("err_mil"))
+        .orderBy("vec_id")
     }
   )
 }
