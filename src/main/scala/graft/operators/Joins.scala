@@ -50,4 +50,39 @@ object Joins {
     */
   def rangeJoinSmall(facts: DataFrame, smallBands: DataFrame, cond: Column): DataFrame =
     facts.join(broadcast(smallBands), cond)
+
+  /** Bloom-prefiltered join: build a Bloom filter over the (already
+    * filtered) dim side's keys and push `might_contain` into the fact
+    * scan BEFORE the join shuffle — the runtime-filter technique
+    * (Catalyst's InjectRuntimeFilter applies it when statistics allow;
+    * this makes it explicit and deterministic for selective dim
+    * predicates the optimizer can't size). Bloom filters have no false
+    * negatives, so the result set is EXACTLY the plain join's — only the
+    * shuffled fact volume changes. The built filter is bounded driver
+    * state (numBits/8 bytes, default ~1 MB), same category as the
+    * centroid/schema collects the 100 TB rules allow; at cluster scale
+    * the same bytes ride one broadcast instead of a fact-table shuffle
+    * of non-matching rows.
+    *
+    * Uses Spark's own sketch expressions (BloomFilterAggregate /
+    * BloomFilterMightContain over xxhash64-ed keys) so behavior matches
+    * the engine's runtime filters bit-for-bit.
+    */
+  def bloomPrefilteredJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      estimatedDimKeys: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bloomAgg = new BloomFilterAggregate(
+      new XxHash64(Seq(expression(col(key))), 42L), estimatedDimKeys)
+      .toAggregateExpression()
+    val bloom = dim.select(column(bloomAgg).as("bf")).collect()(0).getAs[Array[Byte]](0)
+    val pruned = fact.filter(column(BloomFilterMightContain(
+      Literal(bloom, org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(expression(col(key))), 42L))))
+    pruned.join(dim, Seq(key))
+  }
 }

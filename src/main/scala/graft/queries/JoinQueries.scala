@@ -199,6 +199,32 @@ object JoinQueries {
           count(lit(1)).as("n_orders"),
           Num.round2(sum("o_totalprice")).as("sum_price"))
         .orderBy("custkey")
+    },
+
+    // Bloom-prefiltered join (Joins.bloomPrefilteredJoin): a selective dim
+    // predicate becomes a Bloom filter pushed into the fact scan BEFORE
+    // the join shuffle — Spark's runtime-filter technique made explicit.
+    // No false negatives, so the result is EXACTLY the plain join's and
+    // the DuckDB oracle is the plain join; OperatorSpec asserts the
+    // pruning actually shrinks the pre-join fact stream.
+    QueryDef(
+      "q_join_bloom",
+      Some("""SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(round(CAST(sum(o_totalprice) AS DECIMAL(28,6)), 2) AS DOUBLE) AS sum_price
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE c_custkey % 50 = 0
+              GROUP BY o_custkey ORDER BY custkey""")) { (s, d) =>
+      val dim = Tables.customer(s, d)
+        .filter(col("c_custkey") % 50 === 0)
+        .select(col("c_custkey").as("custkey"))
+      val fact = Tables.orders(s, d)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      Joins.bloomPrefilteredJoin(fact, dim, "custkey")
+        .groupBy("custkey")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          Num.round2(sum("o_totalprice")).as("sum_price"))
+        .orderBy("custkey")
     }
   )
 }

@@ -109,4 +109,27 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(again == take.select("id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("bloom-prefiltered join equals the plain join and prunes the fact stream") {
+    import spark.implicits._
+    val fact = (0L until 5000L).map(i => (i % 500, i)).toDF("k", "v")
+    val dim = (0L until 500L by 50L).map(k => (k, s"d$k")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).orderBy("k", "v").collect().toSeq
+    val bloomed = Joins.bloomPrefilteredJoin(fact, dim, "k", estimatedDimKeys = 1000)
+      .select("k", "v", "name").orderBy("k", "v").collect().toSeq
+    assert(bloomed == plain)
+    // the pushed might_contain must actually shrink the pre-join stream:
+    // 10 of 500 keys survive, so even with bloom false positives the
+    // pruned fact is a small fraction of the original
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bf = dim.select(column(new BloomFilterAggregate(
+        new XxHash64(Seq(expression(col("k"))), 42L), 1000L).toAggregateExpression()).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val pruned = fact.filter(column(BloomFilterMightContain(
+      Literal(bf, org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(expression(col("k"))), 42L)))).count()
+    assert(pruned < fact.count() / 5, s"pruned=$pruned of 5000")
+  }
 }
