@@ -41,7 +41,8 @@ object Dedup {
     * reach of small ids), and — unlike static min-label propagation, which
     * re-joins the FULL edge set every round — the working graph SHRINKS as
     * cliques become stars, so per-round cost falls off after round one
-    * (measured 6x end-to-end on a 10x corpus). Star centers make the
+    * (measured 11x on isolated CC at a 10x corpus, 117.9 s -> 10.5 s;
+    * parity at 1x). Star centers make the
     * groupBy key skewed by design; partial aggregation absorbs it (min is
     * map-side combinable), and at cluster scale AQE skew handling covers
     * the join. Input: (doc_a, doc_b) pairs; output: (id, root) with
@@ -62,7 +63,7 @@ object Dedup {
     def tracked(df: DataFrame, eager: Boolean): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint(eager)
-      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
     }
     def release(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))

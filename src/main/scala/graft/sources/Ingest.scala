@@ -32,7 +32,7 @@ object Ingest {
     */
   def withSurrogateId(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val withId = df.rdd.zipWithIndex.map { case (row, idx) =>
+    val withId = df.rdd.zipWithIndex().map { case (row, idx) =>
       Row.fromSeq(row.toSeq :+ (idx + 1L))
     }
     spark.createDataFrame(withId, df.schema.add("id", LongType, nullable = false))
@@ -55,13 +55,13 @@ object Ingest {
     * scale (the reference let the DB reject such rows one INSERT at a
     * time). Use [[applyTypesLenient]] for the null-on-bad-value policy. */
   def applyTypes(staged: DataFrame, schema: StructType): DataFrame =
-    staged.select(schema.fields.map(f =>
+    staged.select(schema.fields.toIndexedSeq.map(f =>
       col(f.name).cast(f.dataType).as(f.name)) :+ col("id"): _*)
 
   /** Permissive typing: malformed values become NULL (try_cast) instead of
     * failing the job — the quarantine-and-continue ingest policy. */
   def applyTypesLenient(staged: DataFrame, schema: StructType): DataFrame =
-    staged.select(schema.fields.map(f =>
+    staged.select(schema.fields.toIndexedSeq.map(f =>
       expr(s"try_cast(${f.name} AS ${f.dataType.sql})").as(f.name))
       :+ col("id"): _*)
 }
