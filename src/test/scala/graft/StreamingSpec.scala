@@ -220,4 +220,30 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     val ns = spark.table("sess").collect().map(_.getLong(1)).sorted.toSeq
     assert(ns == Seq(1L, 2L)) // two sessions: {:00,:10} and {:55}
   }
+
+  test("heavy-hitters UDAF runs in a streaming aggregation with incremental state") {
+    import spark.implicits._
+    import graft.functions.HeavyHitters
+    val input = MemoryStream[Ev](spark)
+    val agg = input.toDF()
+      .groupBy("user_id")
+      .agg(HeavyHitters.column(5)(col("event_type")).as("hh"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("hh_stream").start()
+    input.addData((1 to 40).map(i => ev(i, i % 60, typ = "click")))
+    q.processAllAvailable()
+    // second micro-batch shifts the majority item: state must merge, not reset
+    input.addData((41 to 140).map(i => ev(i, i % 60, typ = "view")))
+    q.processAllAvailable()
+    q.stop()
+    val sketch = spark.table("hh_stream")
+      .select(explode(col("hh")).as(Seq("item", "est")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // view: 100 of n=140 -> true > 2n/(k+1)=46.7, guaranteed present with
+    // est >= 100 - 140/6 = 76.7
+    assert(sketch.contains("view"), sketch.toString)
+    assert(sketch("view") >= 77 && sketch("view") <= 100, sketch.toString)
+    // click (40) may or may not survive; if present its estimate is bounded
+    sketch.get("click").foreach(c => assert(c <= 40))
+  }
 }
