@@ -243,6 +243,39 @@ object AggQueries {
         .join(exact, "item")
         .select(col("item"), col("n_item"))
         .orderBy("item")
+    },
+
+    // Grouped top-k via bounded-buffer UDAF (graft.functions.TopKAggregator):
+    // same semantics as the window formulation (q_text_tf — the oracle IS
+    // that query's SQL), but the shuffle carries k entries per group with
+    // map-side partials instead of every row into a per-group sort — the
+    // scale-correct top-k for high-cardinality groups. Total ordering
+    // (n desc, token asc) makes the result deterministic.
+    QueryDef(
+      "q_agg_topk_group",
+      Some("""SELECT lang, token, n, CAST(rn AS BIGINT) AS rn FROM (
+                SELECT lang, token, CAST(count(*) AS BIGINT) AS n,
+                       row_number() OVER (PARTITION BY lang
+                         ORDER BY count(*) DESC, token) AS rn
+                FROM (SELECT lang,
+                             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                                t -> t <> '')) AS token
+                      FROM documents)
+                GROUP BY lang, token)
+              WHERE rn <= 3 ORDER BY lang, rn""")) { (s, d) =>
+      import graft.functions.{TextFunctions => T, TopK}
+      val counts = Tables.documents(s, d)
+        .select(col("lang"), explode(T.tokens(col("text"))).as("token"))
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("n"))
+      counts
+        .groupBy("lang")
+        .agg(TopK.column(3)(col("token"), col("n")).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "entry")))
+        .select(
+          col("lang"), col("entry._1").as("token"), col("entry._2").as("n"),
+          (col("pos") + 1).cast("long").as("rn"))
+        .orderBy("lang", "rn")
     }
   )
 }

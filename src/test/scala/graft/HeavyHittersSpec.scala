@@ -66,4 +66,25 @@ class HeavyHittersSpec extends AnyFunSuite with SparkTest {
     assert(present.contains(("a", "x")))
     assert(present.contains(("b", "p")))
   }
+
+  test("bounded-buffer top-k equals the window formulation exactly") {
+    import spark.implicits._
+    import graft.functions.TopK
+    import org.apache.spark.sql.expressions.Window
+    // 40 groups x 60 distinct keys with duplicate counts and ties
+    val counts = (0 until 2400).map { i =>
+      (s"g${i % 40}", s"k${i % 60}", (i * 7 % 13 + 1).toLong)
+    }.toDF("g", "key", "n").repartition(7)
+    val viaUdaf = counts.groupBy("g")
+      .agg(TopK.column(5)(col("key"), col("n")).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("g"), col("e._1").as("key"), col("e._2").as("n"),
+        (col("pos") + 1).as("rn"))
+      .orderBy("g", "rn").collect().toSeq
+    val w = Window.partitionBy("g").orderBy(col("n").desc, col("key"))
+    val viaWindow = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).select("g", "key", "n", "rn")
+      .orderBy("g", "rn").collect().toSeq
+    assert(viaUdaf == viaWindow)
+  }
 }
