@@ -45,4 +45,26 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTest {
     assert(pruned.count() ==
       events.filter(col("day") === firstDay).count())
   }
+
+  test("typed UDAFs are callable from SQL after GraftFunctions.registerAll") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    (Seq.fill(30)("hot") ++ Seq("a", "b", "c")).toDF("item")
+      .createOrReplaceTempView("items_v")
+    val hh = spark.sql(
+      "SELECT graft_heavy8(item) AS hh FROM items_v")
+      .select(explode(col("hh")).as(Seq("item", "est"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh.contains("hot") && hh("hot") >= 30 - 33 / 9)
+    val top = spark.sql(
+      """SELECT graft_top3(key, n) AS t FROM (
+           SELECT item AS key, count(*) AS n FROM items_v GROUP BY item)""")
+      .select(explode(col("t")).as("e")).select("e._1").collect()
+      .map(_.getString(0)).toSeq
+    assert(top.head == "hot" && top.length == 3)
+    val sig = spark.sql(
+      "SELECT graft_minhash_agg(array('x','y')) AS s FROM items_v LIMIT 1")
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length == 16 && sig.forall(_ != Long.MaxValue))
+  }
 }
