@@ -45,7 +45,12 @@ object SimHash64 {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val h = XxHash64Function.hash(tokens.getUTF8String(i), StringType, 42L)
+      // a null element votes with the unchanged seed, bit-identical to the
+      // HOF formulation where xxhash64(null) folds the accumulator through
+      // untouched (graft_simhash is SQL-exposed, so nulls can reach here)
+      val h =
+        if (tokens.isNullAt(i)) 42L
+        else XxHash64Function.hash(tokens.getUTF8String(i), StringType, 42L)
       var j = 0
       while (j < 64) {
         if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1

@@ -23,8 +23,16 @@ class TopKAggregator(k: Int)
 
   override def zero: Seq[(String, Long)] = Seq.empty
 
-  override def reduce(buf: Seq[(String, Long)], item: (String, Long)): Seq[(String, Long)] =
-    top(buf :+ item)
+  override def reduce(buf: Seq[(String, Long)], item: (String, Long)): Seq[(String, Long)] = {
+    // `top` always returns a sorted buffer, so a full buffer can reject an
+    // item that doesn't beat the current minimum without re-sorting — the
+    // common case once a partition has seen k rows.
+    if (buf.size == k) {
+      val (tailKey, tailN) = buf.last
+      if (item._2 < tailN || (item._2 == tailN && item._1 >= tailKey)) buf
+      else top(buf :+ item)
+    } else top(buf :+ item)
+  }
 
   override def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
     top(a ++ b)

@@ -67,17 +67,25 @@ object Joins {
     * Uses Spark's own sketch expressions (BloomFilterAggregate /
     * BloomFilterMightContain over xxhash64-ed keys) so behavior matches
     * the engine's runtime filters bit-for-bit.
+    *
+    * Sizing: when `estimatedDimKeys` is not given, the filter is sized
+    * from a `count()` of the already-filtered dim side — one extra pass
+    * over the (small, by contract) dim, which at 100 TB is what keeps an
+    * oversized bloom from wasting broadcast bytes and an undersized one
+    * from losing selectivity. Pass an explicit estimate to skip the count
+    * when the caller already knows the cardinality.
     */
   def bloomPrefilteredJoin(
       fact: DataFrame,
       dim: DataFrame,
       key: String,
-      estimatedDimKeys: Long = 1000000L): DataFrame = {
+      estimatedDimKeys: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val nKeys = math.max(1L, estimatedDimKeys.getOrElse(dim.count()))
     val bloomAgg = new BloomFilterAggregate(
-      new XxHash64(Seq(expression(col(key))), 42L), estimatedDimKeys)
+      new XxHash64(Seq(expression(col(key))), 42L), nKeys)
       .toAggregateExpression()
     val bloom = dim.select(column(bloomAgg).as("bf")).collect()(0).getAs[Array[Byte]](0)
     val pruned = fact.filter(column(BloomFilterMightContain(

@@ -263,9 +263,16 @@ object Similarity {
       col("n_toks"), explode(col("toks")).as("token"))
     val freq = toksExp.groupBy("token").agg(count(lit(1)).as("tf"))
     val wDoc = Window.partitionBy("doc_id").orderBy(col("tf"), col("token"))
+    // FP slack (here and in the candidate prunes below): the thresholds are
+    // doubles, so e.g. fl(0.8)*5 = 4.0000000000000004 and a bare ceil/compare
+    // would over-prune a pair whose Jaccard is EXACTLY t. Subtracting 1e-9
+    // before ceil/compare makes every prune conservatively slack — the final
+    // exact-jaccard filter removes any extra candidates, so slack costs
+    // nothing in correctness and keeps the prunes genuinely lossless.
     val prefix = toksExp.join(freq, Seq("token"))
       .withColumn("r", row_number().over(wDoc))
-      .filter(col("r") <= col("n_toks") - ceil(lit(minJaccard) * col("n_toks")) + 1)
+      .filter(col("r") <=
+        col("n_toks") - ceil(lit(minJaccard) * col("n_toks") - lit(1e-9)) + 1)
       .select("doc_id", "lang", "band", "token", "n_toks", "r")
       .localCheckpoint(false) // read by both sides of the candidate join
 
@@ -291,11 +298,12 @@ object Similarity {
     // Without these, shared-vocabulary corpora go quadratic on frequent
     // prefix tokens (measured 52x time at 10x corpus; with them, the
     // candidate stream stays proportional to true near-dup volume).
-    val alpha = ceil(lit(minJaccard / (1 + minJaccard)) * (col("n_a") + col("n_b")))
+    val alpha = ceil(
+      lit(minJaccard / (1 + minJaccard)) * (col("n_a") + col("n_b")) - lit(1e-9))
     val cand = a.join(b, Seq("lang", "band", "token"))
       .filter(col("doc_a") < col("doc_b"))
-      .filter(col("n_b") >= lit(minJaccard) * col("n_a") &&
-        col("n_a") >= lit(minJaccard) * col("n_b"))
+      .filter(col("n_b") >= lit(minJaccard) * col("n_a") - lit(1e-9) &&
+        col("n_a") >= lit(minJaccard) * col("n_b") - lit(1e-9))
       .filter(lit(1) + least(col("n_a") - col("r_a"), col("n_b") - col("r_b")) >= alpha)
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")

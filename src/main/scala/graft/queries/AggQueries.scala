@@ -68,7 +68,8 @@ object AggQueries {
 
     // Approximate distinct via HyperLogLog++ — the 100 TB substitute for
     // exact distinct. No DuckDB oracle (different sketch); the driver
-    // records a rows-only check and AggSpec asserts tolerance vs exact.
+    // records a rows-only check and EntrySpec asserts the estimate lands
+    // within 3x the configured rsd of the exact per-group counts.
     QueryDef("q_agg_approx", None) { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -219,10 +220,12 @@ object AggQueries {
     // per-item shuffle" primitive. Determinism contract making this
     // oracle-checkable: MG guarantees any item with true count > 2n/(k+1)
     // is emitted (est >= true - n/(k+1) > n/(k+1)) and any item with
-    // true count <= n/(k+1) never is (est <= true); o_orderstatus has 3
-    // values at ~n/3 each with k=7, so the (n/8, n/4] indeterminate band
-    // is empty and the emitted SET is exact. Sketch estimates are
-    // merge-order-dependent, so the output joins back to exact counts.
+    // true count <= n/(k+1) never is (est <= true). TPC-H o_orderstatus
+    // splits ~48.6% 'F' / ~48.7% 'O' / ~2.6% 'P'; with k=7 the
+    // indeterminate band (n/8, n/4] is empty because F and O sit far
+    // above n/4 and P far below n/8, so the emitted SET is exact. Sketch
+    // estimates are merge-order-dependent, so the output joins back to
+    // exact counts.
     QueryDef(
       "q_agg_heavy",
       Some("""WITH t AS (SELECT count(*) AS n FROM orders)

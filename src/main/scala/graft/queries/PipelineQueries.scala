@@ -38,9 +38,18 @@ object PipelineQueries {
     // Catalog-schema CSV ingest with resume (the reference's Entry 2 in
     // full): schema from MANAGE_PHYSICAL_COLUMN-shaped rows, header skip,
     // per-partition surrogate ids, resume filter at start_idx=2.
-    // No DuckDB oracle (file fixture, not a shared table); IngestSpec
-    // asserts exact rows.
-    QueryDef("q_scan_csv", None) { (s, d) =>
+    // Oracle: DuckDB read_csv over the same fixture with all_varchar (the
+    // staging read is untyped by design) — the fixture is monotone in
+    // STN_ID, so row_number() ORDER BY STN_ID reproduces the file-order
+    // surrogate id deterministically. IngestSpec still asserts exact rows.
+    QueryDef(
+      "q_scan_csv",
+      Some("""SELECT * FROM (
+                SELECT STN_ID, STN_NAME, MEA_DATE, MEA_VALUE,
+                       CAST(row_number() OVER (ORDER BY STN_ID) AS BIGINT) AS id
+                FROM read_csv('/root/repo/src/test/resources/fixtures/tmp_dataset.csv',
+                              header=true, all_varchar=true))
+              WHERE id > 2 ORDER BY id""")) { (s, d) =>
       import s.implicits._
       val catalogRows = Seq(
         (1, "STN_ID", "NUMBER", 1),

@@ -177,12 +177,17 @@ object SimilarityQueries {
     // group with map-side merge, so the shuffle is constant-size per group.
     // No oracle (hash-family specific); SchemaInferSpec proves grouped ==
     // per-row signature of the concatenated tokens and split invariance.
+    // The signature is emitted as a comma-joined scalar string (not the raw
+    // array<bigint>) so downstream row-level tooling can sort/hash the
+    // column; the spec exercises the array form directly via the UDAF.
     QueryDef("q_dedup_minhash_grouped", None) { (s, d) =>
       Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("lang"), T.tokens(col("text")).as("toks"))
         .groupBy("lang")
-        .agg(MinHashAggregator.column(16)(col("toks")).as("sig"))
+        .agg(MinHashAggregator.column(16)(col("toks")).as("sig_arr"))
+        .select(col("lang"),
+          array_join(col("sig_arr").cast("array<string>"), ",").as("sig"))
         .orderBy("lang")
     },
 

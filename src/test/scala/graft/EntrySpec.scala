@@ -22,6 +22,25 @@ class EntrySpec extends AnyFunSuite with SparkTest {
     assert(names.distinct.size == names.size)
   }
 
+  test("q_agg_approx: HLL estimate within tolerance of exact distinct per group") {
+    import org.apache.spark.sql.functions._
+    // approx_count_distinct's default rsd is 0.05; HLL++ error is
+    // probabilistic but deterministic for fixed data, so 3*rsd is a
+    // stable, non-flaky band at any sf.
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n_exact"))
+    val approx = SparkEntry.queries("q_agg_approx")(spark, sf)
+    val joined = approx.join(exact, "l_returnflag").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val est = r.getAs[Long]("approx_parts").toDouble
+      val ex = r.getAs[Long]("n_exact").toDouble
+      assert(math.abs(est - ex) / ex <= 0.15,
+        s"${r.getString(0)}: approx $est vs exact $ex off by ${math.abs(est - ex) / ex}")
+    }
+  }
+
   test("representative queries from each family execute and return rows") {
     val sample = Seq(
       "q_agg_group", "q_join_asof", "q_win_latest", "q_set_except",

@@ -115,7 +115,7 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     val fact = (0L until 5000L).map(i => (i % 500, i)).toDF("k", "v")
     val dim = (0L until 500L by 50L).map(k => (k, s"d$k")).toDF("k", "name")
     val plain = fact.join(dim, Seq("k")).orderBy("k", "v").collect().toSeq
-    val bloomed = Joins.bloomPrefilteredJoin(fact, dim, "k", estimatedDimKeys = 1000)
+    val bloomed = Joins.bloomPrefilteredJoin(fact, dim, "k", estimatedDimKeys = Some(1000L))
       .select("k", "v", "name").orderBy("k", "v").collect().toSeq
     assert(bloomed == plain)
     // the pushed might_contain must actually shrink the pre-join stream:
