@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.operators.Enrich
-import graft.sources.{Audit, CatalogSchema, Ingest, SchemaInfer, UrlTemplating}
+import graft.sources.{Audit, CatalogSchema, Ingest, Jdbc, SchemaInfer, UrlTemplating}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampType}
 import scala.jdk.CollectionConverters._
@@ -270,6 +270,38 @@ object PipelineQueries {
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "zv")
         .orderBy("zv", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
         .limit(5000)
+    },
+
+    // JDBC round trip (sources/Jdbc): nation is batch-written to an
+    // embedded Derby database (Spark's bundled metastore engine — the
+    // offline stand-in for the reference's RDBMS), then read back as a
+    // range-partitioned JDBC scan (MIN/MAX probe + 4 parallel range
+    // queries) and aggregated. The oracle is the same aggregate over the
+    // parquet nation table, so a hash match proves the sink wrote every
+    // row faithfully and the partitioned source lost/duplicated none at
+    // the range seams. Spark's JDBC writer quotes the column DDL, so
+    // names come back in their original lowercase.
+    QueryDef(
+      "q_jdbc_roundtrip",
+      Some("""SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+                     min(n_name) AS first_name,
+                     CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+              FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")) { (s, d) =>
+      val url = s"jdbc:derby:memory:graft_${Integer.toHexString(d.hashCode)};create=true"
+      val driver = Some("org.apache.derby.jdbc.EmbeddedDriver")
+      Jdbc.ensureLoaded(
+        Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey"),
+        s, url, "nation_rt", driver,
+        // Derby maps StringType to CLOB by default, which cannot be
+        // compared/aggregated — pin a comparable type for the name column
+        columnTypes = Some("n_name VARCHAR(64)"))
+      Jdbc.readPartitioned(s, url, "nation_rt", "n_nationkey", 4, driver)
+        .groupBy("n_regionkey")
+        .agg(
+          count(lit(1)).as("n_nations"),
+          min("n_name").as("first_name"),
+          sum("n_nationkey").as("key_sum"))
+        .orderBy("n_regionkey")
     }
   )
 }
