@@ -39,15 +39,18 @@ object PipelineQueries {
     // full): schema from MANAGE_PHYSICAL_COLUMN-shaped rows, header skip,
     // per-partition surrogate ids, resume filter at start_idx=2.
     // Oracle: DuckDB read_csv over the same fixture with all_varchar (the
-    // staging read is untyped by design) — the fixture is monotone in
-    // STN_ID, so row_number() ORDER BY STN_ID reproduces the file-order
-    // surrogate id deterministically. IngestSpec still asserts exact rows.
+    // staging read is untyped by design) — the fixture's STN_ID is a
+    // unique integer increasing in file order, so row_number() ordered by
+    // the *numeric* value of STN_ID reproduces the file-order surrogate id
+    // deterministically (numeric cast, not lexicographic: '9' < '10' must
+    // hold if the fixture ever gains IDs of differing digit lengths).
+    // IngestSpec still asserts exact rows.
     QueryDef(
       "q_scan_csv",
-      Some("""SELECT * FROM (
+      Some(s"""SELECT * FROM (
                 SELECT STN_ID, STN_NAME, MEA_DATE, MEA_VALUE,
-                       CAST(row_number() OVER (ORDER BY STN_ID) AS BIGINT) AS id
-                FROM read_csv('/root/repo/src/test/resources/fixtures/tmp_dataset.csv',
+                       CAST(row_number() OVER (ORDER BY CAST(STN_ID AS BIGINT)) AS BIGINT) AS id
+                FROM read_csv('$fixtureCsv',
                               header=true, all_varchar=true))
               WHERE id > 2 ORDER BY id""")) { (s, d) =>
       import s.implicits._

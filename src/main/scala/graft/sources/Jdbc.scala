@@ -71,6 +71,14 @@ object Jdbc {
       .jdbc(url, s"""(SELECT MIN("$partCol") lo, MAX("$partCol") hi FROM $table) b""",
         props(driver))
       .collect()(0)
+    // An empty table probes to (NULL, NULL) — there is nothing to range-
+    // partition, so fall back to a plain unpartitioned read (correct schema,
+    // zero rows) instead of NPEing on the null bound.
+    if (bounds.isNullAt(0) || bounds.isNullAt(1)) {
+      val r0 = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+      driver.foreach(r0.option("driver", _))
+      return r0.load()
+    }
     val (lo, hi) = (bounds.getAs[Number](0).longValue, bounds.getAs[Number](1).longValue)
     val r = spark.read
       .format("jdbc")
