@@ -30,5 +30,6 @@ object Registry {
       graft.queries.CorpusQueries.defs ++
       graft.queries.SimilarityQueries.defs ++
       graft.queries.StreamShapeQueries.defs ++
-      graft.queries.PipelineQueries.defs
+      graft.queries.PipelineQueries.defs ++
+      graft.queries.ScaleQueries.defs
 }

@@ -66,6 +66,34 @@ object Tables {
       (ordsT, custT)
     })
 
+  // Partitioned-events memo: events written to a parquet layout partitioned
+  // by event_type, once per (session, dir). Backs the partition-pruning
+  // queries; Bench pre-builds it in warmup (same policy as the bucketed pair).
+  private val partitionedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  def partitionedEvents(s: SparkSession, d: String): String =
+    partitionedCache.computeIfAbsent((s, d), { _ =>
+      val path = s"/tmp/graft_events_bytype_${Integer.toHexString(d.hashCode)}"
+      graft.sources.Warehouse.writePartitioned(events(s, d), path, Seq("event_type"))
+      path
+    })
+
+  private val partitionedDayCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Events partitioned by calendar day — the incremental-ingest layout
+    * (one directory per day, replaced wholesale on re-ingest). */
+  def partitionedEventsByDay(s: SparkSession, d: String): String =
+    partitionedDayCache.computeIfAbsent((s, d), { _ =>
+      import org.apache.spark.sql.functions.{col, date_format}
+      val path = s"/tmp/graft_events_byday_${Integer.toHexString(d.hashCode)}"
+      graft.sources.Warehouse.writePartitioned(
+        events(s, d).withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd")),
+        path, Seq("event_date"))
+      path
+    })
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot differencing — change-data-capture without a log.
+  *
+  * The reference re-ingests whole datasets and tracks only a high-water
+  * row offset (`START_IDX`, data_seoul_2_csv_noopenapi.py:74-79,115),
+  * which misses updates and deletes entirely. At warehouse scale the
+  * standard recovery is snapshot diff: full-outer-join yesterday's and
+  * today's extracts on the business key and classify each key as
+  * insert / delete / update / unchanged.
+  */
+object Cdc {
+
+  /** Diff two snapshots sharing a schema. Returns one row per key present
+    * in either side, with `change_type` ∈ insert|delete|update|unchanged.
+    *
+    * Non-key columns are compared as a single struct with null-safe
+    * semantics (`<=>`): a value flipping to/from NULL counts as an update,
+    * not silently unchanged.
+    *
+    * Scale shape: ONE full-outer shuffle join on the key — both sides
+    * partition by hash(key), no broadcast requirement, AQE handles skew.
+    * Downstreams usually aggregate by change_type (map-side partials) or
+    * anti-filter `unchanged`, so nothing widens after the join.
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val nonKeys = oldSnap.columns.filterNot(keys.contains).toSeq
+    require(nonKeys.nonEmpty, "snapshotDiff needs at least one non-key column")
+    def packed(df: DataFrame, as: String) =
+      df.select(keys.map(col) :+ struct(nonKeys.map(col): _*).as(as): _*)
+    packed(oldSnap, "__o")
+      .join(packed(newSnap, "__n"), keys, "full_outer")
+      .select(
+        keys.map(col) :+
+          when(col("__o").isNull, lit("insert"))
+            .when(col("__n").isNull, lit("delete"))
+            .when(!(col("__o") <=> col("__n")), lit("update"))
+            .otherwise(lit("unchanged"))
+            .as("change_type"): _*)
+  }
+}

@@ -93,4 +93,68 @@ object Joins {
       new XxHash64(Seq(expression(col(key))), 42L))))
     pruned.join(dim, Seq(key))
   }
+
+  /** Salted equi join for skewed fact keys: the dim side is replicated
+    * `salts` times (one copy per salt value) and each fact row picks a
+    * deterministic salt from `saltSource`, so one hot key's rows spread
+    * over `salts` shuffle partitions instead of landing on one reducer.
+    * The join condition becomes (key, salt) — semantically identical to
+    * the plain key join (every fact row still meets every dim row of its
+    * key exactly once), which is what makes the plain join the oracle.
+    *
+    * This is the manual form of AQE's skew-join splitting for when the
+    * skew is known up front (AQE only splits post-shuffle; salting also
+    * spreads the map-side hash build). Dim replication costs `salts`× the
+    * dim size — use for small-dim/large-skewed-fact shapes only.
+    *
+    * `saltSource` must be deterministic per fact row (e.g. a row id), so
+    * retried tasks recompute the same salt.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      salts: Int,
+      saltSource: Column): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val saltedFact = fact.withColumn("__salt", pmod(xxhash64(saltSource), lit(salts.toLong)))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Interval-overlap join: left rows carry an interval [lStart, lEnd],
+    * right rows an instant rTime; emits every (left, right) pair with
+    * lStart <= rTime <= lEnd, each exactly once.
+    *
+    * Formulation: both sides are bucketed onto a `binSeconds`-wide time
+    * grid — the left exploded over every bin its interval touches, the
+    * right assigned its single bin — and the non-equi predicate runs as a
+    * *filter after a bucket equi-join*. The shuffle is hash(bin), so two
+    * large sides co-partition by time locality instead of falling into a
+    * cartesian nested-loop (the fate of a raw theta join when neither side
+    * is broadcastable). Each right instant lives in exactly one bin and
+    * the left covers each touched bin once, so no pair dedup is needed.
+    *
+    * Pick `binSeconds` near the typical interval length: fan-out per left
+    * row is `len/binSeconds + 1` bins, and bin population bounds the
+    * per-partition compare cost.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: Column,
+      lEnd: Column,
+      rTime: Column,
+      binSeconds: Long): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    // floor(), not `/`: Column./ on longs is double division, and sequence()
+    // needs exact integral bounds
+    def bin(t: Column) = floor(unix_micros(t) / lit(binUs))
+    val lb = left.withColumn("__bin", explode(sequence(bin(lStart), bin(lEnd))))
+    val rb = right.withColumn("__bin", bin(rTime))
+    lb.join(rb, Seq("__bin"))
+      .filter(rTime >= lStart && rTime <= lEnd)
+      .drop("__bin")
+  }
 }

@@ -1,0 +1,261 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.Num
+import graft.operators.{Cdc, Joins, Privacy, StringJoin}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse-scale operations surface — SURVEY.md §2.11.
+  *
+  * Operators a 100 TB deployment needs that the reference's
+  * single-threaded re-ingest scripts sidestep entirely: skew-safe joins,
+  * time-interval joins, snapshot CDC, partition-pruned layouts, idempotent
+  * partition replacement, k-anonymity release gates, edit-distance string
+  * matching, and URL canonicalization for web-corpus dedup.
+  */
+object ScaleQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Salted join under extreme key skew: ~85% of events hash to one hot
+    // key (value < 150 -> key 0). The plain join puts the hot key on ONE
+    // reducer; Joins.saltedJoin spreads it over 8 via a (key, salt)
+    // composite. Result is semantically the plain join -> plain-join oracle.
+    QueryDef(
+      "q_join_skew",
+      Some("""SELECT n.n_name,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(round(CAST(sum(e.value) AS DECIMAL(28,6)), 2) AS DOUBLE) AS sum_value
+              FROM events e
+              JOIN nation n
+                ON (CASE WHEN e.value < 150 THEN 0 ELSE e.user_id % 25 END) = n.n_nationkey
+              GROUP BY n.n_name ORDER BY n.n_name""")) { (s, d) =>
+      val fact = Tables.events(s, d)
+        .withColumn("nkey",
+          when(col("value") < 150, lit(0L)).otherwise(col("user_id") % 25))
+      val dim = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("nkey"), col("n_name"))
+      Joins.saltedJoin(fact, dim, "nkey", salts = 8, saltSource = col("event_id"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_events"), Num.round2(sum("value")).as("sum_value"))
+        .orderBy("n_name")
+    },
+
+    // Interval-overlap join: clicks landing inside the 30 minutes after a
+    // high-value purchase. Two large sides, non-equi time predicate — the
+    // bucketed formulation shuffles both sides by hash(time bin) instead
+    // of nested-looping (Joins.intervalJoin).
+    QueryDef(
+      "q_join_interval",
+      Some("""SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_clicks
+              FROM events p JOIN events c
+                ON CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+               AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+              WHERE p.event_type = 'purchase' AND p.value > 90
+                AND c.event_type = 'click'
+              GROUP BY p.event_id ORDER BY p.event_id""")) { (s, d) =>
+      val purchases = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("value") > 90)
+        .select(col("event_id"), col("ts").as("p_ts"))
+      val clicks = Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("ts").as("c_ts"))
+      Joins.intervalJoin(
+          purchases, clicks,
+          lStart = col("p_ts"),
+          lEnd = col("p_ts") + expr("INTERVAL 30 MINUTES"),
+          rTime = col("c_ts"),
+          binSeconds = 1800L)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_clicks"))
+        .orderBy("event_id")
+    },
+
+    // Snapshot CDC: diff yesterday's and today's extracts on the business
+    // key. Synthetic snapshots derived deterministically from orders:
+    // yesterday misses keys ending in 3, today misses keys ending in 7 and
+    // reprices keys ending in 0 — so every change class is populated.
+    QueryDef(
+      "q_cdc_diff",
+      Some("""WITH o AS (SELECT * FROM orders WHERE o_orderkey % 10 != 3),
+                   n AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                                CASE WHEN o_orderkey % 10 = 0
+                                     THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+                                o_orderdate, o_orderpriority
+                         FROM orders WHERE o_orderkey % 10 != 7)
+              SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                          WHEN n.o_orderkey IS NULL THEN 'delete'
+                          WHEN o.o_totalprice != n.o_totalprice THEN 'update'
+                          ELSE 'unchanged' END AS change_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(min(coalesce(o.o_orderkey, n.o_orderkey)) AS BIGINT) AS min_key,
+                     CAST(max(coalesce(o.o_orderkey, n.o_orderkey)) AS BIGINT) AS max_key
+              FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+              GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val yesterday = orders.filter(col("o_orderkey") % 10 =!= 3)
+      val today = orders.filter(col("o_orderkey") % 10 =!= 7)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")))
+      Cdc.snapshotDiff(yesterday, today, Seq("o_orderkey"))
+        .groupBy("change_type")
+        .agg(
+          count(lit(1)).as("n"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+        .orderBy("change_type")
+    },
+
+    // Edit-distance near-dup over the part-name vocabulary via PassJoin
+    // segment blocking (StringJoin.editDistancePairs) — the character-level
+    // member of the near-dup family. Vocabulary-first is the scale shape:
+    // the pair space collapses from rows to distinct strings.
+    QueryDef(
+      "q_dedup_editdist",
+      Some("""WITH v AS (SELECT DISTINCT p_name AS nm FROM part WHERE length(p_name) >= 2),
+                   p AS (SELECT a.nm AS x, b.nm AS y FROM v a JOIN v b ON a.nm < b.nm
+                         WHERE levenshtein(a.nm, b.nm) <= 1)
+              SELECT CASE WHEN length(y) < length(x) THEN y ELSE x END AS name_a,
+                     CASE WHEN length(y) < length(x) THEN x ELSE y END AS name_b,
+                     CAST(levenshtein(x, y) AS BIGINT) AS dist
+              FROM p ORDER BY name_a, name_b""")) { (s, d) =>
+      StringJoin.editDistancePairs(
+          Tables.part(s, d).select(col("p_name")), "p_name", maxDist = 1)
+        .select(
+          col("left").as("name_a"),
+          col("right").as("name_b"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("name_a", "name_b")
+    },
+
+    // k-anonymity release gate on the order book: QI = (priority, order
+    // year, 20k price band); groups smaller than k=10 are suppressed into
+    // one '*' bucket (Privacy.kAnonymize). Output: released group sizes.
+    QueryDef(
+      "q_anon_k",
+      Some("""WITH g AS (
+                SELECT o_orderpriority AS prio,
+                       CAST(year(o_orderdate) AS VARCHAR) AS yr,
+                       CAST(CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS VARCHAR) AS band,
+                       count(*) OVER (PARTITION BY o_orderpriority,
+                                      year(o_orderdate),
+                                      floor(o_totalprice / 20000.0)) AS gsize
+                FROM orders)
+              SELECT CASE WHEN gsize < 10 THEN '*' ELSE prio END AS prio,
+                     CASE WHEN gsize < 10 THEN '*' ELSE yr END AS yr,
+                     CASE WHEN gsize < 10 THEN '*' ELSE band END AS band,
+                     CAST(count(*) AS BIGINT) AS n_rows
+              FROM g GROUP BY 1, 2, 3 ORDER BY prio, yr, band""")) { (s, d) =>
+      val qi = Tables.orders(s, d).select(
+        col("o_orderpriority").as("prio"),
+        year(col("o_orderdate")).cast("string").as("yr"),
+        floor(col("o_totalprice") / 20000.0).cast("long").cast("string").as("band"))
+      Privacy.kAnonymize(qi, Seq("prio", "yr", "band"), k = 10)
+        .groupBy("prio", "yr", "band")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("prio", "yr", "band")
+    },
+
+    // Partition-pruned scan: events laid out as one directory per
+    // event_type; a reader filtering on the partition column touches only
+    // that directory (PartitionFilters — asserted on the physical plan in
+    // ScaleOpsSpec). Oracle = the same aggregate over the flat table.
+    QueryDef(
+      "q_part_prune",
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                     CAST(round(CAST(sum(value) AS DECIMAL(28,6)), 2) AS DOUBLE) AS sum_value
+              FROM events WHERE event_type = 'purchase'""")) { (s, d) =>
+      val path = Tables.partitionedEvents(s, d)
+      s.read.parquet(path)
+        .filter(col("event_type") === "purchase")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct("user_id").as("n_users"),
+          Num.round2(sum("value")).as("sum_value"))
+    },
+
+    // Idempotent partition replacement: re-ingest ONE day into the by-day
+    // layout with dynamic partition overwrite — only that directory is
+    // rewritten, a re-run converges to the same table (the scale-out form
+    // of the reference's offset-resume, which can only append). The query
+    // re-executes the overwrite every run and then audits the whole table.
+    QueryDef(
+      "q_part_overwrite",
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(round(CAST(sum(value) AS DECIMAL(28,6)), 2) AS DOUBLE) AS sum_value
+              FROM events GROUP BY 1 ORDER BY day""")) { (s, d) =>
+      val path = Tables.partitionedEventsByDay(s, d)
+      // recompute one day and swap just its partition (idempotent: the
+      // rewritten rows equal the originals)
+      Tables.events(s, d)
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+        .filter(col("event_date") === "2024-01-05")
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date")
+        .parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("event_date").cast("string").as("day"))
+        .agg(count(lit(1)).as("n"), Num.round2(sum("value")).as("sum_value"))
+        .orderBy("day")
+    },
+
+    // URL canonicalization for web-corpus dedup: lowercase scheme+host,
+    // strip tracking params and fragments, then group — the standard first
+    // pass before content near-dup. URLs are built deterministically from
+    // doc fields (the corpus has no URL column), canonicalized with
+    // RE2-portable regexes that run identically in both engines.
+    QueryDef(
+      "q_url_canon",
+      Some("""WITH raw AS (
+                SELECT 'HTTPS://WWW.' || upper(source) || '.Example.COM/d/'
+                       || CAST(doc_id % 10 AS VARCHAR)
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '?utm_source=feed&utm_campaign=' || lang
+                                    || '&ref=' || CAST(doc_id % 2 AS VARCHAR)
+                               WHEN doc_id % 3 = 1
+                               THEN '?ref=' || CAST(doc_id % 2 AS VARCHAR) || '&utm_medium=rss'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END AS url
+                FROM documents),
+                   canon AS (
+                SELECT url,
+                       regexp_replace(regexp_replace(
+                         lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([^/]*//[^/]+)', 1))
+                           || regexp_replace(regexp_replace(url, '#.*$', ''), '^[^/]*//[^/]+', ''),
+                         'utm_[a-z]+=[^&]*&?', '', 'g'), '[?&]+$', '', 'g') AS curl
+                FROM raw)
+              SELECT curl, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+              FROM canon GROUP BY curl ORDER BY curl""")) { (s, d) =>
+      val raw = Tables.documents(s, d).select(
+        concat(
+          lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM/d/"),
+          (col("doc_id") % 10).cast("string"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("?utm_source=feed&utm_campaign="), col("lang"),
+              lit("&ref="), (col("doc_id") % 2).cast("string")))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("?ref="), (col("doc_id") % 2).cast("string"),
+                lit("&utm_medium=rss")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("#top")).otherwise(lit(""))).as("url"))
+      val noFrag = regexp_replace(col("url"), "#.*$", "")
+      val canon = raw.withColumn("curl",
+        regexp_replace(
+          regexp_replace(
+            concat(
+              lower(regexp_extract(noFrag, "^([^/]*//[^/]+)", 1)),
+              regexp_replace(noFrag, "^[^/]*//[^/]+", "")),
+            "utm_[a-z]+=[^&]*&?", ""),
+          "[?&]+$", ""))
+      canon.groupBy("curl")
+        .agg(count(lit(1)).as("n_docs"), countDistinct("url").as("n_variants"))
+        .orderBy("curl")
+    }
+  )
+}

@@ -1,0 +1,158 @@
+package graft
+
+import graft.operators.{Cdc, Joins, Privacy, StringJoin}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Round-4 scale operators: equivalence-to-naive properties on generated
+  * data plus the physical-plan facts the oracle can't see (partition
+  * pruning, salt spreading, one-directory overwrite).
+  */
+class ScaleOpsSpec extends AnyFunSuite with SparkTest {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("saltedJoin == plain join on generated skewed data") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val fact = (1 to 5000).map { i =>
+      (i.toLong, if (rnd.nextDouble() < 0.8) 3L else rnd.nextInt(20).toLong)
+    }.toDF("row_id", "k")
+    val dim = (0L to 19L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).groupBy("name").count()
+    val salted = Joins.saltedJoin(fact, dim, "k", salts = 6, saltSource = col("row_id"))
+      .groupBy("name").count()
+    assert(salted.orderBy("name").collect() === plain.orderBy("name").collect())
+  }
+
+  test("saltedJoin spreads the hot key over multiple shuffle partitions") {
+    import spark.implicits._
+    val fact = (1 to 4000).map(i => (i.toLong, 0L)).toDF("row_id", "k") // all-hot
+    val dim = Seq((0L, "hot")).toDF("k", "name")
+    val salted = Joins.saltedJoin(fact, dim, "k", salts = 4, saltSource = col("row_id"))
+    // count distinct (k, salt) reducer keys the hot key occupies: the fact
+    // side of the join shuffles on pmod(xxhash64(row_id), 4) ∈ 4 values
+    val spread = fact
+      .withColumn("salt", pmod(xxhash64(col("row_id")), lit(4L)))
+      .select("salt").distinct().count()
+    assert(spread === 4L)
+    assert(salted.count() === 4000L)
+  }
+
+  test("intervalJoin == brute-force theta join on generated intervals") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    // timestamps across ~3 hours; intervals 0-40 min long (bin = 15 min:
+    // intervals span 1-4 bins, exercising multi-bin explode + seam cases)
+    val lefts = (1 to 300).map { i =>
+      val st = 1700000000000000L + rnd.nextInt(10800) * 1000000L
+      (i.toLong, st, st + rnd.nextInt(2400) * 1000000L)
+    }.toDF("lid", "st_us", "en_us")
+      .select(col("lid"), timestamp_micros(col("st_us")).as("st"),
+        timestamp_micros(col("en_us")).as("en"))
+    val rights = (1 to 500).map { j =>
+      (j.toLong, 1700000000000000L + rnd.nextInt(12000) * 1000000L)
+    }.toDF("rid", "t_us")
+      .select(col("rid"), timestamp_micros(col("t_us")).as("t"))
+    val got = Joins.intervalJoin(lefts, rights,
+        col("st"), col("en"), col("t"), binSeconds = 900L)
+      .select("lid", "rid")
+    val want = lefts.join(rights, col("t") >= col("st") && col("t") <= col("en"))
+      .select("lid", "rid")
+    assert(got.count() === want.count())
+    assert(got.except(want).count() === 0L)
+    assert(want.except(got).count() === 0L)
+    // exactly-once: no pair duplicated by the bin explode
+    assert(got.distinct().count() === got.count())
+  }
+
+  test("editDistancePairs == brute force over random strings (PassJoin lossless)") {
+    import spark.implicits._
+    val rnd = new Random(13)
+    val alphabet = "abc" // small alphabet -> dense near-pairs
+    def randStr() = (1 to (3 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(3))).mkString
+    val vocab = (1 to 400).map(_ => randStr()).distinct.toDF("s")
+    for (d <- Seq(1, 2)) {
+      val got = StringJoin.editDistancePairs(vocab, "s", maxDist = d)
+        .select("left", "right")
+      val v2 = vocab.select(col("s").as("t"))
+      val want = vocab.crossJoin(v2)
+        .filter(col("s") < col("t") && length(col("s")) >= d + 1 && length(col("t")) >= d + 1)
+        .filter(levenshtein(col("s"), col("t")) <= d)
+        .select(
+          when(length(col("t")) < length(col("s")), col("t")).otherwise(col("s")).as("left"),
+          when(length(col("t")) < length(col("s")), col("s")).otherwise(col("t")).as("right"))
+      assert(got.except(want).count() === 0L, s"false pairs at d=$d")
+      assert(want.except(got).count() === 0L, s"missed pairs at d=$d")
+    }
+  }
+
+  test("snapshotDiff classifies insert/delete/update/unchanged; self-diff is all unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, null.asInstanceOf[String], 40.0))
+      .toDF("k", "v1", "v2")
+    val nw = Seq((2L, "b", 20.0), (3L, "c2", 30.0), (4L, "now-set", 40.0), (5L, "e", 50.0))
+      .toDF("k", "v1", "v2")
+    val diff = Cdc.snapshotDiff(old, nw, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff === Map(1L -> "delete", 2L -> "unchanged", 3L -> "update",
+      4L -> "update", 5L -> "insert")) // null -> value counts as update
+    val self = Cdc.snapshotDiff(old, old, Seq("k"))
+    assert(self.filter(col("change_type") =!= "unchanged").count() === 0L)
+  }
+
+  test("kAnonymize: every released QI group has >= k rows; suppressed rows are starred") {
+    import spark.implicits._
+    val rnd = new Random(17)
+    val rows = (1 to 2000).map { i =>
+      (i.toLong, s"g${rnd.nextInt(40)}", s"h${rnd.nextInt(5)}")
+    }.toDF("id", "qa", "qb")
+    val k = 12
+    val out = Privacy.kAnonymize(rows, Seq("qa", "qb"), k)
+    val released = out.filter(!col("anon_suppressed"))
+      .groupBy("qa", "qb").count()
+    assert(released.filter(col("count") < k).count() === 0L)
+    val starred = out.filter(col("anon_suppressed"))
+    assert(starred.filter(col("qa") =!= "*" || col("qb") =!= "*").count() === 0L)
+    // row conservation
+    assert(out.count() === 2000L)
+  }
+
+  test("q_part_prune plan prunes partitions: scan lists only the filtered directory") {
+    val path = Tables.partitionedEvents(spark, sf)
+    val pruned = spark.read.parquet(path).filter(col("event_type") === "purchase")
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    val parts = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+    val dirs = parts.flatMap(_.files.map(_.getPath.getParent.getName)).distinct
+    assert(dirs === Seq("event_type=purchase"),
+      s"expected one pruned partition dir, scanned: $dirs")
+    assert(scan.partitionFilters.nonEmpty, "partition filters missing from scan")
+  }
+
+  test("dynamic partition overwrite touches only the targeted day's directory") {
+    val path = Tables.partitionedEventsByDay(spark, sf)
+    def listDay(day: String): Map[String, Long] = {
+      val dir = new java.io.File(s"$path/event_date=$day")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val otherBefore = listDay("2024-01-10")
+    Tables.events(spark, sf)
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .filter(col("event_date") === "2024-01-05")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_date")
+      .parquet(path)
+    assert(listDay("2024-01-10") === otherBefore,
+      "untargeted partition was rewritten by dynamic overwrite")
+    // the table still holds every day (overwrite replaced, didn't truncate)
+    val days = spark.read.parquet(path).select("event_date").distinct().count()
+    assert(days === 30L)
+  }
+}
