@@ -186,4 +186,56 @@ object Streams {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
   }
+
+  /** Streaming corpus ingest with near-dup admission control: every
+    * micro-batch is checked against the persisted band table
+    * (Similarity.incrementalNearDup) and only fresh documents are admitted
+    * — their bands appended to the state, their ids logged. The state is k
+    * longs per admitted doc; corpus text is never retained or rescanned —
+    * the 100 TB streaming-dedup shape.
+    *
+    * Replay-idempotent without generation copies: each batch writes its
+    * bands and admit log under a `batch=<id>` partition directory with
+    * overwrite (a crashed batch replays over its own directory), and the
+    * "existing corpus" read excludes partitions >= the current batch id, so
+    * a replayed batch cannot collide with its own earlier half-write.
+    *
+    * `docs` must be a streaming (id, shingles: array<string>) frame.
+    * Cross-batch dedup only: in-batch near-dups are the batch operators'
+    * job (compose minhashCandidatePairs over the batch before the sink if
+    * arrival bursts can contain internal duplicates).
+    */
+  def dedupIngestSink(
+      docs: DataFrame,
+      bandStatePath: String,
+      admittedPath: String,
+      k: Int,
+      nBands: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist() // read twice: dup probe + admit anti-join
+        val existing = scala.util.Try(
+            spark.read.parquet(bandStatePath)
+              .filter(col("batch") < batchId)
+              .select("id", "band_idx", "band_hash"))
+          .getOrElse(graft.operators.Similarity.bandTable(b.limit(0), k, nBands))
+        val dupIds = graft.operators.Similarity
+          .incrementalNearDup(existing, b, k, nBands)
+          .select("id").distinct()
+        val admitted = b.join(dupIds, Seq("id"), "left_anti")
+        graft.operators.Similarity.bandTable(admitted, k, nBands)
+          .write.mode("overwrite").parquet(s"$bandStatePath/batch=$batchId")
+        admitted.select("id")
+          .write.mode("overwrite").parquet(s"$admittedPath/batch=$batchId")
+        b.unpersist()
+        ()
+      }
+      .start()
+
+  /** All doc ids admitted by [[dedupIngestSink]] so far, with the batch
+    * that admitted each. */
+  def admittedDocs(spark: SparkSession, admittedPath: String): DataFrame =
+    spark.read.parquet(admittedPath)
 }

@@ -246,4 +246,40 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     // click (40) may or may not survive; if present its estimate is bounded
     sketch.get("click").foreach(c => assert(c <= 40))
   }
+
+  test("streaming dedup ingest admits only docs fresh vs the persisted corpus") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    val bandPath = java.nio.file.Files
+      .createTempDirectory("graft-ingest-bands").toString + "/bands"
+    val admitPath = java.nio.file.Files
+      .createTempDirectory("graft-ingest-admit").toString + "/admitted"
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDF().toDF("id", "text")
+      .select(col("id"), T.ngrams(T.tokens(col("text")), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val q = Streams.dedupIngestSink(docs, bandPath, admitPath, k = 16, nBands = 4)
+    // batch 0: all fresh
+    input.addData(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "spark shuffles partitions across the cluster respecting locality")))
+    q.processAllAvailable()
+    // batch 1: near-dup of doc 1 (one token appended) + one fresh doc
+    input.addData(Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (101L, "entirely fresh content mentioning gardens and rivers flowing")))
+    q.processAllAvailable()
+    // batch 2: near-dup of a doc admitted in batch 1 — state accreted
+    input.addData(Seq(
+      (200L, "entirely fresh content mentioning gardens and rivers flowing too")))
+    q.processAllAvailable()
+    q.stop()
+    val admitted = Streams.admittedDocs(spark, admitPath)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(1L, 2L, 101L), s"admitted: $admitted")
+    // band state holds exactly the admitted docs' bands (k/nBands rows each)
+    val stateIds = spark.read.parquet(bandPath).select("id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(stateIds === Set(1L, 2L, 101L))
+  }
 }
