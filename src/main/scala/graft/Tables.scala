@@ -42,18 +42,28 @@ object Tables {
     countCache.computeIfAbsent((spark, dir, name),
       key => table(key._1, key._2, key._3).count())
 
+  /** Collision-free filesystem/table tag for a data dir: the sanitized
+    * FULL path (not a 32-bit hashCode, which can collide across dirs and
+    * corrupt shared /tmp layouts — round-4 advice) plus the JVM pid, so
+    * concurrent PROCESSES over the same dir (Verify alongside Bench) each
+    * own their layout instead of racing one overwrite. */
+  private def dirTag(d: String): String =
+    d.replaceAll("[^A-Za-z0-9]", "_") +
+      "_p" + java.lang.ProcessHandle.current().pid()
+
   // Bucketed-pair memo (orders/customer on custkey): the one-time warehouse
   // prep a recurring co-located join amortizes at 100 TB. Built at most once
-  // per (session, dir). Bench invokes this during warmup so its timed body
-  // measures the JOIN, not the table build; the query body calls it too, so
-  // Verify and ad-hoc use stay self-contained.
+  // per (session, dir) — catalog tables are session-scoped objects. Bench
+  // invokes this during warmup so its timed body measures the JOIN, not the
+  // table build; the query body calls it too, so Verify and ad-hoc use stay
+  // self-contained.
   private val bucketedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
 
   def bucketedOrdersCustomer(s: SparkSession, d: String): (String, String) =
     bucketedCache.computeIfAbsent((s, d), { _ =>
       import org.apache.spark.sql.functions.col
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = dirTag(d)
       val (ordsT, custT) = (s"graft_orders_bkt_$tag", s"graft_cust_bkt_$tag")
       if (!s.catalog.tableExists(ordsT))
         graft.sources.Warehouse.writeBucketed(
@@ -67,27 +77,30 @@ object Tables {
     })
 
   // Partitioned-events memo: events written to a parquet layout partitioned
-  // by event_type, once per (session, dir). Backs the partition-pruning
-  // queries; Bench pre-builds it in warmup (same policy as the bucketed pair).
+  // by event_type. Keyed by DIR ONLY (the layout is a pure function of the
+  // source data — two sessions over the same dir share it safely), and the
+  // path embeds the collision-free dirTag, so distinct dirs can never
+  // overwrite each other's layout. Backs the partition-pruning queries;
+  // Bench pre-builds it in warmup (same policy as the bucketed pair).
   private val partitionedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def partitionedEvents(s: SparkSession, d: String): String =
-    partitionedCache.computeIfAbsent((s, d), { _ =>
-      val path = s"/tmp/graft_events_bytype_${Integer.toHexString(d.hashCode)}"
+    partitionedCache.computeIfAbsent(d, { _ =>
+      val path = s"/tmp/graft_events_bytype_${dirTag(d)}"
       graft.sources.Warehouse.writePartitioned(events(s, d), path, Seq("event_type"))
       path
     })
 
   private val partitionedDayCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Events partitioned by calendar day — the incremental-ingest layout
     * (one directory per day, replaced wholesale on re-ingest). */
   def partitionedEventsByDay(s: SparkSession, d: String): String =
-    partitionedDayCache.computeIfAbsent((s, d), { _ =>
+    partitionedDayCache.computeIfAbsent(d, { _ =>
       import org.apache.spark.sql.functions.{col, date_format}
-      val path = s"/tmp/graft_events_byday_${Integer.toHexString(d.hashCode)}"
+      val path = s"/tmp/graft_events_byday_${dirTag(d)}"
       graft.sources.Warehouse.writePartitioned(
         events(s, d).withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd")),
         path, Seq("event_date"))

@@ -16,19 +16,23 @@ import org.apache.spark.sql.expressions.Aggregator
   * merge is element-wise min — so partial aggregation is map-side and the
   * shuffle carries k longs per group regardless of group cardinality.
   */
-class MinHashAggregator(k: Int)
+class MinHashAggregator(k: Int, portable: Boolean = false)
     extends Aggregator[Seq[String], Array[Long], Seq[Long]] {
 
-  /** Same per-(token, seed) hash family as MinHash.signature (xxhash64 of
-    * the token with the seed hashed alongside) so grouped and per-row
-    * signatures are comparable. */
-  private def hash(token: String, seed: Int): Long = {
-    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-      org.apache.spark.unsafe.types.UTF8String.fromString(token),
-      org.apache.spark.sql.types.StringType, 42L)
-    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-      seed, org.apache.spark.sql.types.IntegerType, h)
-  }
+  /** Default: same per-(token, seed) hash family as MinHash.signature
+    * (xxhash64 of the token with the seed hashed alongside) so grouped and
+    * per-row signatures are comparable. Portable: the md5-derived affine
+    * family (Portable.h48Jvm), reproducible by the DuckDB oracle. */
+  private def hash(token: String, seed: Int): Long =
+    if (portable)
+      (Portable.a(seed) * Portable.h48Jvm(token) + Portable.b(seed)) % Portable.P
+    else {
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(token),
+        org.apache.spark.sql.types.StringType, 42L)
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        seed, org.apache.spark.sql.types.IntegerType, h)
+    }
 
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
@@ -63,8 +67,9 @@ class MinHashAggregator(k: Int)
 
 object MinHashAggregator {
   /** Column form, registered over a token-array column via udaf(). */
-  def column(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+  def column(k: Int, portable: Boolean = false)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(
-      new MinHashAggregator(k),
+      new MinHashAggregator(k, portable),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]())
 }

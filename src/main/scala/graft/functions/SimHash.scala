@@ -35,4 +35,32 @@ object SimHash {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** Portable 63-bit SimHash per id: token votes from the md5 32-bit
+    * halves (graft.functions.Portable), aggregated as 63 codegen'd
+    * conditional sums over an exploded token stream — one shuffle on the
+    * id, reproducible by the DuckDB oracle (PortableSql.simhashOracle).
+    * Ids whose token array is empty get fingerprint 0 (no votes).
+    *
+    * The explode+groupBy shape (rather than 63 `aggregate` HOFs per row) is
+    * also the scale posture: votes partially aggregate map-side, and a
+    * pathological 1 GB document costs 63 running sums, not 63 array scans.
+    */
+  def simhashPortable(df: org.apache.spark.sql.DataFrame, idCol: String,
+      tokens: Column): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens).as("__t"))
+      .withColumn("__m", md5(col("__t")))
+      .select(col(idCol),
+        conv(substring(col("__m"), 1, 8), 16, 10).cast("long").as("__hi"),
+        conv(substring(col("__m"), 9, 8), 16, 10).cast("long").as("__lo"))
+    val votes = Portable.simhashVoteCols(col("__hi"), col("__lo"))
+      .zipWithIndex.map { case (v, j) => sum(v).as(s"__v$j") }
+    val fp = tok.groupBy(idCol)
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), Portable.simhashFromVotes(
+        (0 until Portable.SimHashBits).map(j => col(s"__v$j"))).as("simhash"))
+    df.select(col(idCol))
+      .join(fp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"))
+  }
 }

@@ -8,53 +8,181 @@ import org.apache.spark.sql.functions._
   * Media (image/audio/video) travels as an opaque `binary` column plus
   * typed metadata; decode / feature-extract / frame-sample run as typed
   * mapPartitions stages so each partition amortizes decoder setup (the
-  * Scala analogue of batch-at-a-time Pandas UDFs). The actual codecs are
-  * NOT available in this environment, so [[DecodeStub]] is a clearly-marked
-  * deterministic fake; the Spark-side contract — schema, partitioning,
-  * batch iteration shape — is real and tested (MultimodalSpec).
+  * Scala analogue of batch-at-a-time Pandas UDFs). Header decode for
+  * PNG / BMP / WAV is REAL pure-JVM byte parsing ([[HeaderCodec]]); only
+  * full pixel/sample decode of compressed codecs (JPEG, video containers)
+  * is out of scope in this container — such payloads sniff as "unknown".
   */
 object Multimodal {
 
   /** A media payload: id + raw bytes + declared kind ("image"/"audio"/...). */
   case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
 
-  /** Decoded feature row (shape the real decoder would emit). */
+  /** Decoded feature row: sniffed container format + header metadata.
+    * Image fields are zero for audio and vice versa; all-zero with format
+    * "unknown" when the payload matches no supported container. */
   case class MediaFeatures(
       media_id: Long,
       kind: String,
+      format: String,  // sniffed from magic bytes: png | bmp | wav | unknown
       n_bytes: Long,
-      width: Int,      // stub: derived, a real decoder reads the header
+      width: Int,
       height: Int,
-      n_frames: Int,
+      sample_rate: Int,
+      channels: Int,
+      n_samples: Long,
       checksum: Long)
 
-  /** STUB DECODER — deterministic fake standing in for an image/audio
-    * codec (none installed in this container). Field values are pure
-    * functions of the payload bytes so tests are reproducible; swap this
-    * object for a real codec binding without touching the pipeline. */
-  object DecodeStub {
-    def decode(r: MediaRecord): MediaFeatures = {
-      val n = r.payload.length
-      val sum = r.payload.foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
-      MediaFeatures(
-        media_id = r.media_id,
-        kind = r.kind,
-        n_bytes = n.toLong,
-        width = 16 + (math.abs(sum) % 1024).toInt,
-        height = 16 + (math.abs(sum / 7) % 1024).toInt,
-        n_frames = if (r.kind == "video") 1 + n % 64 else 1,
-        checksum = sum)
+  /** Real pure-JVM header codec for PNG, BMP and WAV — byte-level parsing
+    * of the published container layouts, no external libraries:
+    *
+    *  - PNG (W3C spec): 8-byte signature, IHDR first chunk; width/height
+    *    are big-endian u32 at data offsets 0/4; the IHDR CRC32 is VERIFIED
+    *    (java.util.zip.CRC32) so corrupt headers sniff as unknown.
+    *  - BMP (BITMAPINFOHEADER): "BM" magic, little-endian i32 width/height
+    *    at offsets 18/22 (height may be negative = top-down; abs taken).
+    *  - WAV (RIFF): chunk WALK (not fixed offsets — an INFO/LIST chunk
+    *    before "fmt " is legal), little-endian fields; sample count =
+    *    data size / block align.
+    *
+    * The matching ENCODERS exist for fixtures/tests: they write fully
+    * valid files (PNG includes a real zlib-deflated IDAT), so the parser
+    * is exercised against spec-conformant bytes, and any external PNG/BMP/
+    * WAV file decodes identically. */
+  object HeaderCodec {
+    case class Parsed(format: String, width: Int, height: Int,
+        sampleRate: Int, channels: Int, nSamples: Long)
+
+    private val PngSig =
+      Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def ascii(b: Array[Byte], o: Int, s: String): Boolean =
+      b.length >= o + s.length && s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
+
+    def parse(b: Array[Byte]): Option[Parsed] =
+      parsePng(b).orElse(parseBmp(b)).orElse(parseWav(b))
+
+    private def parsePng(b: Array[Byte]): Option[Parsed] = {
+      if (b.length < 33 || !PngSig.indices.forall(i => b(i) == PngSig(i))) return None
+      if (be32(b, 8) != 13L || !ascii(b, 12, "IHDR")) return None
+      val crc = new java.util.zip.CRC32
+      crc.update(b, 12, 17) // chunk type + 13 data bytes
+      if (crc.getValue != be32(b, 29)) return None
+      Some(Parsed("png", be32(b, 16).toInt, be32(b, 20).toInt, 0, 0, 0L))
+    }
+
+    private def parseBmp(b: Array[Byte]): Option[Parsed] = {
+      if (b.length < 26 || !ascii(b, 0, "BM")) return None
+      if (le32(b, 14) < 40L) return None // BITMAPINFOHEADER or later
+      Some(Parsed("bmp", le32(b, 18).toInt, math.abs(le32(b, 22).toInt), 0, 0, 0L))
+    }
+
+    private def parseWav(b: Array[Byte]): Option[Parsed] = {
+      if (b.length < 12 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE")) return None
+      var off = 12
+      var rate = 0; var chans = 0; var blockAlign = 0; var dataSize = -1L
+      while (off + 8 <= b.length && (rate == 0 || dataSize < 0)) {
+        val size = le32(b, off + 4)
+        if (ascii(b, off, "fmt ") && off + 24 <= b.length) {
+          chans = le16(b, off + 10)
+          rate = le32(b, off + 12).toInt
+          blockAlign = le16(b, off + 20)
+        } else if (ascii(b, off, "data")) dataSize = size
+        off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      if (rate == 0 || dataSize < 0 || blockAlign == 0) None
+      else Some(Parsed("wav", 0, 0, rate, chans, dataSize / blockAlign))
+    }
+
+    // ---- encoders (fixture/test side): spec-conformant files ----------
+
+    /** Fully valid 24-bit PNG of black pixels: signature + IHDR + one
+      * zlib-deflated IDAT (real java.util.zip.Deflater) + IEND, all CRCs
+      * correct — decodable by any standard PNG reader. */
+    def encodePng(width: Int, height: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        val len = data.length
+        out.write(Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte,
+          (len >>> 8).toByte, len.toByte))
+        val body = typ.getBytes("US-ASCII") ++ data
+        out.write(body)
+        val crc = new java.util.zip.CRC32
+        crc.update(body)
+        val c = crc.getValue
+        out.write(Array[Byte]((c >>> 24).toByte, (c >>> 16).toByte,
+          (c >>> 8).toByte, c.toByte))
+      }
+      out.write(PngSig)
+      chunk("IHDR", Array[Byte](
+        (width >>> 24).toByte, (width >>> 16).toByte, (width >>> 8).toByte, width.toByte,
+        (height >>> 24).toByte, (height >>> 16).toByte, (height >>> 8).toByte, height.toByte,
+        8, 2, 0, 0, 0)) // bit depth 8, color type 2 (truecolor)
+      val raw = new Array[Byte](height * (1 + width * 3)) // filter byte + RGB rows
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](8192)
+      val z = new java.io.ByteArrayOutputStream()
+      while (!deflater.finished()) z.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      chunk("IDAT", z.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    /** Valid 24-bit BMP (BITMAPINFOHEADER) of black pixels, rows padded
+      * to 4-byte boundaries per spec. */
+    def encodeBmp(width: Int, height: Int): Array[Byte] = {
+      val rowSize = ((width * 3 + 3) / 4) * 4
+      val dataSize = rowSize * height
+      val fileSize = 54 + dataSize
+      val h = java.nio.ByteBuffer.allocate(54)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      h.put('B'.toByte).put('M'.toByte).putInt(fileSize).putInt(0).putInt(54)
+      h.putInt(40).putInt(width).putInt(height)
+        .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      h.array() ++ new Array[Byte](dataSize)
+    }
+
+    /** Valid 16-bit PCM WAV of silence. */
+    def encodeWav(sampleRate: Int, channels: Int, nSamples: Long): Array[Byte] = {
+      val blockAlign = channels * 2
+      val dataSize = (nSamples * blockAlign).toInt
+      val h = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      h.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+      h.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort).putShort(16)
+      h.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      h.array() ++ new Array[Byte](dataSize)
     }
   }
 
-  /** Decode a media Dataset partition-at-a-time. One decoder per partition
-    * (setup cost amortized), rows streamed — never materialize a partition
-    * in memory. */
+  /** Decode a media Dataset partition-at-a-time: REAL header parse
+    * ([[HeaderCodec]]) for PNG/BMP/WAV; unsupported containers sniff as
+    * "unknown" with zeroed metadata. One decoder per partition (setup
+    * amortized), rows streamed — never materialize a partition in memory. */
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real impl: open codec context here, close after the iterator
-      it.map(DecodeStub.decode)
+      it.map { r =>
+        val sum = r.payload.foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
+        val p = HeaderCodec.parse(r.payload)
+          .getOrElse(HeaderCodec.Parsed("unknown", 0, 0, 0, 0, 0L))
+        MediaFeatures(r.media_id, r.kind, p.format, r.payload.length.toLong,
+          p.width, p.height, p.sampleRate, p.channels, p.nSamples, sum)
+      }
     }
   }
 
@@ -107,4 +235,27 @@ object Multimodal {
       col("doc_id").as("media_id"),
       lit(kind).as("kind"),
       encode(col("text"), "UTF-8").as("payload"))
+
+  /** Fixture with REAL format payloads: each document becomes a valid
+    * PNG / BMP / WAV (doc_id mod 3) whose header fields are pure arithmetic
+    * in (doc_id, n_chars) — so a DuckDB oracle predicts the decoded
+    * metadata while the engine actually round-trips spec-conformant bytes
+    * through [[HeaderCodec]]. Dims are capped (<=64) to bound payload size;
+    * encoding runs distributed in a typed map, one buffer per row. */
+  def plantedMedia(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nc) =>
+        (id % 3) match {
+          case 0 => MediaRecord(id, "image",
+            HeaderCodec.encodePng((id % 64 + 1).toInt, (nc % 64 + 1).toInt))
+          case 1 => MediaRecord(id, "image",
+            HeaderCodec.encodeBmp((id % 64 + 1).toInt, (nc % 64 + 1).toInt))
+          case _ => MediaRecord(id, "audio",
+            HeaderCodec.encodeWav(8000 + (id % 8000).toInt,
+              1 + (id % 2).toInt, nc % 1000 + 1))
+        }
+      }
+  }
 }

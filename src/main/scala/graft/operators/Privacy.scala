@@ -31,10 +31,20 @@ object Privacy {
     val w = Window.partitionBy(qiCols.map(col): _*)
     val sized = df.withColumn("__gsize", count(lit(1)).over(w))
     val suppressed = col("__gsize") < k
-    qiCols.foldLeft(sized) { (acc, c) =>
+    val starred = qiCols.foldLeft(sized) { (acc, c) =>
         acc.withColumn(c, when(suppressed, lit("*")).otherwise(col(c)))
       }
       .withColumn("anon_suppressed", suppressed)
       .drop("__gsize")
+    // The '*' bucket is itself a QI group: if FEWER than k rows were
+    // suppressed in total, releasing them would violate the k floor the
+    // operator promises (they are already maximally generalized, so the
+    // only sound move is to drop them). The gate is a broadcast scalar —
+    // one tiny aggregate, no extra wide shuffle.
+    val nSup = starred.filter(col("anon_suppressed"))
+      .agg(count(lit(1)).as("__nsup"))
+    starred.crossJoin(broadcast(nSup))
+      .filter(!col("anon_suppressed") || col("__nsup") >= k)
+      .drop("__nsup")
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{MinHash, VectorFunctions => V}
+import graft.functions.{MinHash, Portable, VectorFunctions => V}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -44,10 +44,16 @@ object Similarity {
     if (((mixed >>> 8) & 1L) == 0L) 1.0 else -1.0
   }
 
-  /** nBits-bit signed-random-projection bucket id for a vector column. */
-  def srpBucket(vec: Column, dim: Int, nBits: Int): Column = {
+  /** nBits-bit signed-random-projection bucket id for a vector column.
+    * `portable = true` derives the hyperplane signs from md5 instead of the
+    * JVM integer mix (Portable.srpSign) — identical runtime cost (signs are
+    * plan-time literals either way) but reproducible by the DuckDB oracle,
+    * whose checked BIGINT arithmetic cannot replay the wrapping mix. */
+  def srpBucket(vec: Column, dim: Int, nBits: Int, portable: Boolean = false): Column = {
+    val sign: (Int, Int) => Double =
+      if (portable) Portable.srpSign else hyperplaneSign
     val bits: Seq[Column] = (0 until nBits).map { j =>
-      val plane = array((0 until dim).map(i => lit(hyperplaneSign(j, i))): _*)
+      val plane = array((0 until dim).map(i => lit(sign(j, i))): _*)
       when(V.dot(vec, plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
@@ -80,10 +86,11 @@ object Similarity {
       dim: Int,
       nBits: Int,
       minCosine: Double,
-      multiProbe: Boolean = false): DataFrame = {
+      multiProbe: Boolean = false,
+      portable: Boolean = false): DataFrame = {
     // exchange on the join key: materializes the bucket bits once instead
     // of letting CollapseProject recompute 16 dot products per joined row
-    val bucketed = emb.withColumn("bucket", srpBucket(col("v"), dim, nBits))
+    val bucketed = emb.withColumn("bucket", srpBucket(col("v"), dim, nBits, portable))
       .repartition(col("bucket"))
     val a = bucketed.select(
       col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"))
@@ -325,14 +332,30 @@ object Similarity {
   def bandTable(
       docs: DataFrame, // (id, shingles: array<string>)
       k: Int,
-      nBands: Int): DataFrame = {
+      nBands: Int,
+      portable: Boolean = false): DataFrame = {
     val rowsPerBand = k / nBands
-    docs.repartition(col("id"))
-      .withColumn("sig", MinHash.signatureNative(col("shingles"), k))
-      .select(col("id"),
-        posexplode(MinHash.bands(col("sig"), nBands, rowsPerBand))
-          .as(Seq("band_idx", "band_hash")))
+    val signed = signShingles(docs, k, portable)
+    val bandExpr =
+      if (portable) Portable.bandKeys(col("sig"), nBands, rowsPerBand)
+      else MinHash.bands(col("sig"), nBands, rowsPerBand)
+    signed.select(col("id"),
+      posexplode(bandExpr).as(Seq("band_idx", "band_hash")))
   }
+
+  /** (id, shingles) -> (id, [hs,] sig): signature behind an id-hash
+    * exchange so CollapseProject cannot inline the (expensive) signature
+    * expression into downstream joins. Portable mode md5-hashes each
+    * shingle ONCE before the exchange; the k components are affine maps of
+    * that one base-hash array (graft.functions.Portable). */
+  private def signShingles(docs: DataFrame, k: Int, portable: Boolean): DataFrame =
+    if (portable)
+      docs.withColumn("hs", transform(col("shingles"), Portable.h48(_)))
+        .repartition(col("id"))
+        .withColumn("sig", Portable.minhashFromHashes(col("hs"), k))
+    else
+      docs.repartition(col("id"))
+        .withColumn("sig", MinHash.signatureNative(col("shingles"), k))
 
   /** Incremental near-dup: which incoming docs collide with the EXISTING
     * corpus, joining the new batch's bands against the persisted
@@ -344,8 +367,9 @@ object Similarity {
       existingBands: DataFrame, // (id, band_idx, band_hash)
       incoming: DataFrame,      // (id, shingles: array<string>)
       k: Int,
-      nBands: Int): DataFrame = {
-    val inBands = bandTable(incoming, k, nBands)
+      nBands: Int,
+      portable: Boolean = false): DataFrame = {
+    val inBands = bandTable(incoming, k, nBands, portable)
     inBands.join(
         existingBands.select(col("id").as("matched_id"),
           col("band_idx"), col("band_hash")),
@@ -361,25 +385,27 @@ object Similarity {
       docs: DataFrame,
       k: Int,
       nBands: Int,
-      minEstJaccard: Double): DataFrame = {
+      minEstJaccard: Double,
+      portable: Boolean = false): DataFrame = {
     val rowsPerBand = k / nBands
-    // Barrier between shingling and signing: without it CollapseProject
-    // substitutes the caller's shingle expression into each of the k
-    // signature components and the (interpreted) shingling runs k times
-    // per row. The exchange materializes shingles once and spreads the
-    // hashing across the cluster.
-    val signed = docs.repartition(col("id"))
-      .withColumn("sig", MinHash.signatureNative(col("shingles"), k))
+    // Barrier between shingling and signing (inside signShingles): without
+    // it CollapseProject substitutes the caller's shingle expression into
+    // each of the k signature components and the (interpreted) shingling
+    // runs k times per row. The exchange materializes shingles once and
+    // spreads the hashing across the cluster.
+    val signed = signShingles(docs, k, portable)
     // The repartition is load-bearing, not a tuning knob: without an
     // exchange, CollapseProject inlines the signature expression into the
     // self-join and recomputes the full MinHash PER CANDIDATE PAIR (360s at
     // sf0.1). The exchange materializes signatures once, and because it
     // hash-partitions on the join keys the join adds no further shuffle.
+    val bandExpr =
+      if (portable) Portable.bandKeys(col("sig"), nBands, rowsPerBand)
+      else MinHash.bands(col("sig"), nBands, rowsPerBand)
     val banded = signed
       .select(
         col("id"), col("sig"),
-        posexplode(MinHash.bands(col("sig"), nBands, rowsPerBand))
-          .as(Seq("band_idx", "band_hash")))
+        posexplode(bandExpr).as(Seq("band_idx", "band_hash")))
       .repartition(col("band_idx"), col("band_hash"))
     val a = banded.select(
       col("band_idx"), col("band_hash"),

@@ -1,0 +1,225 @@
+package graft.queries
+
+import graft.functions.{Num, Portable}
+
+/** DuckDB-SQL builders mirroring [[graft.functions.Portable]] — the oracle
+  * side of the portable hash family. Every snippet computes bit-identical
+  * values to the Spark expressions (md5 is the shared primitive; the rest is
+  * exact integer arithmetic), so the driver's DuckDB check can verify the
+  * minhash / simhash / SRP-LSH queries exactly instead of `no_oracle`.
+  *
+  * Float caveat (documented, accepted): the SRP bucket sign and the l2/cosine
+  * ranking compare DOUBLE sums across engines whose summation order may
+  * differ in the last ULP. A value within ~1e-12 of a decision boundary
+  * (dot == 0, two equal distances, cosine == threshold) could in principle
+  * flip — same accepted risk class as the jaccard band-boundary note in
+  * Similarity.jaccardNearDupPairs.
+  */
+object PortableSql {
+
+  private val P = Portable.P
+  private val MaxLong = Long.MaxValue
+
+  /** Parse `len` leading hex chars of SQL string expr `h` into a BIGINT.
+    * `v` names the lambda variable (keep distinct when nesting). */
+  def hexParse(h: String, len: Int, v: String = "hxi"): String =
+    s"""list_sum(list_transform(generate_series(1, $len), $v -> CAST(strpos('0123456789abcdef', substring($h, $v, 1)) - 1 AS BIGINT) * CAST(power(16, $len - $v) AS BIGINT)))"""
+
+  /** 48-bit base hash of SQL string expr `s` — mirrors Portable.h48. */
+  def h48(s: String): String = hexParse(s"md5($s)", 12)
+
+  /** Whitespace tokens, lowercased, empties removed — mirrors
+    * TextFunctions.tokens (same snippet the jaccard oracle uses). */
+  def toks(textCol: String): String =
+    s"""list_filter(string_split_regex(lower($textCol), '\\s+'), x -> x <> '')"""
+
+  /** Space-joined token 3-grams over token-array COLUMN `t` — mirrors
+    * TextFunctions.ngrams(_, 3). Pass a column name (re-evaluated 4x). */
+  def shingles3(t: String): String =
+    s"""list_transform(generate_series(1, GREATEST(len($t) - 2, 0)), g3 -> $t[g3] || ' ' || $t[g3 + 1] || ' ' || $t[g3 + 2])"""
+
+  /** MinHash component j over pre-hashed array column `hs` —
+    * mirrors Portable.minhashFromHashes (empty array -> Long.MaxValue). */
+  def minhashComp(j: Int, hs: String): String =
+    s"coalesce(list_min(list_transform($hs, mh -> (${Portable.a(j)} * mh + ${Portable.b(j)}) % $P)), $MaxLong)"
+
+  /** Full k-component signature as a SQL list literal. */
+  def sigList(hs: String, k: Int): String =
+    (0 until k).map(minhashComp(_, hs)).mkString("[", ", ", "]")
+
+  /** Comma-joined band key for band `bi` of signature column `sig`. */
+  def bandKey(sig: String, bi: Int, rowsPerBand: Int): String =
+    (0 until rowsPerBand)
+      .map(r => s"CAST($sig[${bi * rowsPerBand + r + 1}] AS VARCHAR)")
+      .mkString(" || ',' || ")
+
+  /** CTE body exploding a `sig` table (id, sig) into (id, sig, b, bkey). */
+  def bandsUnion(nBands: Int, rowsPerBand: Int): String =
+    (0 until nBands).map { bi =>
+      s"SELECT id, sig, $bi AS b, ${bandKey("sig", bi, rowsPerBand)} AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+
+  /** Shared CTE prefix for the shingle-minhash family: documents ->
+    * shingles -> base hashes -> signatures -> exploded band keys.
+    * Tables produced: f(id, sh), sig(id, sig), bands(id, sig, b, bkey). */
+  def minhashCtes(k: Int, nBands: Int): String = {
+    val rpb = k / nBands
+    s"""t AS (SELECT doc_id AS id, ${toks("text")} AS tk FROM documents),
+        sh AS (SELECT id, ${shingles3("tk")} AS sh FROM t),
+        f AS (SELECT id, sh FROM sh WHERE len(sh) > 0),
+        h AS (SELECT id, list_transform(sh, s -> ${h48("s")}) AS hs FROM f),
+        sig AS (SELECT id, ${sigList("hs", k)} AS sig FROM h),
+        bands AS (${bandsUnion(nBands, rpb)})"""
+  }
+
+  /** Estimated jaccard between sig columns `sa`/`sb` (fraction equal). */
+  def estJaccard(sa: String, sb: String, k: Int): String =
+    s"list_sum(list_transform(generate_series(1, $k), ei -> CASE WHEN $sa[ei] = $sb[ei] THEN 1 ELSE 0 END)) / $k.0"
+
+  /** Cosine similarity of two array<double> columns — sequential-sum
+    * spelling, mirrors VectorFunctions.cosine (outputs are round2'ed). */
+  def cosine(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($a)), ci -> $a[ci] * $b[ci])) / (sqrt(list_sum(list_transform($a, cx -> cx * cx))) * sqrt(list_sum(list_transform($b, cx -> cx * cx))))"""
+
+  /** Squared L2 distance — sqrt-free (ordering-equivalent to l2Dist). */
+  def l2Sq(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), li -> ($a[li] - $b[li]) * ($a[li] - $b[li])))"
+
+  /** SRP bucket of vector column `v` with a dynamic bit count `nbitsExpr`
+    * (SQL scalar) — mirrors Similarity.srpBucket(portable = true). */
+  def srpBucket(v: String, nbitsExpr: String): String =
+    s"""list_sum(list_transform(generate_series(0, CAST($nbitsExpr AS BIGINT) - 1), sj -> CASE WHEN list_sum(list_transform(generate_series(1, 64), si -> $v[si] * (CASE WHEN strpos('01234567', substring(md5('srp_' || CAST(sj AS VARCHAR) || '_' || CAST(si - 1 AS VARCHAR)), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END))) > 0 THEN CAST(power(2, sj) AS BIGINT) ELSE 0 END))"""
+
+  /** lshNBits as SQL over a row count scalar — mirrors Similarity.lshNBits
+    * (ceil(log2(max(1, n/64))) clamped to [4, 24]; exact-power inputs agree
+    * because log2 of an exact power of two is exact in IEEE double). */
+  def lshNBits(countExpr: String): String =
+    s"LEAST(24, GREATEST(4, CAST(ceil(log2(GREATEST($countExpr // 64, 1))) AS BIGINT)))"
+
+  /** Shared CTEs for the SRP-LSH family over embeddings: e(vec_id, v),
+    * bk(vec_id, v, bucket) with corpus-sized dynamic bit count. */
+  def srpCtes: String =
+    s"""n AS (SELECT ${lshNBits("count(*)")} AS nbits FROM embeddings),
+        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        bk AS (SELECT vec_id, v, ${srpBucket("v", "(SELECT nbits FROM n)")} AS bucket FROM e)"""
+
+  /** Hamming-<=1 candidate pairs with exact cosine — the oracle answer for
+    * lshBucketJoin(multiProbe = true): candidate iff buckets equal or differ
+    * in exactly one bit; survivors iff cosine >= threshold. */
+  def srpPairs(minCosine: Double): String =
+    s"""p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosine("a.v", "b.v")} AS cos
+              FROM bk a JOIN bk b
+                ON a.vec_id < b.vec_id
+               AND bit_count(xor(a.bucket, b.bucket)) <= 1)
+        , kept AS (SELECT id_a, id_b, cos FROM p WHERE cos >= $minCosine)"""
+
+  // ---- full oracle statements ------------------------------------------
+
+  /** q_dedup_minhash: banded candidate pairs with est_jaccard >= 0.5. */
+  def minhashPairsOracle(k: Int, nBands: Int, minEst: Double): String =
+    s"""WITH ${minhashCtes(k, nBands)},
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.b = b.b AND a.bkey = b.bkey AND a.id < b.id),
+        est AS (SELECT c.id_a, c.id_b, ${estJaccard("sa.sig", "sb.sig", k)} AS ej
+                FROM cand c
+                JOIN sig sa ON sa.id = c.id_a
+                JOIN sig sb ON sb.id = c.id_b)
+        SELECT id_a, id_b, ${Num.oracleRound2("ej")} AS est_jaccard
+        FROM est WHERE ej >= $minEst ORDER BY id_a, id_b"""
+
+  /** q_dedup_incremental: incoming (id%5=0) vs existing band-table join. */
+  def incrementalOracle(k: Int, nBands: Int): String =
+    s"""WITH ${minhashCtes(k, nBands)}
+        SELECT DISTINCT i.id AS id, e.id AS matched_id
+        FROM bands i JOIN bands e
+          ON i.b = e.b AND i.bkey = e.bkey
+        WHERE i.id % 5 = 0 AND e.id % 5 <> 0
+        ORDER BY id, matched_id"""
+
+  /** q_dedup_minhash_grouped: one signature per lang over all its docs'
+    * tokens, emitted as the comma-joined component string. */
+  def groupedMinhashOracle(k: Int): String = {
+    val mins = (0 until k)
+      .map(j => s"min((${Portable.a(j)} * h + ${Portable.b(j)}) % $P) AS s$j")
+      .mkString(", ")
+    val sigStr = (0 until k)
+      .map(j => s"CAST(coalesce(s$j, $MaxLong) AS VARCHAR)")
+      .mkString(", ")
+    s"""WITH tok AS (SELECT lang, unnest(${toks("text")}) AS t FROM documents),
+        h AS (SELECT lang, ${h48("t")} AS h FROM tok),
+        m AS (SELECT lang, $mins FROM h GROUP BY lang),
+        l AS (SELECT DISTINCT lang FROM documents)
+        SELECT l.lang, concat_ws(',', $sigStr) AS sig
+        FROM l LEFT JOIN m ON l.lang = m.lang
+        ORDER BY l.lang"""
+  }
+
+  /** q_dedup_simhash: 63-bit portable simhash + same-fingerprint counts. */
+  def simhashOracle: String = {
+    val votes = (0 until Portable.SimHashBits).map { j =>
+      val bit = if (j < 32) s"((lo >> $j) & 1)" else s"((hi >> ${j - 32}) & 1)"
+      s"sum(CASE WHEN $bit = 1 THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(", ")
+    val fp = (0 until Portable.SimHashBits)
+      .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(${toks("text")}) AS t FROM documents),
+        md AS (SELECT doc_id, md5(t) AS m FROM tok),
+        hl AS (SELECT doc_id, ${hexParse("substring(m, 1, 8)", 8)} AS hi,
+                              ${hexParse("substring(m, 9, 8)", 8, "hxj")} AS lo FROM md),
+        v AS (SELECT doc_id, $votes FROM hl GROUP BY doc_id),
+        fp AS (SELECT doc_id, $fp AS fp FROM v),
+        j AS (SELECT d.doc_id, CAST(coalesce(fp.fp, 0) AS BIGINT) AS simhash
+              FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id)
+        SELECT doc_id, simhash,
+               CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_same
+        FROM j ORDER BY doc_id"""
+  }
+
+  /** q_sim_lsh: SRP-bucketed near-dup pairs (Hamming<=1 probe, exact
+    * cosine >= minCosine), round2'ed. */
+  def srpLshOracle(minCosine: Double): String =
+    s"""WITH $srpCtes,
+        ${srpPairs(minCosine)}
+        SELECT id_a, id_b, ${Num.oracleRound2("cos")} AS cos
+        FROM kept ORDER BY id_a, id_b"""
+
+  /** q_dedup_embed: survivors after dropping every id that appears as the
+    * larger partner of a pair with cosine >= minCosine (keepFromPairs). */
+  def embedDedupOracle(minCosine: Double): String =
+    s"""WITH $srpCtes,
+        ${srpPairs(minCosine)}
+        SELECT vec_id FROM e
+        WHERE vec_id NOT IN (SELECT id_b FROM kept)
+        ORDER BY vec_id"""
+
+  /** q_sim_ivf: deterministic-sample IVF (first nCentroids corpus ids),
+    * argmin-cell assignment, nProbe nearest cells per query, exact cosine
+    * top-k — mirrors Similarity.ivfTopK(refineIters = 0) stage by stage. */
+  def ivfOracle(nCentroids: Int, nProbe: Int, topK: Int): String =
+    s"""WITH q AS (SELECT vec_id AS q_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM embeddings WHERE vec_id >= 5),
+        cent AS (SELECT vec_id AS c_id, cv AS centroid
+                 FROM c ORDER BY vec_id LIMIT $nCentroids),
+        asg AS (SELECT vec_id, cv, c_id FROM (
+                  SELECT c.vec_id, c.cv, cent.c_id,
+                         row_number() OVER (PARTITION BY c.vec_id
+                           ORDER BY ${l2Sq("c.cv", "cent.centroid")}, cent.c_id) AS arn
+                  FROM c, cent) WHERE arn = 1),
+        pr AS (SELECT q_id, qv, c_id FROM (
+                 SELECT q.q_id, q.qv, cent.c_id,
+                        row_number() OVER (PARTITION BY q.q_id
+                          ORDER BY ${l2Sq("q.qv", "cent.centroid")}, cent.c_id) AS prn
+                 FROM q, cent) WHERE prn <= $nProbe),
+        sc AS (SELECT pr.q_id, asg.vec_id, ${cosine("pr.qv", "asg.cv")} AS cos
+               FROM asg JOIN pr ON asg.c_id = pr.c_id)
+        SELECT q_id, vec_id, ${Num.oracleRound2("cos")} AS sim, CAST(rn AS BIGINT) AS rn
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY round(cos, 6) DESC, vec_id) AS rn FROM sc)
+        WHERE rn <= $topK ORDER BY q_id, rn"""
+}

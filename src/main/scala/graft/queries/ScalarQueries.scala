@@ -302,6 +302,29 @@ object ScalarQueries {
         .orderBy("doc_id")
     },
 
+    // REAL multimodal header decode: every document is materialized as a
+    // spec-conformant PNG / BMP / WAV (valid CRCs, real deflated IDAT,
+    // RIFF chunk walk — multimodal/Multimodal.HeaderCodec) whose header
+    // fields are arithmetic in (doc_id, n_chars); the engine byte-parses
+    // them back and the oracle predicts every decoded field.
+    QueryDef(
+      "q_mm_decode",
+      Some("""SELECT doc_id AS media_id,
+                     CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+                          WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
+                     CAST(CASE WHEN doc_id % 3 < 2 THEN doc_id % 64 + 1 ELSE 0 END AS INT) AS width,
+                     CAST(CASE WHEN doc_id % 3 < 2 THEN n_chars % 64 + 1 ELSE 0 END AS INT) AS height,
+                     CAST(CASE WHEN doc_id % 3 = 2 THEN 8000 + doc_id % 8000 ELSE 0 END AS INT) AS sample_rate,
+                     CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2 ELSE 0 END AS INT) AS channels,
+                     CAST(CASE WHEN doc_id % 3 = 2 THEN n_chars % 1000 + 1 ELSE 0 END AS BIGINT) AS n_samples
+              FROM documents ORDER BY media_id""")) { (s, d) =>
+      graft.multimodal.Multimodal.decodeFeatures(
+          graft.multimodal.Multimodal.plantedMedia(Tables.documents(s, d)))
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("sample_rate"), col("channels"), col("n_samples"))
+        .orderBy("media_id")
+    },
+
     // Multimodal frame sampling: payloads chunked into 64-byte "frames",
     // every 2nd frame kept (the video frame-stride shape; the stub stands
     // in for the codec, the partition-iterator plumbing and the chunk

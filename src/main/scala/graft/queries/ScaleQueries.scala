@@ -132,7 +132,9 @@ object ScaleQueries {
 
     // k-anonymity release gate on the order book: QI = (priority, order
     // year, 20k price band); groups smaller than k=10 are suppressed into
-    // one '*' bucket (Privacy.kAnonymize). Output: released group sizes.
+    // one '*' bucket (Privacy.kAnonymize) — which is itself dropped when
+    // fewer than k rows were suppressed in total (the star bucket must
+    // honor the same k floor). Output: released group sizes.
     QueryDef(
       "q_anon_k",
       Some("""WITH g AS (
@@ -142,12 +144,14 @@ object ScaleQueries {
                        count(*) OVER (PARTITION BY o_orderpriority,
                                       year(o_orderdate),
                                       floor(o_totalprice / 20000.0)) AS gsize
-                FROM orders)
+                FROM orders),
+              s AS (SELECT count(*) AS nsup FROM g WHERE gsize < 10)
               SELECT CASE WHEN gsize < 10 THEN '*' ELSE prio END AS prio,
                      CASE WHEN gsize < 10 THEN '*' ELSE yr END AS yr,
                      CASE WHEN gsize < 10 THEN '*' ELSE band END AS band,
                      CAST(count(*) AS BIGINT) AS n_rows
-              FROM g GROUP BY 1, 2, 3 ORDER BY prio, yr, band""")) { (s, d) =>
+              FROM g, s WHERE gsize >= 10 OR nsup >= 10
+              GROUP BY 1, 2, 3 ORDER BY prio, yr, band""")) { (s, d) =>
       val qi = Tables.orders(s, d).select(
         col("o_orderpriority").as("prio"),
         year(col("o_orderdate")).cast("string").as("yr"),

@@ -48,12 +48,13 @@ object SimilarityQueries {
     },
 
     // LSH-bucketed near-dup over embeddings — the scale path (equi-join on
-    // 8-bit SRP buckets instead of corpus², then exact cosine re-check).
+    // SRP buckets instead of corpus², then exact cosine re-check).
     // The synthetic embeddings are random (max pairwise cosine ≈ 0.48), so
-    // the threshold 0.3 surfaces the top of the distribution. No oracle:
-    // bucket assignment depends on engine-local hyperplane mix;
-    // SimilaritySpec asserts recall vs brute force on synthetic near-dups.
-    QueryDef("q_sim_lsh", None) { (s, d) =>
+    // the threshold 0.3 surfaces the top of the distribution. Portable
+    // hyperplanes (md5-derived signs, Portable.srpSign) make the bucket
+    // assignment — and therefore the exact pair set, probe misses included —
+    // reproducible by the DuckDB oracle (PortableSql.srpLshOracle).
+    QueryDef("q_sim_lsh", Some(PortableSql.srpLshOracle(0.3))) { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
       // bits derived from corpus size (bucket count grows with the data;
@@ -62,31 +63,37 @@ object SimilarityQueries {
       // q_dedup_embed, and re-running the builder (Explain) stays cheap.
       val nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings"))
       Similarity.lshBucketJoin(emb, dim = 64, nBits = nBits, minCosine = 0.3,
-          multiProbe = true)
+          multiProbe = true, portable = true)
         .select(col("id_a"), col("id_b"), Num.round2(col("cos")).as("cos"))
         .orderBy("id_a", "id_b")
     },
 
     // MinHash + banding near-dup candidates over documents (16-component
-    // signatures, 4 bands of 4 — 2-row bands collide massively on a
-    // shared-vocabulary corpus). No oracle (engine-specific hash family);
-    // property-tested against exact Jaccard in SimilaritySpec.
-    QueryDef("q_dedup_minhash", None) { (s, d) =>
+    // signatures, 4 bands of 4 — 4-row bands collide on shared-vocabulary
+    // corpora). Portable md5-derived hash family: the DuckDB oracle
+    // recomputes the identical signatures and band keys, so the candidate
+    // pair set is checked exactly (PortableSql.minhashPairsOracle).
+    QueryDef("q_dedup_minhash",
+        Some(PortableSql.minhashPairsOracle(16, 4, 0.5))) { (s, d) =>
       // round-robin spread BEFORE shingling (the corpus may arrive as one
       // split); the operator's own hash exchange then materializes shingles
       val docs = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id").as("id"), T.ngrams(T.tokens(col("text")), 3).as("shingles"))
         .filter(size(col("shingles")) > 0)
-      Similarity.minhashCandidatePairs(docs, k = 16, nBands = 4, minEstJaccard = 0.5)
+      Similarity.minhashCandidatePairs(docs, k = 16, nBands = 4,
+          minEstJaccard = 0.5, portable = true)
         .select(col("id_a"), col("id_b"), Num.round2(col("est_jaccard")).as("est_jaccard"))
         .orderBy("id_a", "id_b")
     },
 
     // IVF approximate top-k — the other scale path for ANN: nearest-centroid
-    // partitioning, nProbe-cell search. No oracle (multi-stage argmin ties);
-    // SimilaritySpec asserts recall vs brute force.
-    QueryDef("q_sim_ivf", None) { (s, d) =>
+    // partitioning, nProbe-cell search. Every stage is deterministic
+    // (refineIters = 0 sample, argmin ties by centroid id), so the DuckDB
+    // oracle replays it stage by stage (PortableSql.ivfOracle). Cross-engine
+    // float-ranking ties: argmin gaps over 16 random centroids are O(0.1) —
+    // same accepted risk class as the jaccard band-boundary note.
+    QueryDef("q_sim_ivf", Some(PortableSql.ivfOracle(16, 4, 10))) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), V.asDouble(col("embedding")).as("qv"))
@@ -136,16 +143,17 @@ object SimilarityQueries {
     // Embedding-cosine near-dup KEEPER: LSH pairs at cosine >= 0.98 mark
     // near-identical vectors; every id appearing as the larger partner is
     // dropped, smallest id per cluster (and all unpaired ids) survive —
-    // one anti-join (Dedup.keepFromPairs). No oracle (SRP bucket hash is
-    // engine-local); SimilaritySpec plants embedding dups and checks the
-    // survivor set.
-    QueryDef("q_dedup_embed", None) { (s, d) =>
+    // one anti-join (Dedup.keepFromPairs). Portable SRP buckets, so the
+    // oracle recomputes the identical pair set and survivor list
+    // (PortableSql.embedDedupOracle).
+    QueryDef("q_dedup_embed",
+        Some(PortableSql.embedDedupOracle(0.98))) { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
       val pairs = Similarity.lshBucketJoin(
           emb, dim = 64,
           nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings")),
-          minCosine = 0.98, multiProbe = true)
+          minCosine = 0.98, multiProbe = true, portable = true)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       Dedup.keepFromPairs(emb.select("vec_id"), "vec_id", pairs)
         .orderBy("vec_id")
@@ -154,10 +162,11 @@ object SimilarityQueries {
     // Incremental near-dup: every 5th document plays the "incoming batch"
     // and is deduped against the band table of the rest — the corpus text
     // is never rescanned, only its (id, band_idx, band_hash) state (k
-    // longs per doc). The streaming-ingest shape at 100 TB. No oracle
-    // (engine-specific hash family); SimilaritySpec persists the band
-    // table to parquet and checks planted dup/fresh behavior.
-    QueryDef("q_dedup_incremental", None) { (s, d) =>
+    // longs per doc). The streaming-ingest shape at 100 TB. Portable hash
+    // family: the oracle recomputes both band tables and the join exactly
+    // (PortableSql.incrementalOracle).
+    QueryDef("q_dedup_incremental",
+        Some(PortableSql.incrementalOracle(16, 4))) { (s, d) =>
       val shingled = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id").as("id"),
@@ -165,8 +174,9 @@ object SimilarityQueries {
         .filter(size(col("shingles")) > 0)
       val existing = shingled.filter(col("id") % 5 =!= 0)
       val incoming = shingled.filter(col("id") % 5 === 0)
-      val bands = Similarity.bandTable(existing, k = 16, nBands = 4)
-      Similarity.incrementalNearDup(bands, incoming, k = 16, nBands = 4)
+      val bands = Similarity.bandTable(existing, k = 16, nBands = 4, portable = true)
+      Similarity.incrementalNearDup(bands, incoming, k = 16, nBands = 4,
+          portable = true)
         .orderBy("id", "matched_id")
     },
 
@@ -175,29 +185,33 @@ object SimilarityQueries {
     // path (chunked documents, per-user event histories) that avoids
     // collect_list-ing tokens into one giant array. Buffer is k longs per
     // group with map-side merge, so the shuffle is constant-size per group.
-    // No oracle (hash-family specific); SchemaInferSpec proves grouped ==
-    // per-row signature of the concatenated tokens and split invariance.
+    // Portable hash family: the oracle recomputes each component as a plain
+    // min-aggregate over the group's token hashes
+    // (PortableSql.groupedMinhashOracle); SchemaInferSpec additionally
+    // proves grouped == per-row signature of the concatenated tokens.
     // The signature is emitted as a comma-joined scalar string (not the raw
     // array<bigint>) so downstream row-level tooling can sort/hash the
     // column; the spec exercises the array form directly via the UDAF.
-    QueryDef("q_dedup_minhash_grouped", None) { (s, d) =>
+    QueryDef("q_dedup_minhash_grouped",
+        Some(PortableSql.groupedMinhashOracle(16))) { (s, d) =>
       Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("lang"), T.tokens(col("text")).as("toks"))
         .groupBy("lang")
-        .agg(MinHashAggregator.column(16)(col("toks")).as("sig_arr"))
+        .agg(MinHashAggregator.column(16, portable = true)(col("toks")).as("sig_arr"))
         .select(col("lang"),
           array_join(col("sig_arr").cast("array<string>"), ",").as("sig"))
         .orderBy("lang")
     },
 
-    // SimHash fingerprints + bucket sizes (near-dup by identical fingerprint).
-    // No oracle (hash-family specific); unit-tested on crafted documents.
-    QueryDef("q_dedup_simhash", None) { (s, d) =>
+    // SimHash fingerprints + bucket sizes (near-dup by identical
+    // fingerprint). Portable 63-bit variant (SimHash.simhashPortable):
+    // votes from md5 halves, aggregated as codegen'd conditional sums —
+    // the DuckDB oracle replays every fingerprint (PortableSql.simhashOracle).
+    QueryDef("q_dedup_simhash", Some(PortableSql.simhashOracle)) { (s, d) =>
       val wFp = Window.partitionBy("simhash")
-      Tables.documents(s, d)
-        .repartition(col("doc_id")) // spread per-row hashing across cores
-        .select(col("doc_id"), SimHash.simhash64(T.tokens(col("text"))).as("simhash"))
+      SimHash.simhashPortable(
+          Tables.documents(s, d), "doc_id", T.tokens(col("text")))
         .withColumn("n_same", count(lit(1)).over(wFp).cast("long"))
         .orderBy("doc_id")
     },

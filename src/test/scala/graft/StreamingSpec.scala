@@ -282,4 +282,37 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .distinct().collect().map(_.getLong(0)).toSet
     assert(stateIds === Set(1L, 2L, 101L))
   }
+
+  test("dedup ingest self-dedups a bursty batch: two in-batch near-dups admit one") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    val bandPath = java.nio.file.Files
+      .createTempDirectory("graft-ingest-bands2").toString + "/bands"
+    val admitPath = java.nio.file.Files
+      .createTempDirectory("graft-ingest-admit2").toString + "/admitted"
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft-ingest-ckpt2").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDF().toDF("id", "text")
+      .select(col("id"), T.ngrams(T.tokens(col("text")), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val q = Streams.dedupIngestSink(docs, bandPath, admitPath, k = 16,
+      nBands = 4, checkpointLocation = Some(checkpoint))
+    // ONE batch carrying a near-dup pair (9 vs 10 shared leading tokens)
+    // plus an unrelated doc: the burst must not admit its own duplicate
+    input.addData(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (12L, "spark shuffles partitions across the cluster respecting locality")))
+    q.processAllAvailable()
+    q.stop()
+    val admitted = Streams.admittedDocs(spark, admitPath)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // smaller id of the in-batch collision survives (keepFromPairs rule)
+    assert(admitted === Set(10L, 12L), s"admitted: $admitted")
+    // state holds only the admitted docs' bands
+    val stateIds = spark.read.parquet(bandPath).select("id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(stateIds === Set(10L, 12L))
+  }
 }
