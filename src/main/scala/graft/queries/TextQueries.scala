@@ -230,6 +230,50 @@ object TextQueries {
           max("n_chars").cast("long").as("max_chars"),
           countDistinct("lang").as("n_langs"))
         .orderBy("source")
+    },
+
+    // Hangul through the text stack: the reference's domain is Korean
+    // metadata (공통-column skip, data_seoul_3_csv.py:133-137), so prove
+    // the UTF-8 semantics match DuckDB end-to-end on a fixed Korean
+    // fixture — tokenization (lowercase is identity on Hangul, ASCII
+    // folds), the 공통 filter itself, and an md5-derived fingerprint
+    // (Portable.h48 summed over distinct tokens), which only matches if
+    // both engines hash IDENTICAL UTF-8 bytes. The fixture is literal on
+    // both sides (VALUES in the oracle); the operators are the production
+    // ones.
+    QueryDef(
+      "q_text_korean",
+      Some(s"""WITH r(id, txt) AS (VALUES
+                 (1, '서울 열린 데이터 광장 데이터'),
+                 (2, '공통 컬럼 은 건너뛴다 공통'),
+                 (3, '데이터 분석 플랫폼 서울 Spark 플랫폼'),
+                 (4, '한글 과 English MIXED 토큰 테스트')),
+               t AS (SELECT id, ${PortableSql.toks("txt")} AS toks FROM r)
+               SELECT CAST(id AS BIGINT) AS id,
+                      CAST(len(toks) AS INT) AS n_toks,
+                      CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+                      CAST(len(list_filter(toks, x -> x = '공통')) AS INT) AS n_common,
+                      CAST(list_sum(list_transform(list_distinct(toks),
+                        s -> ${PortableSql.h48("s")})) AS BIGINT) AS fp
+               FROM t ORDER BY id""")) { (s, d) =>
+      import s.implicits._
+      val rows = Seq(
+        (1L, "서울 열린 데이터 광장 데이터"),
+        (2L, "공통 컬럼 은 건너뛴다 공통"),
+        (3L, "데이터 분석 플랫폼 서울 Spark 플랫폼"),
+        (4L, "한글 과 English MIXED 토큰 테스트")).toDF("id", "txt")
+      rows
+        .select(col("id"), T.tokens(col("txt")).as("toks"))
+        .select(
+          col("id"),
+          org.apache.spark.sql.functions.size(col("toks")).as("n_toks"),
+          org.apache.spark.sql.functions.size(array_distinct(col("toks"))).as("n_distinct"),
+          org.apache.spark.sql.functions.size(
+            filter(col("toks"), t => t === "공통")).as("n_common"),
+          aggregate(
+            transform(array_distinct(col("toks")), graft.functions.Portable.h48(_)),
+            lit(0L), (acc, h) => acc + h).as("fp"))
+        .orderBy("id")
     }
   )
 }

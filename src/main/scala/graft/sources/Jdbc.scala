@@ -26,6 +26,11 @@ object Jdbc {
   // on non-Derby URLs.
   System.setProperty("derby.stream.error.file", "/tmp/derby.log")
 
+  // jdbc:tibero: URLs resolve to the Oracle-compatible mapping
+  // (sources/TiberoDialect.scala) — registered once, here, so every
+  // read/write through this facade sees it.
+  TiberoDialect.registered
+
   private def props(driver: Option[String]): Properties = {
     val p = new Properties()
     driver.foreach(p.setProperty("driver", _))

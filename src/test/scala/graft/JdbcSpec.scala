@@ -61,4 +61,58 @@ class JdbcSpec extends AnyFunSuite with SparkTest {
     assert(back.count() === 0L)
     assert(back.columns.map(_.toLowerCase).sorted === Array("id", "name"))
   }
+
+  test("Tibero dialect: VARCHAR2/NUMBER(p,s)/DATE/CLOB map to the documented Spark types") {
+    import graft.sources.TiberoDialect
+    import org.apache.spark.sql.types._
+    import java.sql.Types
+    def read(typeName: String, size: Int, scale: Int = 0): Option[DataType] =
+      TiberoDialect.getCatalystType(Types.OTHER, typeName, size,
+        new MetadataBuilder().putLong("scale", scale.toLong))
+    assert(read("VARCHAR2", 64).contains(StringType))
+    assert(read("NVARCHAR2", 64).contains(StringType))
+    assert(read("CLOB", 0).contains(StringType))
+    assert(read("CHAR", 3).contains(StringType))
+    // NUMBER family: scaled -> decimal; small integral precisions narrow
+    assert(read("NUMBER", 10, 2).contains(DecimalType(10, 2)))
+    assert(read("NUMBER", 9).contains(IntegerType))
+    assert(read("NUMBER", 18).contains(LongType))
+    assert(read("NUMBER", 22).contains(DecimalType(22, 0)))
+    assert(read("NUMBER", 0).contains(DecimalType(38, 10))) // unconstrained
+    // Tibero DATE carries time-of-day — must be a timestamp, not a date
+    assert(read("DATE", 7).contains(TimestampType))
+    assert(read("BINARY_DOUBLE", 0).contains(DoubleType))
+    // unknown names fall through to Spark's stock Types.* mapping
+    assert(read("SOMETHING_ELSE", 0).isEmpty)
+  }
+
+  test("Tibero dialect: registry resolves jdbc:tibero URLs to it; DDL write mapping") {
+    import graft.sources.TiberoDialect
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types._
+    Jdbc.toString // force facade init (registers the dialect)
+    val got = JdbcDialects.get("jdbc:tibero:thin:@host:8629:tibero")
+    assert(got eq TiberoDialect)
+    // Derby and friends are untouched
+    assert(!(JdbcDialects.get("jdbc:derby:memory:x") eq TiberoDialect))
+    assert(TiberoDialect.getJDBCType(StringType).map(_.databaseTypeDefinition)
+      .contains("VARCHAR2(255)"))
+    assert(TiberoDialect.getJDBCType(LongType).map(_.databaseTypeDefinition)
+      .contains("NUMBER(19)"))
+    assert(TiberoDialect.getJDBCType(BooleanType).map(_.databaseTypeDefinition)
+      .contains("NUMBER(1)"))
+  }
+
+  test("partition-column predicate reaches the JDBC scan (PushedFilters)") {
+    import spark.implicits._
+    val src = (1L to 50L).map(i => (i, s"n_$i")).toDF("id", "name")
+    Jdbc.write(src, url("pf"), "t_pf", driver = driver,
+      columnTypes = Some("name VARCHAR(16)"))
+    val filtered = Jdbc.readPartitioned(spark, url("pf"), "t_pf", "id", 2, driver)
+      .filter(col("id") > 40L)
+    val planStr = filtered.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedFilters"), planStr)
+    assert(planStr.contains("GreaterThan(") || planStr.contains("id > 40"), planStr)
+    assert(filtered.count() === 10L)
+  }
 }

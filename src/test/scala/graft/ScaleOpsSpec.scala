@@ -69,6 +69,64 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
     assert(got.distinct().count() === got.count())
   }
 
+  test("saltedJoin plan shuffles on the COMPOSITE (key, salt) — the hot key cannot land on one reducer") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    val fact = (1 to 100).map(i => (i.toLong, 0L)).toDF("row_id", "k")
+    val dim = Seq((0L, "hot")).toDF("k", "name")
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // exchanges are materialized by preparation rules; AQE off keeps the
+      // executedPlan a plain tree the collect can walk pre-execution
+      "spark.sql.adaptive.enabled" -> "false") {
+      val salted = Joins.saltedJoin(fact, dim, "k", salts = 4, saltSource = col("row_id"))
+      val parts = salted.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e.outputPartitioning
+      }.collect { case h: HashPartitioning => h.expressions.map(_.sql).mkString(",") }
+      // every join-feeding exchange hashes on BOTH the key and the salt
+      assert(parts.nonEmpty)
+      assert(parts.forall(p => p.contains("k") && p.contains("__salt")), parts.toString)
+    }
+  }
+
+  test("intervalJoin plan is a bucket equi-join: no CartesianProduct, no nested-loop") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import spark.implicits._
+    val lefts = (1 to 50).map { i =>
+      (i.toLong, 1700000000000000L + i * 60000000L, 1700000000000000L + i * 60000000L + 600000000L)
+    }.toDF("lid", "st_us", "en_us")
+      .select(col("lid"), timestamp_micros(col("st_us")).as("st"),
+        timestamp_micros(col("en_us")).as("en"))
+    val rights = (1 to 80).map(j => (j.toLong, 1700000000000000L + j * 45000000L))
+      .toDF("rid", "t_us")
+      .select(col("rid"), timestamp_micros(col("t_us")).as("t"))
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = Joins.intervalJoin(lefts, rights,
+        col("st"), col("en"), col("t"), binSeconds = 900L).queryExecution.sparkPlan
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, plan.toString)
+      assert(plan.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty, plan.toString)
+    }
+  }
+
+  test("snapshotDiff plan is ONE full-outer sort-merge join, no second pass") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import spark.implicits._
+    val old = (1 to 100).map(i => (i.toLong, s"v$i", i * 1.0)).toDF("k", "v1", "v2")
+    val nw = (51 to 150).map(i => (i.toLong, s"v$i", i * 2.0)).toDF("k", "v1", "v2")
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = Cdc.snapshotDiff(old, nw, Seq("k")).queryExecution.sparkPlan
+      val smj = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smj.length === 1, plan.toString)
+      assert(smj.head.joinType.sql === "FULL OUTER", smj.head.joinType.toString)
+      // and that is the ONLY join in the plan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+      assert(joins.length === 1)
+    }
+  }
+
   test("editDistancePairs == brute force over random strings (PassJoin lossless)") {
     import spark.implicits._
     val rnd = new Random(13)
