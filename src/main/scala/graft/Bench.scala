@@ -35,7 +35,14 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.filter(kv => args.contains(kv._1)).toSeq
-    val results = selected.sortBy(_._1).map { case (name, fn) =>
+    // Dev knob: SPARK_GRAFT_REPEAT=N times each query N times (rows named
+    // q#2, q#3, ...) to separate cold-codegen/JIT cost from steady state in
+    // targeted profiling. The driver never sets it (default 1).
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    val runs = selected.sortBy(_._1).flatMap { case (name, fn) =>
+      (1 to repeat).map(r => (if (r == 1) name else s"$name#$r") -> fn)
+    }
+    val results = runs.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -60,7 +67,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Whole-artifact escape hatch: the driver's capture keeps only the TAIL
+    // of stdout, which truncates the per-query map past ~70 queries (the r3/
+    // r4 artifacts lost the first 43 queries). SPARK_GRAFT_BENCH_OUT writes
+    // the complete line to a file the builder can commit (BENCH_LOCAL_rN).
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    }
     spark.stop()
   }
 }

@@ -140,22 +140,25 @@ object Similarity {
         .orderBy("vec_id") // deterministic training sample
         .limit(nCentroids)
         .select(col("vec_id").as("c_id"), col("cv").as("centroid"))
-    // assignment: argmin L2 distance over the broadcast centroid set
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("c_id"))
+    // The centroid table is bounded driver state (C×dim — the same category
+    // as kmeans' per-iteration collect and MLlib KMeans). Riding it into
+    // the NearestCells codegen expression makes both assignment and probing
+    // NARROW MAPS: the previous crossJoin+window formulation shuffled
+    // corpus×C rows through a per-vec_id window just to take an argmin —
+    // C× the corpus through an exchange at 100 TB. (dist, id) tie-break
+    // semantics identical to the window's orderBy(dist, c_id).
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val cents = centroids.collect()
+    val centArr = cents.map(_.getSeq[Double](1).toArray)
+    val idArr = cents.map(_.getLong(0))
+    def nearest(v: Column, n: Int): Column =
+      column(graft.expressions.NearestCells(expression(v), centArr, idArr, n))
     val assigned = corpus
-      .crossJoin(broadcast(centroids))
-      .withColumn("dist", V.l2Dist(col("cv"), col("centroid")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("cv"), col("c_id"))
+      .withColumn("c_id", nearest(col("cv"), 1).getItem(0))
       .repartition(col("c_id")) // materialize assignment, cluster by cell
-    // probe: each query picks its nProbe nearest centroids
-    val wProbe = Window.partitionBy("q_id").orderBy(col("qdist"), col("c_id"))
+    // probe: each query's nProbe nearest cells, exploded — still no shuffle
     val probes = queries
-      .crossJoin(broadcast(centroids))
-      .withColumn("qdist", V.l2Dist(col("qv"), col("centroid")))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nProbe)
+      .withColumn("c_id", explode(nearest(col("qv"), nProbe)))
       .select(col("q_id"), col("qv"), col("c_id"))
     // search only the probed cells (equi-join on cell id, not a cross join)
     assigned.join(probes, Seq("c_id"))
