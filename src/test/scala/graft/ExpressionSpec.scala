@@ -189,6 +189,30 @@ class ExpressionSpec extends AnyFunSuite with SparkTest {
     assert(r.getSeq[String](1) == Seq("a b", "b c"))
   }
 
+  test("NearestCells matches brute-force argmin on both eval paths; ties break by id") {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val cents = Array(
+      Array(0.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 1.0))
+    val ids = Array(10L, 20L, 30L, 40L)
+    def nearest(v: org.apache.spark.sql.Column, n: Int) =
+      column(graft.expressions.NearestCells(expression(v), cents, ids, n))
+    import spark.implicits._
+    val pts = Seq(
+      (1L, Seq(0.1, 0.1)),   // nearest 10, then 20/30 tie -> 20
+      (2L, Seq(0.9, 0.2)),   // nearest 20
+      (3L, Seq(0.5, 0.5))    // EQUIDISTANT to all four -> id order
+    ).toDF("id", "v")
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try Seq("true", "false").foreach { cg =>
+      spark.conf.set("spark.sql.codegen.wholeStage", cg)
+      val got = pts.select(col("id"), nearest(col("v"), 3).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(got(1L) == Seq(10L, 20L, 30L), s"codegen=$cg ${got(1L)}")
+      assert(got(2L) == Seq(20L, 40L, 10L), s"codegen=$cg ${got(2L)}")
+      assert(got(3L) == Seq(10L, 20L, 30L), s"codegen=$cg ${got(3L)}") // pure id tie-break
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("salted join equals the plain join result") {
     import spark.implicits._
     // heavy skew: 90% of left rows share key 1
