@@ -43,13 +43,19 @@ object Tables {
       key => table(key._1, key._2, key._3).count())
 
   /** Collision-free filesystem/table tag for a data dir: the sanitized
-    * FULL path (not a 32-bit hashCode, which can collide across dirs and
-    * corrupt shared /tmp layouts — round-4 advice) plus the JVM pid, so
-    * concurrent PROCESSES over the same dir (Verify alongside Bench) each
-    * own their layout instead of racing one overwrite. */
-  private def dirTag(d: String): String =
-    d.replaceAll("[^A-Za-z0-9]", "_") +
+    * full path for readability PLUS an md5 head of the RAW path for
+    * injectivity (sanitization alone maps /a/sf0.1 and /a/sf0_1 to the
+    * same string; a 32-bit hashCode — the pre-round-5 scheme — can
+    * collide outright), plus the JVM pid so concurrent PROCESSES over the
+    * same dir (Verify alongside Bench) each own their layout instead of
+    * racing one overwrite. */
+  private def dirTag(d: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map(b => f"${b & 0xff}%02x").mkString
+    d.replaceAll("[^A-Za-z0-9]", "_") + "_" + md5 +
       "_p" + java.lang.ProcessHandle.current().pid()
+  }
 
   // Bucketed-pair memo (orders/customer on custkey): the one-time warehouse
   // prep a recurring co-located join amortizes at 100 TB. Built at most once

@@ -25,7 +25,8 @@ class MinHashAggregator(k: Int, portable: Boolean = false)
     * family (Portable.h48Jvm), reproducible by the DuckDB oracle. */
   private def hash(token: String, seed: Int): Long =
     if (portable)
-      (Portable.a(seed) * Portable.h48Jvm(token) + Portable.b(seed)) % Portable.P
+      (Portable.a(seed) * (Portable.h48Jvm(token) % Portable.P) +
+        Portable.b(seed)) % Portable.P
     else {
       val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
         org.apache.spark.unsafe.types.UTF8String.fromString(token),

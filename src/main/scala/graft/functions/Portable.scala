@@ -22,15 +22,26 @@ import org.apache.spark.sql.functions._
   */
 object Portable {
 
-  /** Modulus for the affine component maps: 2^61 - 1 (Mersenne prime).
-    * a(j)*h48 + b(j) <= ~2^54, far below Long overflow, and DuckDB's
-    * checked BIGINT arithmetic never traps. */
-  val P: Long = (1L << 61) - 1
+  /** Modulus for the per-component universal-hash maps: 2^31 - 1
+    * (Mersenne prime). The component map is the Carter–Wegman family
+    * h_j(x) = (a_j * (x mod P) + b_j) mod P with a_j, b_j ∈ [1, P):
+    * the product is < 2^62 (no Long overflow, no DuckDB BIGINT trap) and
+    * wraps the modulus ~2^30 times, so the k components are genuinely
+    * decorrelated.
+    *
+    * P must be SMALL relative to the 48-bit base hash for that to hold: a
+    * first version used P = 2^61-1 with small multipliers, where a*h+b
+    * never exceeded P, the mod never wrapped, every component was a
+    * monotone affine map of the same base hash, and the "signature" was a
+    * single-hash min in 16 disguises (est_jaccard could only ever be 0
+    * or 1). Caught in round-5 review; do not reintroduce. */
+  val P: Long = (1L << 31) - 1
 
-  /** Per-component multipliers/offsets — small odd a keeps products exact
-    * in both engines; distinct b decorrelates components. */
-  def a(j: Int): Long = 2L * j + 3L
-  def b(j: Int): Long = (j + 1L) * 1000000007L
+  /** Per-component multiplier/offset, md5-derived at plan/class-init time
+    * (engine-independent constants; the SQL builders inline the same
+    * values as literals). a ∈ [1, P-1], b ∈ [0, P-1]. */
+  def a(j: Int): Long = (h48Jvm(s"mh_a_$j") % (P - 1)) + 1
+  def b(j: Int): Long = h48Jvm(s"mh_b_$j") % P
 
   /** 48-bit base hash: first 12 hex chars of md5, as a long. */
   def h48(c: Column): Column =
@@ -44,13 +55,14 @@ object Portable {
 
   /** k-component MinHash signature over a PRE-HASHED array (one md5 per
     * shingle, done by the caller via `transform(shingles, h48)` behind an
-    * exchange so CollapseProject cannot inline it k times). Empty shingle
-    * arrays yield all-Long.MaxValue components — same convention as
-    * MinHashAggregator.zero. */
+    * exchange so CollapseProject cannot inline it k times). Each
+    * component applies the Carter–Wegman map to the 48-bit base hash
+    * reduced into [0, P). Empty shingle arrays yield all-Long.MaxValue
+    * components — same convention as MinHashAggregator.zero. */
   def minhashFromHashes(hs: Column, k: Int): Column =
     array((0 until k).map(j =>
       coalesce(
-        array_min(transform(hs, h => (lit(a(j)) * h + lit(b(j))) % lit(P))),
+        array_min(transform(hs, h => (lit(a(j)) * (h % lit(P)) + lit(b(j))) % lit(P))),
         lit(Long.MaxValue))): _*)
 
   /** LSH band keys of a signature: nBands strings of rowsPerBand

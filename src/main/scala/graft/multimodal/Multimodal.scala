@@ -89,14 +89,21 @@ object Multimodal {
       if (b.length < 12 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE")) return None
       var off = 12
       var rate = 0; var chans = 0; var blockAlign = 0; var dataSize = -1L
-      while (off + 8 <= b.length && (rate == 0 || dataSize < 0)) {
-        val size = le32(b, off + 4)
+      var ok = true
+      while (ok && off + 8 <= b.length && (rate == 0 || dataSize < 0)) {
+        val size = le32(b, off + 4) // unsigned u32 as long (never negative)
         if (ascii(b, off, "fmt ") && off + 24 <= b.length) {
           chans = le16(b, off + 10)
           rate = le32(b, off + 12).toInt
           blockAlign = le16(b, off + 20)
         } else if (ascii(b, off, "data")) dataSize = size
-        off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        // A declared size past the buffer (or u32-max junk) means a
+        // truncated/malformed file: stop the walk instead of wrapping the
+        // .toInt negative — which would loop forever (step 0) or walk
+        // backwards out of bounds. A data/fmt chunk already read above
+        // still counts (legal header-only truncation).
+        if (size > b.length.toLong - off - 8) ok = false
+        else off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
       }
       if (rate == 0 || dataSize < 0 || blockAlign == 0) None
       else Some(Parsed("wav", 0, 0, rate, chans, dataSize / blockAlign))

@@ -31,16 +31,22 @@ object Privacy {
     val w = Window.partitionBy(qiCols.map(col): _*)
     val sized = df.withColumn("__gsize", count(lit(1)).over(w))
     val suppressed = col("__gsize") < k
+    // Lazy localCheckpoint: the star-floor gate below reads this frame
+    // TWICE (the scalar count and the release itself) — without the
+    // checkpoint both branches would re-run the source scan and the QI
+    // window shuffle.
     val starred = qiCols.foldLeft(sized) { (acc, c) =>
         acc.withColumn(c, when(suppressed, lit("*")).otherwise(col(c)))
       }
       .withColumn("anon_suppressed", suppressed)
       .drop("__gsize")
+      .localCheckpoint(false)
     // The '*' bucket is itself a QI group: if FEWER than k rows were
     // suppressed in total, releasing them would violate the k floor the
     // operator promises (they are already maximally generalized, so the
     // only sound move is to drop them). The gate is a broadcast scalar —
-    // one tiny aggregate, no extra wide shuffle.
+    // one tiny aggregate over the checkpointed frame, no extra wide
+    // shuffle and no second source pass.
     val nSup = starred.filter(col("anon_suppressed"))
       .agg(count(lit(1)).as("__nsup"))
     starred.crossJoin(broadcast(nSup))

@@ -149,6 +149,18 @@ object Similarity {
     // semantics identical to the window's orderBy(dist, c_id).
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     val cents = centroids.collect()
+    // an empty corpus has no cells and no results — return the empty
+    // frame with the right schema instead of letting NearestCells'
+    // invariants reject construction
+    if (cents.isEmpty)
+      return queries.select(col("q_id")).limit(0)
+        .withColumn("vec_id", lit(0L))
+        .withColumn("cos", lit(0.0))
+        .withColumn("rn", lit(0))
+        .select("q_id", "vec_id", "cos", "rn")
+    // a corpus smaller than nProbe cells simply probes them all — the
+    // window formulation's prn <= nProbe degraded the same way
+    val probe = math.min(nProbe, cents.length)
     val centArr = cents.map(_.getSeq[Double](1).toArray)
     val idArr = cents.map(_.getLong(0))
     def nearest(v: Column, n: Int): Column =
@@ -158,7 +170,7 @@ object Similarity {
       .repartition(col("c_id")) // materialize assignment, cluster by cell
     // probe: each query's nProbe nearest cells, exploded — still no shuffle
     val probes = queries
-      .withColumn("c_id", explode(nearest(col("qv"), nProbe)))
+      .withColumn("c_id", explode(nearest(col("qv"), probe)))
       .select(col("q_id"), col("qv"), col("c_id"))
     // search only the probed cells (equi-join on cell id, not a cross join)
     assigned.join(probes, Seq("c_id"))

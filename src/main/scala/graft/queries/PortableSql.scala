@@ -39,9 +39,10 @@ object PortableSql {
     s"""list_transform(generate_series(1, GREATEST(len($t) - 2, 0)), g3 -> $t[g3] || ' ' || $t[g3 + 1] || ' ' || $t[g3 + 2])"""
 
   /** MinHash component j over pre-hashed array column `hs` —
-    * mirrors Portable.minhashFromHashes (empty array -> Long.MaxValue). */
+    * mirrors Portable.minhashFromHashes (Carter–Wegman map of the base
+    * hash reduced into [0, P); empty array -> Long.MaxValue). */
   def minhashComp(j: Int, hs: String): String =
-    s"coalesce(list_min(list_transform($hs, mh -> (${Portable.a(j)} * mh + ${Portable.b(j)}) % $P)), $MaxLong)"
+    s"coalesce(list_min(list_transform($hs, mh -> (${Portable.a(j)} * (mh % $P) + ${Portable.b(j)}) % $P)), $MaxLong)"
 
   /** Full k-component signature as a SQL list literal. */
   def sigList(hs: String, k: Int): String =
@@ -141,7 +142,7 @@ object PortableSql {
     * tokens, emitted as the comma-joined component string. */
   def groupedMinhashOracle(k: Int): String = {
     val mins = (0 until k)
-      .map(j => s"min((${Portable.a(j)} * h + ${Portable.b(j)}) % $P) AS s$j")
+      .map(j => s"min((${Portable.a(j)} * (h % $P) + ${Portable.b(j)}) % $P) AS s$j")
       .mkString(", ")
     val sigStr = (0 until k)
       .map(j => s"CAST(coalesce(s$j, $MaxLong) AS VARCHAR)")

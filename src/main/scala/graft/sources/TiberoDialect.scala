@@ -44,6 +44,12 @@ object TiberoDialect extends JdbcDialect {
       case "NUMBER" =>
         val scale = scaleOf(md)
         if (size == 0) Some(DecimalType(38, 10)) // unconstrained NUMBER
+        // negative scale is legal (NUMBER(8,-5) stores values to ~10^13):
+        // widen precision by |scale|, integral storage
+        else if (scale < 0) Some(DecimalType(math.min(38, size - scale), 0))
+        // scale > precision is legal too (NUMBER(2,5) stores 0.000xy):
+        // Spark's DecimalType needs precision >= scale
+        else if (scale > size) Some(DecimalType(math.min(38, scale), math.min(38, scale)))
         else if (scale > 0) Some(DecimalType(math.min(size, 38), scale))
         else if (size <= 9) Some(IntegerType)    // 10^9 < 2^31
         else if (size <= 18) Some(LongType)      // 10^18 < 2^63

@@ -236,19 +236,25 @@ object Streams {
         // the self-join and the admitted-state write
         val inBands = graft.operators.Similarity
           .bandTable(b, k, nBands).persist()
-        // Missing state path = first batch (empty corpus). Any OTHER read
-        // failure (corrupt file, permission, transient FS fault) must FAIL
-        // the batch so the streaming replay retries it — swallowing it
-        // would silently treat the corpus as empty and re-admit dups.
-        val statePath = new org.apache.hadoop.fs.Path(bandStatePath)
-        val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val crossDup =
-          if (!fs.exists(statePath)) b.limit(0).select(col("id"))
-          else spark.read.parquet(bandStatePath)
+        // Missing state path OR no visible files yet (a crashed first
+        // batch leaves only batch=N/_temporary, which schema inference
+        // cannot read) = empty corpus; both raise AnalysisException at
+        // read time. Any OTHER failure (corrupt footer, permission,
+        // transient FS fault — these surface as Spark/IO exceptions, not
+        // AnalysisException) must FAIL the batch so the streaming replay
+        // retries it — swallowing it would silently treat the corpus as
+        // empty and re-admit dups.
+        val existingState =
+          try Some(spark.read.parquet(bandStatePath))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val crossDup = existingState match {
+          case None => b.limit(0).select(col("id"))
+          case Some(state) => state
             .filter(col("batch") < batchId)
             .select(col("id").as("matched_id"), col("band_idx"), col("band_hash"))
             .join(inBands, Seq("band_idx", "band_hash"))
             .select("id")
+        }
         val selfDup =
           if (!selfDedup) b.limit(0).select(col("id"))
           else inBands.select(col("id").as("id_a"), col("band_idx"), col("band_hash"))

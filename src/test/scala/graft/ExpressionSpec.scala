@@ -189,6 +189,31 @@ class ExpressionSpec extends AnyFunSuite with SparkTest {
     assert(r.getSeq[String](1) == Seq("a b", "b c"))
   }
 
+  test("portable minhash components are decorrelated and estimate Jaccard (not 0/1-only)") {
+    import spark.implicits._
+    import graft.functions.Portable
+    // Regression: a first portable family used maps that never wrapped the
+    // modulus — every component was a monotone function of the same base
+    // hash and est_jaccard could only ever be 0 or 1. With Carter–Wegman
+    // maps over P=2^31-1, components must disagree PARTIALLY on
+    // partially-overlapping sets.
+    val a = (1 to 40).map(i => s"sh_$i")
+    val b = (21 to 60).map(i => s"sh_$i") // true Jaccard = 20/60 = 1/3
+    val df = Seq((a, b)).toDF("sa", "sb")
+      .select(
+        Portable.minhashFromHashes(transform(col("sa"), Portable.h48(_)), 64).as("ga"),
+        Portable.minhashFromHashes(transform(col("sb"), Portable.h48(_)), 64).as("gb"))
+    val r = df.collect()(0)
+    val (sa, sb) = (r.getSeq[Long](0), r.getSeq[Long](1))
+    val matches = sa.zip(sb).count { case (x, y) => x == y }
+    assert(matches > 0 && matches < 64, s"matches=$matches — degenerate family")
+    // est within a loose band of the true 1/3 (k=64: sd ~ 0.06)
+    val est = matches / 64.0
+    assert(math.abs(est - 1.0 / 3.0) < 0.2, s"est=$est")
+    // and distinct components genuinely differ from each other
+    assert(sa.distinct.length > 32, s"components collapsed: ${sa.take(8)}")
+  }
+
   test("NearestCells matches brute-force argmin on both eval paths; ties break by id") {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     val cents = Array(

@@ -79,6 +79,11 @@ class JdbcSpec extends AnyFunSuite with SparkTest {
     assert(read("NUMBER", 18).contains(LongType))
     assert(read("NUMBER", 22).contains(DecimalType(22, 0)))
     assert(read("NUMBER", 0).contains(DecimalType(38, 10))) // unconstrained
+    // legal scale extremes: scale > precision (NUMBER(2,5) stores 0.000xy)
+    // must not produce an invalid DecimalType; negative scale (NUMBER(8,-5)
+    // stores values to ~10^13) must widen, not overflow an integral type
+    assert(read("NUMBER", 2, 5).contains(DecimalType(5, 5)))
+    assert(read("NUMBER", 8, -5).contains(DecimalType(13, 0)))
     // Tibero DATE carries time-of-day — must be a timestamp, not a date
     assert(read("DATE", 7).contains(TimestampType))
     assert(read("BINARY_DOUBLE", 0).contains(DoubleType))

@@ -65,6 +65,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     assert(parse(bmp).contains(Parsed("bmp", 5, 3, 0, 0, 0L)))
   }
 
+  test("malformed RIFF chunk sizes terminate the walk instead of looping/escaping") {
+    import Multimodal.HeaderCodec._
+    def riff(chunks: Array[Byte]): Array[Byte] = {
+      val h = java.nio.ByteBuffer.allocate(12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      h.put("RIFF".getBytes("US-ASCII")).putInt(4 + chunks.length)
+        .put("WAVE".getBytes("US-ASCII"))
+      h.array() ++ chunks
+    }
+    // u32 size 0xFFFFFFF8 would wrap .toInt to -8 (step 0 = infinite loop)
+    val evil = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("JUNK".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
+      .put(new Array[Byte](8))
+    assert(parse(riff(evil.array())).isEmpty) // returns, no hang/AIOOBE
+    // size overrunning the buffer by one: also terminates as unknown
+    val over = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    over.put("JUNK".getBytes("US-ASCII")).putInt(5).put(new Array[Byte](4))
+    assert(parse(riff(over.array())).isEmpty)
+    // legal truncation: fmt + data headers present, body absent -> still
+    // parses the declared sample count (metadata-of-truncated-file case)
+    val wav = encodeWav(8000, 1, 100L)
+    assert(parse(wav.take(44)).contains(Parsed("wav", 0, 0, 8000, 1, 100L)))
+  }
+
   test("sampleFrames explodes only video payloads with strided chunks") {
     val frames = Multimodal.sampleFrames(media, stride = 16).collect()
     assert(frames.nonEmpty)
