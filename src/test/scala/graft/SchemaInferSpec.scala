@@ -54,6 +54,24 @@ class SchemaInferSpec extends AnyFunSuite with SparkTest {
     assert(grouped == hof)
   }
 
+  test("portable MinHashAggregator matches Portable.minhashFromHashes on one group") {
+    import spark.implicits._
+    import graft.functions.Portable
+    val toks = Seq("alpha", "beta", "gamma", "delta", "서울", "데이터")
+    // grouped JVM path: tokens split across rows, portable Carter–Wegman maps
+    val grouped = Seq((1L, toks.take(3)), (1L, toks.drop(3)))
+      .toDF("id", "tokens")
+      .groupBy("id")
+      .agg(MinHashAggregator.column(8, portable = true)(col("tokens")).as("sig"))
+      .select("sig").collect()(0).getSeq[Long](0)
+    // per-row Catalyst path: same tokens through md5/conv built-ins
+    val exprSig = Seq(toks).toDF("tokens")
+      .select(Portable.minhashFromHashes(
+        org.apache.spark.sql.functions.transform(col("tokens"), Portable.h48(_)), 8).as("sig"))
+      .select("sig").collect()(0).getSeq[Long](0)
+    assert(grouped == exprSig) // h48Jvm == md5+conv, map for map
+  }
+
   test("MinHashAggregator signature is order- and split-invariant") {
     import spark.implicits._
     val a = Seq((1L, Seq("x", "y")), (1L, Seq("z")))
