@@ -122,4 +122,49 @@ object Dedup {
     corpus.join(
       pairs.select(col("doc_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+
+  /** Exact duplicate-SUBSTRING spans (the sub-document dedup of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL 2022 —
+    * document-level dedup misses boilerplate repeated INSIDE otherwise
+    * distinct documents). Input: one row per w-token window, (docCol,
+    * posCol, hashCol) with posCol the 0-based token offset and hashCol a
+    * content hash of the window. A window is duplicated when its hash
+    * occurs more than once corpus-wide (across docs or repeated within
+    * one); per-doc runs of duplicated windows whose starts are within w of
+    * each other (overlapping or adjacent) merge into one maximal span.
+    * Output: (docCol, span_start, span_end, n_windows), span_end exclusive.
+    *
+    * Scale shape: one groupBy(hash) with map-side partials → the (small)
+    * repeated-hash set, one shuffle semi-join back on the hash, one per-doc
+    * window for the merge — no self-join of the window table (the naive
+    * pairs formulation is quadratic in duplicate multiplicity). At 100 TB
+    * the window emission upstream is the knob: stride > 1 trades recall of
+    * short duplicates for an emission-count divisor, without changing this
+    * operator. */
+  def duplicateSpans(
+      wins: DataFrame,
+      w: Int,
+      docCol: String = "doc_id",
+      posCol: String = "pos",
+      hashCol: String = "wh"): DataFrame = {
+    val dupHashes = wins.groupBy(hashCol)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(hashCol)
+    val byDoc = Window.partitionBy(docCol).orderBy(posCol)
+    // lag is NULL on the first duplicated window of a doc → the comparison
+    // is NULL → otherwise(0): the first window opens span 0.
+    wins.join(dupHashes, Seq(hashCol), "left_semi")
+      .withColumn("__new",
+        when(col(posCol) - lag(posCol, 1).over(byDoc) > w, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("__span",
+        sum("__new").over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(docCol), col("__span"))
+      .agg(
+        min(posCol).as("span_start"),
+        (max(col(posCol)) + lit(w.toLong)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(docCol), col("span_start"), col("span_end"), col("n_windows"))
+  }
 }

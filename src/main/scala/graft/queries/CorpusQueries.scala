@@ -392,6 +392,94 @@ object CorpusQueries {
           Num.round2(col("scale") * 1000).as("scale_mil"),
           Num.round2(col("err") * 1000).as("err_mil"))
         .orderBy("vec_id")
+    },
+
+    // Exact duplicate-substring spans (Lee et al., ACL 2022): document-level
+    // dedup misses boilerplate repeated INSIDE otherwise-distinct documents,
+    // so hash every 8-token window (native NGrams + one portable md5-derived
+    // h48 per window), keep windows whose hash repeats corpus-wide, and
+    // merge per-doc runs of overlapping windows into maximal spans — the
+    // spans a pipeline would cut before training. Shuffles: one hash
+    // group-by (map-side partials), one semi-join back, one per-doc window.
+    QueryDef(
+      "q_dedup_substring",
+      Some(s"""WITH t AS (SELECT doc_id, ${PortableSql.toks("text")} AS tk FROM documents),
+               g0 AS (SELECT doc_id, ${PortableSql.shingles("tk", 8)} AS grams FROM t),
+               g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                            ${PortableSql.h48("grams[i]")} AS wh
+                     FROM (SELECT doc_id, grams,
+                                  unnest(generate_series(1, len(grams))) AS i
+                           FROM g0)),
+               c AS (SELECT wh FROM g GROUP BY wh HAVING count(*) > 1),
+               dws AS (SELECT doc_id, pos FROM g WHERE wh IN (SELECT wh FROM c)),
+               gap AS (SELECT doc_id, pos,
+                              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                                   THEN 1 ELSE 0 END AS ns
+                       FROM dws),
+               sp AS (SELECT doc_id, pos,
+                             sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+                      FROM gap)
+               SELECT doc_id,
+                      CAST(min(pos) AS BIGINT) AS span_start,
+                      CAST(max(pos) + 8 AS BIGINT) AS span_end,
+                      CAST(count(*) AS BIGINT) AS n_windows
+               FROM sp GROUP BY doc_id, span_id
+               ORDER BY doc_id, span_start""")) { (s, d) =>
+      val wsize = 8
+      val wins = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(T.ngrams(T.tokens(col("text")), wsize)).as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          graft.functions.Portable.h48(col("gram")).as("wh"))
+      graft.operators.Dedup.duplicateSpans(wins, wsize)
+        .select(col("doc_id"),
+          col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"),
+          col("n_windows").cast("long").as("n_windows"))
+        .orderBy("doc_id", "span_start")
+    },
+
+    // n-gram LM familiarity score (the integer-exact form of CCNet-style
+    // LM-perplexity quality filtering): train the "LM" on the corpus itself
+    // — corpus-wide bigram counts — and score each doc by the average
+    // corpus frequency of its bigrams. Docs full of rare bigram sequences
+    // (garbled text, boilerplate noise, wrong-language fragments) score
+    // low. Sums are BIGINT counts, so the only float op is one final
+    // division of two exact integers — hash-match-safe across engines.
+    // Shuffles: bigram count group-by (map-side partials), count join back
+    // (bigram-keyed — the LM table is vocab²-sized, never broadcast), and
+    // the per-doc re-aggregation.
+    QueryDef(
+      "q_text_lm_score",
+      Some(s"""WITH t AS (SELECT doc_id, ${PortableSql.toks("text")} AS tk FROM documents),
+               bg AS (SELECT doc_id, unnest(${PortableSql.shingles("tk", 2)}) AS bg FROM t),
+               c AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+               d AS (SELECT doc_id, count(*) AS n_bigrams, sum(c.c) AS sum_freq
+                     FROM bg JOIN c USING (bg) GROUP BY doc_id)
+               SELECT doc.doc_id,
+                      CAST(coalesce(d.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                      CAST(coalesce(d.sum_freq, 0) AS BIGINT) AS sum_freq,
+                      CASE WHEN coalesce(d.n_bigrams, 0) > 0
+                           THEN ${Num.oracleRound2("CAST(d.sum_freq AS DOUBLE) / d.n_bigrams")}
+                           ELSE 0.0 END AS familiarity
+               FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
+               ORDER BY doc.doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bigs = docs
+        .select(col("doc_id"), explode(T.ngrams(T.tokens(col("text")), 2)).as("bg"))
+      val cnt = bigs.groupBy("bg").agg(count(lit(1)).as("c"))
+      val perDoc = bigs.join(cnt, "bg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("c").as("sum_freq"))
+      docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
+          coalesce(col("sum_freq"), lit(0L)).cast("long").as("sum_freq"),
+          when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+            Num.round2(col("sum_freq").cast("double") / col("n_bigrams")))
+            .otherwise(lit(0.0)).as("familiarity"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -38,6 +38,14 @@ object PortableSql {
   def shingles3(t: String): String =
     s"""list_transform(generate_series(1, GREATEST(len($t) - 2, 0)), g3 -> $t[g3] || ' ' || $t[g3 + 1] || ' ' || $t[g3 + 2])"""
 
+  /** Space-joined token n-grams over token-array COLUMN `t` for any n —
+    * mirrors TextFunctions.ngrams(_, n). Pass a column name (re-evaluated
+    * n+1 times); lambda var `gN` must not collide with enclosing scopes. */
+  def shingles(t: String, n: Int): String = {
+    val joined = (0 until n).map(k => s"$t[gN + $k]").mkString(" || ' ' || ")
+    s"""list_transform(generate_series(1, GREATEST(len($t) - ${n - 1}, 0)), gN -> $joined)"""
+  }
+
   /** MinHash component j over pre-hashed array column `hs` —
     * mirrors Portable.minhashFromHashes (Carter–Wegman map of the base
     * hash reduced into [0, P); empty array -> Long.MaxValue). */

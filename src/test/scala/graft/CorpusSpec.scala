@@ -167,4 +167,70 @@ class CorpusSpec extends AnyFunSuite with SparkTest {
     // fr: only doc 14
     assert(out == Seq(("en", 1L, 6L), ("fr", 1L, 6L)), out.toString)
   }
+
+  test("duplicateSpans merges overlapping duplicate windows into maximal spans") {
+    import spark.implicits._
+    // w=3. doc 1 has dup windows at pos 0,1,2 (one span [0,5)) and pos 10
+    // (separate span [10,13): gap 10-2 > w). doc 2 shares those hashes; its
+    // positions 4,5 merge, 20 stands alone. Hash 99 occurs once -> ignored.
+    val wins = Seq(
+      (1L, 0L, 100L), (1L, 1L, 101L), (1L, 2L, 102L), (1L, 10L, 103L),
+      (1L, 20L, 99L),
+      (2L, 4L, 100L), (2L, 5L, 101L), (2L, 20L, 102L), (2L, 21L, 103L))
+      .toDF("doc_id", "pos", "wh")
+    val got = graft.operators.Dedup.duplicateSpans(wins, 3)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 5L, 3L), (1L, 10L, 13L, 1L),
+      (2L, 4L, 8L, 2L), (2L, 20L, 24L, 2L)), got.mkString(","))
+  }
+
+  test("duplicateSpans counts a window repeated WITHIN one doc as duplicated") {
+    import spark.implicits._
+    val wins = Seq((1L, 0L, 7L), (1L, 9L, 7L), (1L, 30L, 8L))
+      .toDF("doc_id", "pos", "wh")
+    val got = graft.operators.Dedup.duplicateSpans(wins, 3)
+      .orderBy("span_start")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 3L), (9L, 12L))) // 9 - 0 > w: two spans
+  }
+
+  test("q_dedup_substring finds the planted repeated 8-token run and nothing else") {
+    import spark.implicits._
+    val boiler = "a b c d e f g h" // 8 tokens, planted in docs 1 and 2
+    val docs = Seq(
+      (1L, s"x1 x2 $boiler x3 x4", "en", "s"),
+      (2L, s"y1 y2 y3 $boiler", "en", "s"),
+      (3L, "unique tokens only in this document here now today", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-substr").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_dedup_substring")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // The shared window starts at token 2 in doc 1 and token 3 in doc 2;
+    // span_end = start + 8; exactly one window each (surrounding tokens
+    // differ, so no neighboring window repeats).
+    assert(got.toSeq == Seq((1L, 2L, 10L, 1L), (2L, 3L, 11L, 1L)), got.mkString(","))
+  }
+
+  test("q_text_lm_score scores the rare-bigram doc lowest and handles short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat", "en", "s"),   // bigrams: "the cat", "cat sat"
+      (2L, "the cat ran", "en", "s"),   // shares "the cat"
+      (3L, "qq zz", "en", "s"),         // one bigram, unique -> low familiarity
+      (4L, "solo", "en", "s"))          // no bigrams -> zeros
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_text_lm_score")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // "the cat" occurs twice; every other bigram once.
+    assert(got.toSeq == Seq(
+      (1L, 2L, 3L, 1.5), (2L, 2L, 3L, 1.5), (3L, 1L, 1L, 1.0), (4L, 0L, 0L, 0.0)),
+      got.mkString(","))
+  }
 }
