@@ -74,6 +74,42 @@ object Portable {
       concat_ws(",",
         slice(sig, bi * rowsPerBand + 1, rowsPerBand).cast("array<string>"))): _*)
 
+  /** Rolling-hash (Rabin–Karp) polynomial bases, md5-derived like [[a]]/
+    * [[b]]; in [2, P) so degree terms never collapse. */
+  def rkB(which: Int): Long = (h48Jvm(s"rk_b_$which") % (P - 2)) + 2
+
+  /** Rabin–Karp window hashes of a token array — native codegen expression
+    * (graft.expressions.RabinKarpWindows): one md5 per TOKEN, then two
+    * mod-P polynomials per w-window combined as h1·2³¹ + h2 (62-bit key,
+    * collision-equivalent to the md5-head family; every intermediate
+    * product < 2^62, so both engines stay in exact BIGINT arithmetic).
+    * See [[windowHashes]] for the built-in formulation it is verified
+    * against. */
+  def windowHashesNative(toks: Column, w: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.RabinKarpWindows(
+        org.apache.spark.sql.GraftColumnBridge.expression(toks), w))
+
+  /** Built-in-composition window hashes over a PRE-HASHED token array `hs`
+    * (values already reduced into [0, P)) — kept as the differential-test
+    * oracle for [[windowHashesNative]]. The interpreted HOF lambda
+    * measured SLOWER at sf0.1 than even md5-per-window native n-grams,
+    * which is why the native expression exists.
+    *
+    * Shorter-than-w arrays yield an empty result explicitly: Spark's
+    * sequence(1, 0) is DESCENDING ([1,0]), not empty (same pitfall as
+    * TextFunctions.ngramsHof). */
+  def windowHashes(hs: Column, w: Int): Column = {
+    def poly(base: Long, i: Column): Column =
+      (0 until w).foldLeft(lit(0L): Column)((acc, k) =>
+        (acc * lit(base) + element_at(hs, (i + lit(k)).cast("int"))) % lit(P))
+    when(size(hs) >= w,
+      transform(
+        sequence(lit(1), size(hs) - (w - 1)),
+        i => poly(rkB(1), i) * lit(1L << 31) + poly(rkB(2), i)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** JVM-side h48 of a string — identical value to [[h48]] (md5 head,
     * big-endian). Used by MinHashAggregator's portable mode where hashing
     * happens in typed JVM code, not Catalyst. */

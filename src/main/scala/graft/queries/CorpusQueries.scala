@@ -396,20 +396,23 @@ object CorpusQueries {
 
     // Exact duplicate-substring spans (Lee et al., ACL 2022): document-level
     // dedup misses boilerplate repeated INSIDE otherwise-distinct documents,
-    // so hash every 8-token window (native NGrams + one portable md5-derived
-    // h48 per window), keep windows whose hash repeats corpus-wide, and
-    // merge per-doc runs of overlapping windows into maximal spans — the
-    // spans a pipeline would cut before training. Shuffles: one hash
-    // group-by (map-side partials), one semi-join back, one per-doc window.
+    // so hash every 8-token window, keep windows whose hash repeats
+    // corpus-wide, and merge per-doc runs of overlapping windows into
+    // maximal spans — the spans a pipeline would cut before training.
+    // Window hashing is Rabin–Karp over per-token portable hashes (native
+    // codegen expression: one md5 per TOKEN, exact mod-P polynomial
+    // arithmetic per window), replayed bit-identically by the DuckDB
+    // oracle. Shuffles: one hash group-by (map-side partials), one
+    // semi-join back, one per-doc window.
     QueryDef(
       "q_dedup_substring",
       Some(s"""WITH t AS (SELECT doc_id, ${PortableSql.toks("text")} AS tk FROM documents),
-               g0 AS (SELECT doc_id, ${PortableSql.shingles("tk", 8)} AS grams FROM t),
-               g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-                            ${PortableSql.h48("grams[i]")} AS wh
-                     FROM (SELECT doc_id, grams,
-                                  unnest(generate_series(1, len(grams))) AS i
-                           FROM g0)),
+               h AS (SELECT doc_id, ${PortableSql.tokenHashes("tk")} AS hs FROM t),
+               w0 AS (SELECT doc_id, ${PortableSql.windowHashes("hs", 8)} AS whs FROM h),
+               g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, whs[i] AS wh
+                     FROM (SELECT doc_id, whs,
+                                  unnest(generate_series(1, len(whs))) AS i
+                           FROM w0)),
                c AS (SELECT wh FROM g GROUP BY wh HAVING count(*) > 1),
                dws AS (SELECT doc_id, pos FROM g WHERE wh IN (SELECT wh FROM c)),
                gap AS (SELECT doc_id, pos,
@@ -425,12 +428,13 @@ object CorpusQueries {
                       CAST(count(*) AS BIGINT) AS n_windows
                FROM sp GROUP BY doc_id, span_id
                ORDER BY doc_id, span_start""")) { (s, d) =>
+      import graft.functions.Portable
       val wsize = 8
       val wins = Tables.documents(s, d)
         .select(col("doc_id"),
-          posexplode(T.ngrams(T.tokens(col("text")), wsize)).as(Seq("pos", "gram")))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          graft.functions.Portable.h48(col("gram")).as("wh"))
+          posexplode(Portable.windowHashesNative(T.tokens(col("text")), wsize))
+            .as(Seq("pos", "wh")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("wh"))
       graft.operators.Dedup.duplicateSpans(wins, wsize)
         .select(col("doc_id"),
           col("span_start").cast("long").as("span_start"),

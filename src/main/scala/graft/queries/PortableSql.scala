@@ -46,6 +46,21 @@ object PortableSql {
     s"""list_transform(generate_series(1, GREATEST(len($t) - ${n - 1}, 0)), gN -> $joined)"""
   }
 
+  /** Per-token base hashes reduced into [0, P) over token-array COLUMN `t`
+    * — mirrors the pre-hash projection feeding Portable.windowHashes. */
+  def tokenHashes(t: String): String =
+    s"list_transform($t, rkt -> ${h48("rkt")} % $P)"
+
+  /** Rabin–Karp window hashes over pre-hashed array COLUMN `hs` — mirrors
+    * Portable.windowHashes(hs, w) (two mod-P polynomials, h1·2³¹ + h2;
+    * DuckDB generate_series(1, 0) is empty, matching the Spark guard). */
+  def windowHashes(hs: String, w: Int): String = {
+    def poly(base: Long): String =
+      (0 until w).foldLeft("CAST(0 AS BIGINT)")((acc, k) =>
+        s"(($acc * $base + $hs[rki + $k]) % $P)")
+    s"list_transform(generate_series(1, GREATEST(len($hs) - ${w - 1}, 0)), rki -> ${poly(Portable.rkB(1))} * ${1L << 31} + ${poly(Portable.rkB(2))})"
+  }
+
   /** MinHash component j over pre-hashed array column `hs` —
     * mirrors Portable.minhashFromHashes (Carter–Wegman map of the base
     * hash reduced into [0, P); empty array -> Long.MaxValue). */

@@ -238,6 +238,45 @@ class ExpressionSpec extends AnyFunSuite with SparkTest {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 
+  test("native rabin-karp windows match the HOF formulation including short inputs") {
+    import spark.implicits._
+    import graft.functions.{Portable, TextFunctions => T}
+    val texts = Seq(
+      "a b c d e f g h i j",          // 3 windows at w=8
+      "a b c d e f g h",              // exactly one window
+      "a b c d e f g",                // too short: empty
+      "", "single",
+      "x x x x x x x x x x",          // repeated token: identical windows
+      "한국어 텍스트 α β γ δ ε ζ η θ") // non-ASCII bytes through md5
+    (2 to 8 by 3).foreach { w =>
+      val df = texts.toDF("text")
+        .select(T.tokens(col("text")).as("toks"))
+        .select(
+          Portable.windowHashesNative(col("toks"), w).as("native"),
+          Portable.windowHashes(
+            transform(col("toks"), t => Portable.h48(t) % lit(Portable.P)), w)
+            .as("hof"))
+      df.collect().foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"w=$w")
+      }
+    }
+  }
+
+  test("rabin-karp windows survive both codegen and interpreted eval paths") {
+    import spark.implicits._
+    import graft.functions.{Portable, TextFunctions => T}
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try Seq(true, false).foreach { cg =>
+      spark.conf.set("spark.sql.codegen.wholeStage", cg.toString)
+      val got = Seq("p q r s t u v w x", "too short")
+        .toDF("text")
+        .select(Portable.windowHashesNative(T.tokens(col("text")), 8).as("whs"))
+        .collect().map(_.getSeq[Long](0))
+      assert(got(0).length == 2 && got(1).isEmpty, s"codegen=$cg")
+      assert(got(0).forall(_ >= 0L), s"codegen=$cg keys must stay in BIGINT range")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("salted join equals the plain join result") {
     import spark.implicits._
     // heavy skew: 90% of left rows share key 1
