@@ -228,6 +228,60 @@ object Similarity {
     centroids
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space, then compare pairs ONLY within a cluster and drop every vector
+    * whose cosine to a smaller-id cluster-mate is >= tau. The economy is
+    * the cluster gate: O(Σ cell²) candidate pairs instead of O(n²) — at
+    * 100 TB, nCentroids grows with the corpus so the expected cell size
+    * (and the per-cell quadratic term) stays constant. Keeper policy is
+    * min-id per near-dup group (deterministic; the paper keeps the vector
+    * farthest from the centroid — swap the keeper ordering to get that).
+    *
+    * Centroids: deterministic sample (first nCentroids by id), same
+    * convention as [[ivfTopK]]; [[kmeansCentroids]] refinement composes by
+    * passing refineIters > 0. Assignment is a narrow map (NearestCells
+    * codegen expression over the bounded C×dim table); the in-cell
+    * self-join is an equi-join on the cell id, co-partitioned by the
+    * repartition so only one exchange feeds both sides.
+    *
+    * Input: (vec_id, cv: array<double>); output: (vec_id, c_id) survivors.
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      nCentroids: Int,
+      tau: Double,
+      refineIters: Int = 0): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val centroids =
+      if (refineIters > 0) kmeansCentroids(corpus, nCentroids, refineIters)
+      else corpus
+        .orderBy("vec_id")
+        .limit(nCentroids)
+        .select(col("vec_id").as("c_id"), col("cv").as("centroid"))
+    // bounded driver state: C×dim, the same category as ivfTopK's collect
+    val cents = centroids.collect()
+    if (cents.isEmpty)
+      return corpus.select(col("vec_id")).limit(0)
+        .withColumn("c_id", lit(0L))
+        .select("vec_id", "c_id")
+    val centArr = cents.map(_.getSeq[Double](1).toArray)
+    val idArr = cents.map(_.getLong(0))
+    val assigned = corpus
+      .withColumn("c_id",
+        column(graft.expressions.NearestCells(
+          expression(col("cv")), centArr, idArr, 1)).getItem(0))
+      .repartition(col("c_id"))
+    val dropped = assigned
+      .select(col("c_id"), col("vec_id").as("id_a"), col("cv").as("v_a"))
+      .join(assigned.select(col("c_id"), col("vec_id").as("id_b"), col("cv").as("v_b")),
+        Seq("c_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(V.cosineNative(col("v_a"), col("v_b")) >= tau)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    Dedup.keepFromPairs(assigned.select("vec_id", "c_id"), "vec_id", dropped)
+  }
+
   /** Exact-Jaccard near-dup pairs with log-length-band blocking.
     *
     * Candidates must share `lang` and land in the same or an ADJACENT

@@ -218,6 +218,28 @@ object PortableSql {
         WHERE vec_id NOT IN (SELECT id_b FROM kept)
         ORDER BY vec_id"""
 
+  /** q_dedup_semantic: SemDeDup — deterministic-sample centroids, argmin
+    * cell assignment, in-cell pairs with cosine >= tau, min-id keeper —
+    * mirrors Similarity.semanticDedup(refineIters = 0) stage by stage. */
+  def semanticDedupOracle(nCentroids: Int, tau: Double): String =
+    s"""WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        cent AS (SELECT vec_id AS c_id, v AS centroid
+                 FROM e ORDER BY vec_id LIMIT $nCentroids),
+        asg AS (SELECT vec_id, v, c_id FROM (
+                  SELECT e.vec_id, e.v, cent.c_id,
+                         row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY ${l2Sq("e.v", "cent.centroid")}, cent.c_id) AS arn
+                  FROM e, cent) WHERE arn = 1),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM asg a JOIN asg b
+                ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+               AND ${cosine("a.v", "b.v")} >= $tau)
+        SELECT vec_id, CAST(c_id AS BIGINT) AS c_id FROM asg
+        WHERE vec_id NOT IN (SELECT id_b FROM p)
+        ORDER BY vec_id"""
+
   /** q_sim_ivf: deterministic-sample IVF (first nCentroids corpus ids),
     * argmin-cell assignment, nProbe nearest cells per query, exact cosine
     * top-k — mirrors Similarity.ivfTopK(refineIters = 0) stage by stage. */

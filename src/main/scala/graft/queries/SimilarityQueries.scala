@@ -159,6 +159,22 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // SemDeDup (Abbas et al. 2023): cluster the embedding space
+    // (deterministic-sample centroids + NearestCells argmin), compare pairs
+    // only WITHIN a cluster, drop everything with an in-cell cosine >= tau
+    // to a smaller id. tau = 0.3 surfaces the top of the random-vector
+    // cosine distribution (max pairwise ~0.48); real corpora use ~0.9+.
+    // The oracle replays centroids, assignment, pair set and keeper
+    // arithmetic exactly (PortableSql.semanticDedupOracle).
+    QueryDef("q_dedup_semantic",
+        Some(PortableSql.semanticDedupOracle(8, 0.3))) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), V.asDouble(col("embedding")).as("cv"))
+      Similarity.semanticDedup(emb, nCentroids = 8, tau = 0.3)
+        .select(col("vec_id"), col("c_id").cast("long").as("c_id"))
+        .orderBy("vec_id")
+    },
+
     // Incremental near-dup: every 5th document plays the "incoming batch"
     // and is deduped against the band table of the rest — the corpus text
     // is never rescanned, only its (id, band_idx, band_hash) state (k

@@ -161,6 +161,31 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     (0L until 30L).foreach(i => assert(kept.contains(i), s"original $i dropped"))
   }
 
+  test("semanticDedup drops in-cell near-dups, keeps min id and distinct vectors") {
+    import spark.implicits._
+    val originals = (0L until 20L).map(i => (i, vec(i.toInt + 50, 32)))
+    // near-identical copies of vectors 3 and 7: same cell by construction
+    // (assignment is argmin over the same centroids), must be dropped
+    val copies = Seq((103L, nearDup(vec(53, 32))), (107L, nearDup(vec(57, 32))))
+    val emb = (originals ++ copies).toDF("vec_id", "cv")
+    val kept = Similarity.semanticDedup(emb, nCentroids = 4, tau = 0.999)
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(103L) && !kept.contains(107L), kept.toString)
+    (0L until 20L).foreach(i => assert(kept.contains(i), s"original $i dropped"))
+    // every survivor carries its cell id; cells come from the centroid ids
+    val cells = Similarity.semanticDedup(emb, nCentroids = 4, tau = 0.999)
+      .collect().map(_.getLong(1)).toSet
+    assert(cells.subsetOf(Set(0L, 1L, 2L, 3L)), cells.toString)
+  }
+
+  test("semanticDedup on an empty corpus returns an empty (vec_id, c_id) frame") {
+    import spark.implicits._
+    val emb = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "cv")
+    val out = Similarity.semanticDedup(emb, nCentroids = 4, tau = 0.9)
+    assert(out.columns.toSeq == Seq("vec_id", "c_id"))
+    assert(out.count() == 0)
+  }
+
   test("incremental near-dup flags arrivals colliding with the persisted band table") {
     import spark.implicits._
     import graft.functions.{TextFunctions => T}
