@@ -247,6 +247,13 @@ object Similarity {
     *
     * Input: (vec_id, cv: array<double>); output: (vec_id, c_id) survivors.
     */
+  /** Corpus-derived centroid count for [[semanticDedup]]: expected cell
+    * ~64 rows, floor 8 — cells stay constant-size as the corpus grows, so
+    * the in-cell quadratic term stays bounded (the SQL mirror is inlined in
+    * PortableSql.semanticDedupOracle). */
+  def semanticCells(corpusRows: Long): Int =
+    math.max(8L, math.ceil(corpusRows / 64.0).toLong).toInt
+
   def semanticDedup(
       corpus: DataFrame,
       nCentroids: Int,

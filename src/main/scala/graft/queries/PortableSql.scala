@@ -218,15 +218,21 @@ object PortableSql {
         WHERE vec_id NOT IN (SELECT id_b FROM kept)
         ORDER BY vec_id"""
 
-  /** q_dedup_semantic: SemDeDup — deterministic-sample centroids, argmin
-    * cell assignment, in-cell pairs with cosine >= tau, min-id keeper —
-    * mirrors Similarity.semanticDedup(refineIters = 0) stage by stage. */
-  def semanticDedupOracle(nCentroids: Int, tau: Double): String =
-    s"""WITH e AS (SELECT vec_id,
-                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                   FROM embeddings),
-        cent AS (SELECT vec_id AS c_id, v AS centroid
-                 FROM e ORDER BY vec_id LIMIT $nCentroids),
+  /** q_dedup_semantic: SemDeDup — corpus-sized deterministic-sample
+    * centroids (mirrors Similarity.semanticCells: expected cell ~64 rows,
+    * floor 8), argmin cell assignment, in-cell pairs with cosine >= tau,
+    * min-id keeper — mirrors Similarity.semanticDedup(refineIters = 0)
+    * stage by stage. */
+  def semanticDedupOracle(tau: Double): String =
+    s"""WITH nc AS (SELECT GREATEST(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS c
+                    FROM embeddings),
+        e AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        cent AS (SELECT vec_id AS c_id, v AS centroid FROM (
+                   SELECT vec_id, v,
+                          row_number() OVER (ORDER BY vec_id) AS crn FROM e)
+                 WHERE crn <= (SELECT c FROM nc)),
         asg AS (SELECT vec_id, v, c_id FROM (
                   SELECT e.vec_id, e.v, cent.c_id,
                          row_number() OVER (PARTITION BY e.vec_id

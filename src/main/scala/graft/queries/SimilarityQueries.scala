@@ -164,13 +164,17 @@ object SimilarityQueries {
     // only WITHIN a cluster, drop everything with an in-cell cosine >= tau
     // to a smaller id. tau = 0.3 surfaces the top of the random-vector
     // cosine distribution (max pairwise ~0.48); real corpora use ~0.9+.
-    // The oracle replays centroids, assignment, pair set and keeper
-    // arithmetic exactly (PortableSql.semanticDedupOracle).
+    // Centroid count is corpus-derived (expected cell ~64 rows, like
+    // q_sim_lsh's bit count) so the in-cell quadratic term stays bounded
+    // as the data grows. The oracle replays centroid sizing, assignment,
+    // pair set and keeper arithmetic exactly
+    // (PortableSql.semanticDedupOracle).
     QueryDef("q_dedup_semantic",
-        Some(PortableSql.semanticDedupOracle(8, 0.3))) { (s, d) =>
+        Some(PortableSql.semanticDedupOracle(0.3))) { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), V.asDouble(col("embedding")).as("cv"))
-      Similarity.semanticDedup(emb, nCentroids = 8, tau = 0.3)
+      val cells = Similarity.semanticCells(Tables.rowCount(s, d, "embeddings"))
+      Similarity.semanticDedup(emb, nCentroids = cells, tau = 0.3)
         .select(col("vec_id"), col("c_id").cast("long").as("c_id"))
         .orderBy("vec_id")
     },
