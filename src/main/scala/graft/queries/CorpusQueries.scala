@@ -443,6 +443,60 @@ object CorpusQueries {
         .orderBy("doc_id", "span_start")
     },
 
+    // Corpus mixing / upsampling plan — the data-mixing primitive: given
+    // target mixture weights per language, compute the per-language
+    // repetition factor that reaches the target shares by UPSAMPLING only
+    // (the language with the scarcest tokens relative to its weight is the
+    // anchor at factor 1.0 — nothing is dropped). All ordering and the
+    // planned token counts are exact integer arithmetic (anchor selection
+    // by cross-multiply-scaled key, planned = w * t_anchor div w_anchor),
+    // so both engines agree bit-for-bit; post-mix shares equal the target
+    // weights by construction. One keyed aggregation + a broadcast-sized
+    // anchor row.
+    QueryDef(
+      "q_corpus_mix",
+      Some(s"""WITH w(lang, w) AS (VALUES
+                 ('en', 40), ('zh', 20), ('de', 15), ('es', 15), ('fr', 10)),
+               t AS (SELECT d.lang,
+                            CAST(count(*) AS BIGINT) AS n_docs,
+                            CAST(sum(len(${PortableSql.toks("text")})) AS BIGINT) AS tokens,
+                            CAST(coalesce(any_value(w.w), 1) AS BIGINT) AS w
+                     FROM documents d LEFT JOIN w ON d.lang = w.lang
+                     GROUP BY d.lang),
+               a AS (SELECT w AS w_a, tokens AS t_a FROM (
+                       SELECT w, tokens,
+                              row_number() OVER (ORDER BY (w * 1000000000000) // tokens, lang) AS rn
+                       FROM t) WHERE rn = 1)
+               SELECT lang, n_docs, tokens,
+                      CAST((t.w * a.t_a) // a.w_a AS BIGINT) AS planned_tokens,
+                      ${Num.oracleRound2("CAST((t.w * a.t_a) // a.w_a AS DOUBLE) / tokens")} AS factor
+               FROM t CROSS JOIN a ORDER BY lang""")) { (s, d) =>
+      import s.implicits._
+      val weights = Seq(("en", 40L), ("zh", 20L), ("de", 15L), ("es", 15L), ("fr", 10L))
+        .toDF("lang", "w")
+      val t = Tables.documents(s, d)
+        .select(col("lang"), size(T.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+        .join(broadcast(weights), Seq("lang"), "left")
+        .withColumn("w", coalesce(col("w"), lit(1L)))
+      // anchor = argmin of w/tokens (exact: scaled integer division key);
+      // the global window runs on the per-language AGGREGATE — bounded by
+      // language count, not data size
+      val aw = Window.orderBy(expr("w * 1000000000000 div tokens"), col("lang"))
+      val anchor = t
+        .withColumn("rn", row_number().over(aw))
+        .filter(col("rn") === 1)
+        .select(col("w").as("w_a"), col("tokens").as("t_a"))
+      t.crossJoin(broadcast(anchor))
+        .select(
+          col("lang"), col("n_docs"), col("tokens"),
+          expr("w * t_a div w_a").as("planned_tokens"),
+          Num.round2(expr("w * t_a div w_a").cast("double") / col("tokens"))
+            .as("factor"))
+        .orderBy("lang")
+    },
+
     // n-gram LM familiarity score (the integer-exact form of CCNet-style
     // LM-perplexity quality filtering): train the "LM" on the corpus itself
     // — corpus-wide bigram counts — and score each doc by the average

@@ -215,6 +215,63 @@ class CorpusSpec extends AnyFunSuite with SparkTest {
     assert(got.toSeq == Seq((1L, 2L, 10L, 1L), (2L, 3L, 11L, 1L)), got.mkString(","))
   }
 
+  test("q_corpus_mix anchors the scarcest-for-its-weight lang at 1.0 and hits target shares") {
+    import spark.implicits._
+    // en: 10 tokens, weight 40; fr: 10 tokens, weight 10 -> fr is the
+    // anchor (smallest w/t), en upsamples 4x; post-mix shares 40/50 + 10/50
+    // = the target 40:10.
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "en", "s"),
+      (2L, "k l m n o p q r s t", "fr", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_corpus_mix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("en", 1L, 10L, 40L, 4.0), ("fr", 1L, 10L, 10L, 1.0)), got.mkString(","))
+  }
+
+  test("property: duplicateSpans spans are disjoint, gap-separated, and cover every dup window") {
+    import spark.implicits._
+    val w = 4
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      // small hash pool forces corpus-wide repeats; positions are distinct
+      // per doc by construction
+      val wins = (1 to 4).flatMap { doc =>
+        rnd.shuffle((0 to 40).toList).take(12).map(p =>
+          (doc.toLong, p.toLong, (rnd.nextInt(8) + 1).toLong))
+      }
+      val winsDf = wins.toDF("doc_id", "pos", "wh")
+      val got = graft.operators.Dedup.duplicateSpans(winsDf, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // reference model computed directly
+      val counts = wins.groupBy(_._3).view.mapValues(_.size).toMap
+      val dupPos = wins.filter(x => counts(x._3) > 1)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      // per doc: check span structure against the model
+      got.groupBy(_._1).foreach { case (doc, spans) =>
+        val ss = spans.sortBy(_._2)
+        // disjoint with a real gap: next span's first window starts more
+        // than w after the previous span's last window (= after its end)
+        ss.sliding(2).foreach {
+          case Array(a, b) => assert(b._2 > a._3, s"trial $trial doc $doc: $ss")
+          case _ =>
+        }
+        // coverage: every dup window position falls inside exactly one span
+        val pos = dupPos.getOrElse(doc, Nil)
+        assert(ss.map(_._4).sum == pos.size, s"trial $trial doc $doc window count")
+        pos.foreach(p => assert(
+          ss.count(sp => p >= sp._2 && p + w <= sp._3) == 1,
+          s"trial $trial doc $doc pos $p not covered once: $ss"))
+      }
+      assert(got.map(_._1).toSet == dupPos.filter(_._2.nonEmpty).keySet,
+        s"trial $trial docs with spans")
+    }
+  }
+
   test("q_text_lm_score scores the rare-bigram doc lowest and handles short docs") {
     import spark.implicits._
     val docs = Seq(
