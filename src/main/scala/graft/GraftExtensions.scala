@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, JaccardSimilarity, MinHashSignature, NGrams, SimHash64, Tokenize}
+import graft.expressions.{CosineSimilarity, JaccardSimilarity, MinHashSignature, NGrams, RabinKarpWindows, SimHash64, Tokenize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
@@ -51,6 +51,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NGrams].getName, "graft_ngrams"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NGrams(
+          children(0),
+          children(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
+    // graft_rk_windows(tokens, w) — w must be a literal int (plan-time constant)
+    ext.injectFunction((
+      FunctionIdentifier("graft_rk_windows"),
+      new ExpressionInfo(classOf[RabinKarpWindows].getName, "graft_rk_windows"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RabinKarpWindows(
           children(0),
           children(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
   }

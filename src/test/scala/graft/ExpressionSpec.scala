@@ -189,6 +189,27 @@ class ExpressionSpec extends AnyFunSuite with SparkTest {
     assert(r.getSeq[String](1) == Seq("a b", "b c"))
   }
 
+  test("graft_rk_windows is callable from SQL and matches the Column API") {
+    import spark.implicits._
+    import graft.functions.{Portable, TextFunctions => T}
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tokens", exprs => graft.expressions.Tokenize(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rk_windows",
+      exprs => graft.expressions.RabinKarpWindows(
+        exprs(0),
+        exprs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int]),
+      "built-in")
+    val viaSql = spark.sql(
+      "SELECT graft_rk_windows(graft_tokens('a b c d e'), 3) AS w")
+      .collect()(0).getSeq[Long](0)
+    val viaApi = Seq("a b c d e").toDF("text")
+      .select(Portable.windowHashesNative(T.tokens(col("text")), 3))
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql == viaApi && viaSql.length == 3)
+  }
+
   test("portable minhash components are decorrelated and estimate Jaccard (not 0/1-only)") {
     import spark.implicits._
     import graft.functions.Portable
