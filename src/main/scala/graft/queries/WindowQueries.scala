@@ -187,6 +187,52 @@ object WindowQueries {
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           sum("l_quantity").over(w).as("cum_qty"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "cum_qty")
+    },
+
+    // Time-series gap fill + forward fill: densify each user's daily event
+    // series onto a contiguous day grid (sequence explode per key — narrow,
+    // grid bounded by that key's own span) and carry the last observed
+    // daily value across the gaps (last IGNORE NULLS over a partitioned
+    // window). The missing-sensor-readings shape every telemetry warehouse
+    // needs; no global window anywhere. First grid day = the user's first
+    // active day, so the carried value is never NULL.
+    QueryDef(
+      "q_win_gapfill",
+      Some("""WITH daily AS (
+                SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       CAST(round(CAST(sum(value) AS DECIMAL(28,6)), 2) AS DOUBLE) AS day_value
+                FROM events WHERE user_id < 30 GROUP BY 1, 2),
+              grid AS (
+                SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                         CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+                FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+                      FROM daily GROUP BY user_id))
+              SELECT g.user_id, g.day,
+                     CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+                     last_value(d.day_value IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+              FROM grid g LEFT JOIN daily d
+                ON g.user_id = d.user_id AND g.day = d.day
+              ORDER BY g.user_id, g.day""")) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .filter(col("user_id") < 30)
+        .groupBy(col("user_id"), to_date(date_trunc("DAY", col("ts"))).as("day"))
+        .agg(count(lit(1)).as("n_events"), Num.round2(sum("value")).as("day_value"))
+      val grid = daily
+        .groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(
+          col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).cast("long").as("n_events"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("carried"))
+        .orderBy("user_id", "day")
     }
   )
 }

@@ -6,6 +6,35 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class OperatorSpec extends AnyFunSuite with SparkTest {
 
+  test("gap fill densifies the day grid and forward-fills across multi-day gaps") {
+    import spark.implicits._
+    // user 1: events on Jan 1 and Jan 5 only — the grid must contain Jan
+    // 2-4 with n_events 0 and the Jan-1 value carried; user 2 is a single
+    // day (no gaps, grid of one).
+    val events = Seq(
+      (1L, 1L, "click", "2024-01-01 08:00:00", 10.0),
+      (2L, 1L, "click", "2024-01-01 09:00:00", 20.0),
+      (3L, 1L, "view", "2024-01-05 09:00:00", 7.0),
+      (4L, 2L, "view", "2024-01-03 12:00:00", 5.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-gapfill").toString
+    // write ts as long nanos to match the fixture's TIMESTAMP(NANOS) shape
+    events.withColumn("ts", col("ts").cast("long") * 1000000000L)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_win_gapfill")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01", 2L, 30.0),
+      (1L, "2024-01-02", 0L, 30.0),
+      (1L, "2024-01-03", 0L, 30.0),
+      (1L, "2024-01-04", 0L, 30.0),
+      (1L, "2024-01-05", 1L, 7.0),
+      (2L, "2024-01-03", 1L, 5.0)), got.mkString(","))
+  }
+
   test("asOf picks the latest right row at or before the left time") {
     import spark.implicits._
     val trades = Seq(
