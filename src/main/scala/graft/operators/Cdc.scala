@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Snapshot differencing — change-data-capture without a log.
@@ -43,5 +44,37 @@ object Cdc {
             .when(!(col("__o") <=> col("__n")), lit("update"))
             .otherwise(lit("unchanged"))
             .as("change_type"): _*)
+  }
+
+  /** Compact an append-only changelog into SCD2 validity intervals: per
+    * key, consecutive rows with identical tracked attributes collapse into
+    * one row valid from its first timestamp until the next attribute
+    * change (`valid_to` = NULL ⇒ current version).
+    *
+    * `tieCol` breaks timestamp ties so the changelog order — and therefore
+    * the emitted history — is total and replayable.
+    *
+    * Scale shape: both windows and the change filter share one
+    * hash-partition-by-key + sort; the Exchange is planned once. No
+    * broadcast, no driver state — the history of each key is computed
+    * where the key lives, the layout a 100 TB changelog forces.
+    */
+  def scd2FromChangelog(
+      log: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol), col(tieCol))
+    val attrs = struct(attrCols.map(col): _*)
+    log
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      // first row per key OR any tracked attribute changed (null-safe:
+      // NULL -> value and value -> NULL are both changes)
+      .filter(col("__prev").isNull || !(col("__prev") <=> attrs))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__prev")
   }
 }

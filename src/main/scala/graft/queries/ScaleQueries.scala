@@ -108,6 +108,37 @@ object ScaleQueries {
         .orderBy("change_type")
     },
 
+    // Changelog → SCD2: compact the event log into slowly-changing-
+    // dimension type-2 validity intervals (per user, one row per
+    // event_type change, valid until the next change; NULL valid_to =
+    // current version). The dimension-history builder every warehouse
+    // maintains; one hash-partition-by-key shared by both windows.
+    QueryDef(
+      "q_cdc_scd2",
+      Some("""WITH o AS (
+                SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                       lag(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev
+                FROM events),
+              c AS (SELECT user_id, event_id, event_type, ts_us FROM o
+                    WHERE prev IS NULL OR prev <> event_type)
+              SELECT user_id, event_id, event_type,
+                     CAST(ts_us AS BIGINT) AS valid_from,
+                     CAST(lead(ts_us) OVER w AS BIGINT) AS valid_to,
+                     (lead(ts_us) OVER w IS NULL) AS is_current
+              FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+              ORDER BY user_id, valid_from, event_id""")) { (s, d) =>
+      Cdc.scd2FromChangelog(
+          Tables.events(s, d),
+          keys = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+          attrCols = Seq("event_type"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from"),
+          unix_micros(col("valid_to")).as("valid_to"),
+          col("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+
     // Edit-distance near-dup over the part-name vocabulary via PassJoin
     // segment blocking (StringJoin.editDistancePairs) — the character-level
     // member of the near-dup family. Vocabulary-first is the scale shape:

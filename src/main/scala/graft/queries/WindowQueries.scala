@@ -233,6 +233,59 @@ object WindowQueries {
           coalesce(col("n_events"), lit(0L)).cast("long").as("n_events"),
           last(col("day_value"), ignoreNulls = true).over(w).as("carried"))
         .orderBy("user_id", "day")
+    },
+
+    // Batch sessionization: split each user's event stream into sessions at
+    // inactivity gaps > 4h (lag + cumulative-sum of new-session flags — the
+    // standard two-window formulation), then aggregate per session. The
+    // batch twin of q_stream_session: same semantics, derived from the
+    // event log after the fact instead of incrementally. Both windows and
+    // the final agg share the user_id hash partitioning — one shuffle,
+    // reused twice. 4h gap chosen from the synthetic corpus's gap
+    // distribution (median inter-event gap ~7h; 30min would make nearly
+    // every event its own session).
+    QueryDef(
+      "q_win_sessionize",
+      Some("""WITH e AS (
+                SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+                FROM events),
+              flagged AS (
+                SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+                                 OR ts_sec - lag(ts_sec) OVER w > 14400
+                               THEN 1 ELSE 0 END AS new_sess
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+              sess AS (
+                SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                            ORDER BY ts_sec, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM flagged)
+              SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(min(ts_sec) AS BIGINT) AS start_sec,
+                     CAST(max(ts_sec) - min(ts_sec) AS BIGINT) AS duration_sec,
+                     CAST(round(CAST(sum(value) AS DECIMAL(28,6)), 2) AS DOUBLE) AS sess_value
+              FROM sess GROUP BY user_id, session_id
+              ORDER BY user_id, session_id""")) { (s, d) =>
+      val wOrd = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_sec"), col("value"))
+        .withColumn("new_sess",
+          when(lag("ts_sec", 1).over(wOrd).isNull ||
+            col("ts_sec") - lag("ts_sec", 1).over(wOrd) > 14400, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum("new_sess").over(wCum))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min("ts_sec").as("start_sec"),
+          (max("ts_sec") - min("ts_sec")).as("duration_sec"),
+          Num.round2(sum("value")).as("sess_value"))
+        .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+          col("n_events"), col("start_sec"), col("duration_sec"),
+          col("sess_value"))
+        .orderBy("user_id", "session_id")
     }
   )
 }

@@ -35,6 +35,51 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
       (2L, "2024-01-03", 1L, 5.0)), got.mkString(","))
   }
 
+  test("sessionize splits at >4h gaps and aggregates per session") {
+    import spark.implicits._
+    // user 1: three events 9:00/9:30/14:00 — the 4.5h gap splits them into
+    // sessions of 2 and 1; user 2: one event = one singleton session.
+    val events = Seq(
+      (1L, 1L, "click", "2024-01-01 09:00:00", 1.0),
+      (2L, 1L, "click", "2024-01-01 09:30:00", 2.0),
+      (3L, 1L, "view", "2024-01-01 14:00:00", 4.0),
+      (4L, 2L, "view", "2024-01-02 12:00:00", 8.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    events.withColumn("ts", col("ts").cast("long") * 1000000000L)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_win_sessionize")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, 1800L, 3.0),   // user 1, session 1: 2 events over 30 min
+      (1L, 2L, 1L, 0L, 4.0),      // user 1, session 2: the post-gap event
+      (2L, 1L, 1L, 0L, 8.0)), got.mkString(","))
+  }
+
+  test("scd2FromChangelog collapses runs and chains validity intervals") {
+    import spark.implicits._
+    // key 1: A,A,B,A → versions A[t1,t3) B[t3,t4) A[t4,∞); key 2: one row.
+    val log = Seq(
+      (1L, 1L, "A", 10L), (2L, 1L, "A", 20L), (3L, 1L, "B", 30L),
+      (4L, 1L, "A", 40L), (5L, 2L, "X", 15L))
+      .toDF("event_id", "user_id", "event_type", "t")
+    val got = graft.operators.Cdc
+      .scd2FromChangelog(log, Seq("user_id"), "t", "event_id", Seq("event_type"))
+      .select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(got == Seq(
+      (1L, "A", 10L, 30L, false),
+      (1L, "B", 30L, 40L, false),
+      (1L, "A", 40L, -1L, true),
+      (2L, "X", 15L, -1L, true)), got.mkString(","))
+  }
+
   test("asOf picks the latest right row at or before the left time") {
     import spark.implicits._
     val trades = Seq(
