@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.{Num, TextFunctions => T}
+import graft.operators.Sample
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -538,6 +539,127 @@ object CorpusQueries {
             Num.round2(col("sum_freq").cast("double") / col("n_bigrams")))
             .otherwise(lit(0.0)).as("familiarity"))
         .orderBy("doc_id")
+    },
+
+    // Tokenizer vocabulary build + OOV-rate scoring: corpus-wide token
+    // counts → top-V vocabulary (count desc, token asc — a total order, so
+    // the cutoff is deterministic on both engines) → per-doc out-of-
+    // vocabulary rate. The first step of training any BPE/WordPiece
+    // tokenizer, and the OOV rate is a standard corpus-fit signal. Scale
+    // shape: one token group-by with map-side partials; the top-V is a
+    // distributed TakeOrdered (never a global window over the vocabulary);
+    // the vocab is V-sized by construction, so the join back is a
+    // broadcast; per-doc re-agg is keyed by doc_id.
+    QueryDef(
+      "q_corpus_vocab",
+      Some(s"""WITH toks AS (SELECT doc_id, unnest(${PortableSql.toks("text")}) AS token
+                             FROM documents),
+               c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+               v AS (SELECT token FROM c ORDER BY cnt DESC, token LIMIT 16),
+               d AS (SELECT toks.doc_id, count(*) AS n_tokens,
+                            sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+                     FROM toks LEFT JOIN v ON toks.token = v.token
+                     GROUP BY toks.doc_id)
+               SELECT doc.doc_id,
+                      CAST(coalesce(d.n_tokens, 0) AS BIGINT) AS n_tokens,
+                      CAST(coalesce(d.n_oov, 0) AS BIGINT) AS n_oov,
+                      CASE WHEN coalesce(d.n_tokens, 0) > 0
+                           THEN ${Num.oracleRound2("CAST(d.n_oov AS DOUBLE) / d.n_tokens")}
+                           ELSE 0.0 END AS oov_rate
+               FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
+               ORDER BY doc.doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = docs
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(16)
+        .select(col("token"), lit(1).as("in_vocab"))
+      val perDoc = toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1).otherwise(0)).as("n_oov"))
+      docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).cast("long").as("n_tokens"),
+          coalesce(col("n_oov"), lit(0L)).cast("long").as("n_oov"),
+          when(coalesce(col("n_tokens"), lit(0L)) > 0,
+            Num.round2(col("n_oov").cast("double") / col("n_tokens")))
+            .otherwise(lit(0.0)).as("oov_rate"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic train/validation/test split: every document's fate is
+    // an arithmetic function of its own id (Sample.hashBucket — identical
+    // in Spark and DuckDB), so splits are reproducible across runs and
+    // engines, and re-ingesting new documents never moves an old one
+    // across splits (no leakage drift). Output audits the split: per
+    // source × split doc and char counts. One keyed agg; the split column
+    // is a narrow map.
+    QueryDef(
+      "q_split_assign",
+      Some("""SELECT source,
+                     CASE WHEN b < 90 THEN 'train'
+                          WHEN b < 95 THEN 'validation'
+                          ELSE 'test' END AS split,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS sum_chars
+              FROM (SELECT source, n_chars,
+                           ((doc_id % 1000003) * 2654435761 + 40503) % 1000003 % 100 AS b
+                    FROM documents)
+              GROUP BY source, split
+              ORDER BY source, split""")) { (s, d) =>
+      val b = Sample.hashBucket(col("doc_id"), 100)
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(b < 90, "train").when(b < 95, "validation").otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("source", "split")
+    },
+
+    // Deterministic training-order interleave: shuffle each source by a
+    // portable hash of the doc id (reproducible "random" order), then
+    // round-robin across sources — position (rank−1)·n_src + src_idx —
+    // so every epoch of every run reads the same sequence and no source
+    // floods a training window. The per-source rank is a partitioned
+    // window; the only global window is over the DISTINCT source list
+    // (dimension-sized by construction), and the source index + count
+    // join back as broadcasts.
+    QueryDef(
+      "q_corpus_interleave",
+      Some(s"""WITH srcs AS (SELECT source,
+                      CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS src_idx
+                    FROM (SELECT DISTINCT source FROM documents)),
+               n AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM srcs),
+               r AS (SELECT doc_id, source,
+                            row_number() OVER (PARTITION BY source
+                              ORDER BY ${PortableSql.h48("'il_' || CAST(doc_id AS VARCHAR)")},
+                                       doc_id) AS rk
+                     FROM documents)
+               SELECT CAST((rk - 1) * n_src + src_idx AS BIGINT) AS pos, source, doc_id
+               FROM r JOIN srcs USING (source) CROSS JOIN n
+               WHERE (rk - 1) * n_src + src_idx < 120
+               ORDER BY pos""")) { (s, d) =>
+      import graft.functions.Portable
+      val docs = Tables.documents(s, d)
+      val srcIdx = docs.select("source").distinct()
+        .withColumn("src_idx",
+          (row_number().over(Window.orderBy("source")) - 1).cast("long"))
+      val nSrc = srcIdx.agg(count(lit(1)).as("n_src"))
+      val w = Window.partitionBy("source")
+        .orderBy(Portable.h48(concat(lit("il_"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      docs.select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(w))
+        .join(broadcast(srcIdx), "source")
+        .crossJoin(broadcast(nSrc))
+        .withColumn("pos",
+          (col("rk") - 1).cast("long") * col("n_src") + col("src_idx"))
+        .filter(col("pos") < 120)
+        .select(col("pos"), col("source"), col("doc_id"))
+        .orderBy("pos")
     }
   )
 }

@@ -217,6 +217,43 @@ object JoinQueries {
           count(lit(1)).as("n_orders"),
           Num.round2(sum("o_totalprice")).as("sum_price"))
         .orderBy("custkey")
+    },
+
+    // Star-schema join: the fact table against four dimensions (part +
+    // supplier → nation → region), every dimension explicitly broadcast —
+    // the fact side streams through four BroadcastHashJoins in ONE stage
+    // with zero fact-side shuffles before the final keyed agg. At 100 TB
+    // the fact scan is the only big input; dims stay dimension-sized.
+    // SourcesSpec asserts the plan shape (4 broadcasts, no SortMergeJoin).
+    QueryDef(
+      "q_join_star",
+      Some("""SELECT r_name, n_name,
+                     CAST(count(*) AS BIGINT) AS n_items,
+                     CAST(round(CAST(sum(l_extendedprice * (1 - l_discount))
+                       AS DECIMAL(28,6)), 2) AS DOUBLE) AS revenue
+              FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+              WHERE p_size <= 25
+              GROUP BY r_name, n_name
+              ORDER BY r_name, n_name""")) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_size") <= 25)),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          count(lit(1)).as("n_items"),
+          Num.round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue"))
+        .orderBy("r_name", "n_name")
     }
   )
 }

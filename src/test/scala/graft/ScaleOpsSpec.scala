@@ -110,6 +110,16 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("star join plan is four broadcasts, zero fact-side SortMergeJoins") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val plan = SparkEntry.queries("q_join_star")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    assert(bhj.length === 4, s"expected 4 broadcast joins:\n$plan")
+    assert(smj.isEmpty, s"fact side must not shuffle-join:\n$plan")
+  }
+
   test("snapshotDiff plan is ONE full-outer sort-merge join, no second pass") {
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     import spark.implicits._
