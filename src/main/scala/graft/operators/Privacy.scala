@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -53,4 +53,36 @@ object Privacy {
       .filter(!col("anon_suppressed") || col("__nsup") >= k)
       .drop("__nsup")
   }
+
+  /** Laplace(scale) noise sample derived deterministically from `seedCol`
+    * via the portable 48-bit hash (inverse-CDF transform of a uniform in
+    * (0,1)). Determinism is a feature for a RELEASE pipeline: re-running
+    * the release never publishes a second, differently-noised copy of the
+    * same statistic (which would average away the protection); a new
+    * release epoch changes the seed prefix instead. The (0,1) uniform
+    * offsets the integer hash by +0.5, so neither tail can hit ln(0).
+    *
+    * Pure narrow expression (one md5 per row) — composes into any keyed
+    * aggregation without extra shuffles.
+    */
+  def laplaceNoise(seedCol: Column, scale: Double): Column = {
+    val u = (graft.functions.Portable.h48(seedCol) + lit(0.5)) /
+      lit(281474976710656.0) // 2^48
+    val centered = u * 2.0 - 1.0 // (-1, 1)
+    -lit(scale) * signum(centered) * log(lit(1.0) - abs(centered))
+  }
+
+  /** ε-differentially-private histogram: per-key counts released with
+    * Laplace(1/ε) noise (each row changes one count by one → sensitivity
+    * 1). One keyed aggregation with map-side partials; the noise is a
+    * narrow post-agg map keyed by the released key itself.
+    */
+  def dpCounts(df: DataFrame, keyCol: String, epsilon: Double,
+      releaseTag: String): DataFrame =
+    df.groupBy(keyCol)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("noisy_n",
+        col("__n") + laplaceNoise(
+          concat(lit(releaseTag + "_"), col(keyCol)), 1.0 / epsilon))
+      .drop("__n")
 }

@@ -279,6 +279,124 @@ object AggQueries {
           col("lang"), col("entry._1").as("token"), col("entry._2").as("n"),
           (col("pos") + 1).cast("long").as("rn"))
         .orderBy("lang", "rn")
+    },
+
+    // Ordered funnel: per user, the first view, the first click AFTER that
+    // view, the first purchase AFTER that click — the product-analytics
+    // staple (each stage must follow the previous one in time, so a
+    // click-before-any-view doesn't count). Sequential dependence is
+    // expressed as a chain of min-aggregations, each filtered by the
+    // previous stage's time; every agg and join keys on user_id, so the
+    // whole funnel is ONE hash partitioning reused four times — no
+    // windows, no per-user sort.
+    QueryDef(
+      "q_agg_funnel",
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+              t1 AS (SELECT user_id, min(t) AS t1 FROM e
+                     WHERE event_type = 'view' GROUP BY user_id),
+              t2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN t1 USING (user_id)
+                     WHERE event_type = 'click' AND t > t1 GROUP BY e.user_id),
+              t3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN t2 USING (user_id)
+                     WHERE event_type = 'purchase' AND t > t2 GROUP BY e.user_id)
+              SELECT u.user_id,
+                     CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                               WHEN t2 IS NOT NULL THEN 2
+                               WHEN t1 IS NOT NULL THEN 1
+                               ELSE 0 END AS BIGINT) AS stage,
+                     CAST(t1 AS BIGINT) AS first_view_us,
+                     CAST(t2 - t1 AS BIGINT) AS view_to_click_us,
+                     CAST(t3 - t2 AS BIGINT) AS click_to_purchase_us
+              FROM (SELECT DISTINCT user_id FROM e) u
+                LEFT JOIN t1 USING (user_id)
+                LEFT JOIN t2 USING (user_id)
+                LEFT JOIN t3 USING (user_id)
+              ORDER BY u.user_id""")) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("t").as("t1"))
+      val t2 = e.filter(col("event_type") === "click")
+        .join(t1, "user_id").filter(col("t") > col("t1"))
+        .groupBy("user_id").agg(min("t").as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase")
+        .join(t2, "user_id").filter(col("t") > col("t2"))
+        .groupBy("user_id").agg(min("t").as("t3"))
+      e.select("user_id").distinct()
+        .join(t1, Seq("user_id"), "left")
+        .join(t2, Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .select(
+          col("user_id"),
+          when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+            .when(col("t1").isNotNull, 1L).otherwise(0L).as("stage"),
+          col("t1").as("first_view_us"),
+          (col("t2") - col("t1")).as("view_to_click_us"),
+          (col("t3") - col("t2")).as("click_to_purchase_us"))
+        .orderBy("user_id")
+    },
+
+    // Cohort retention matrix: cohort = a user's first active day; cell
+    // (cohort, offset) counts how many of that cohort came back `offset`
+    // days later. Distinct user-days first (so a burst of same-day events
+    // counts once), then one per-user min, one join back, one keyed count
+    // — all partitioned by user_id until the final (cohort, offset) agg.
+    QueryDef(
+      "q_agg_retention",
+      Some("""WITH d AS (SELECT DISTINCT user_id,
+                                CAST(date_trunc('day', ts) AS DATE) AS day
+                         FROM events),
+              c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
+              SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+                     CAST(day - cohort AS BIGINT) AS day_offset,
+                     CAST(count(*) AS BIGINT) AS n_users
+              FROM d JOIN c USING (user_id)
+              GROUP BY cohort, day_offset
+              ORDER BY cohort_day, day_offset""")) { (s, d) =>
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(date_trunc("DAY", col("ts"))).as("day"))
+        .distinct()
+      val cohorts = days.groupBy("user_id").agg(min("day").as("cohort"))
+      days.join(cohorts, "user_id")
+        .groupBy(
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
+    // Rolling 7-day active users (WAU): each distinct user-day contributes
+    // to the 7 window-end days it falls in, so the rolling distinct count
+    // becomes a plain keyed count-distinct after a bounded 7× explode —
+    // the exact formulation (no sliding-window distinct operator needed;
+    // the sketch alternative is the q_agg_approx family). Scale shape:
+    // distinct user-days (one shuffle), narrow 7× flatMap, one keyed agg.
+    QueryDef(
+      "q_agg_wau",
+      Some("""WITH d AS (SELECT DISTINCT user_id,
+                                CAST(date_trunc('day', ts) AS DATE) AS day
+                         FROM events),
+              mx AS (SELECT max(day) AS max_day FROM d),
+              x AS (SELECT user_id, day + CAST(k AS INTEGER) AS tday
+                    FROM d CROSS JOIN generate_series(0, 6) AS t(k))
+              SELECT strftime(tday, '%Y-%m-%d') AS day,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+              FROM x CROSS JOIN mx
+              WHERE tday <= max_day
+              GROUP BY tday ORDER BY day""")) { (s, d) =>
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(date_trunc("DAY", col("ts"))).as("day"))
+        .distinct()
+      val mx = days.agg(max("day").as("max_day"))
+      days
+        .select(col("user_id"), col("day"),
+          explode(sequence(lit(0), lit(6))).as("k"))
+        .withColumn("tday", date_add(col("day"), col("k")))
+        .crossJoin(broadcast(mx))
+        .filter(col("tday") <= col("max_day"))
+        .groupBy(date_format(col("tday"), "yyyy-MM-dd").as("day"))
+        .agg(countDistinct("user_id").as("wau"))
+        .orderBy("day")
     }
   )
 }

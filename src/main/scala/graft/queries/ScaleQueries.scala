@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.Num
 import graft.operators.{Cdc, Joins, Privacy, StringJoin}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Warehouse-scale operations surface — SURVEY.md §2.11.
@@ -291,6 +292,71 @@ object ScaleQueries {
       canon.groupBy("curl")
         .agg(count(lit(1)).as("n_docs"), countDistinct("url").as("n_variants"))
         .orderBy("curl")
+    },
+
+    // Compaction planner: assign per-day partitions to target-sized
+    // compaction bins (bin = floor of the PRECEDING days' cumulative row
+    // count / target) — the small-file maintenance pass every partitioned
+    // warehouse schedules. The plan is computed over per-day STATS (one
+    // row per partition — metadata-sized by construction, like a catalog
+    // listing), so the single ordered window costs nothing; the data
+    // itself is only touched by the keyed count. Integer-exact both sides
+    // (`div` / `//`).
+    QueryDef(
+      "q_layout_compact",
+      Some("""WITH pc AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                                 count(*) AS n_rows
+                          FROM events GROUP BY day),
+              w AS (SELECT day, n_rows,
+                           coalesce(sum(n_rows) OVER (ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+                    FROM pc)
+              SELECT strftime(day, '%Y-%m-%d') AS day,
+                     CAST(n_rows AS BIGINT) AS n_rows,
+                     CAST(cum_prev // 1200 AS BIGINT) AS bin,
+                     CAST(sum(n_rows) OVER (PARTITION BY cum_prev // 1200) AS BIGINT) AS bin_rows
+              FROM w ORDER BY day""")) { (s, d) =>
+      val perDay = Tables.events(s, d)
+        .groupBy(to_date(date_trunc("DAY", col("ts"))).as("day"))
+        .agg(count(lit(1)).as("n_rows"))
+      // ordered window over the per-partition stats table (one row per
+      // day — bounded metadata, not data)
+      val wPrev = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perDay
+        .withColumn("cum_prev",
+          coalesce(sum("n_rows").over(wPrev), lit(0L)))
+        .withColumn("bin", expr("cum_prev div 1200"))
+        .withColumn("bin_rows",
+          sum("n_rows").over(Window.partitionBy("bin")))
+        .select(
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_rows"), col("bin"), col("bin_rows"))
+        .orderBy("day")
+    },
+
+    // ε-differentially-private histogram release (Laplace mechanism,
+    // sensitivity 1): per-event-type counts + deterministic seeded noise
+    // (Privacy.laplaceNoise — portable md5-derived uniform, so re-running
+    // the release republishes the SAME noised values instead of averaging
+    // the protection away, and DuckDB replays the noise exactly). One
+    // keyed agg; noise is a narrow post-agg map.
+    QueryDef(
+      "q_anon_dp",
+      Some(s"""WITH c AS (SELECT event_type, count(*) AS n
+                          FROM events GROUP BY event_type),
+               u AS (SELECT event_type, n,
+                            (${PortableSql.h48("'rel1_' || event_type")} + 0.5)
+                              / 281474976710656.0 * 2.0 - 1.0 AS ctr
+                     FROM c)
+               SELECT event_type,
+                      ${Num.oracleRound2(
+                        "n + -1.0 * sign(ctr) * ln(1.0 - abs(ctr))")} AS noisy_n
+               FROM u ORDER BY event_type""")) { (s, d) =>
+      Privacy.dpCounts(Tables.events(s, d), "event_type",
+          epsilon = 1.0, releaseTag = "rel1")
+        .select(col("event_type"), Num.round2(col("noisy_n")).as("noisy_n"))
+        .orderBy("event_type")
     }
   )
 }

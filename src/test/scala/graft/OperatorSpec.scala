@@ -59,6 +59,46 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
       (2L, 1L, 1L, 0L, 8.0)), got.mkString(","))
   }
 
+  test("laplaceNoise is seed-deterministic, seed-sensitive, and finite") {
+    import spark.implicits._
+    import graft.operators.Privacy
+    val df = (1 to 200).map(i => s"key_$i").toDF("k")
+    val a = df.select(Privacy.laplaceNoise(col("k"), 1.0).as("n"))
+      .collect().map(_.getDouble(0))
+    val b = df.select(Privacy.laplaceNoise(col("k"), 1.0).as("n"))
+      .collect().map(_.getDouble(0))
+    assert(a.toSeq == b.toSeq) // same seeds -> identical release
+    assert(a.forall(v => !v.isNaN && !v.isInfinite))
+    assert(a.distinct.length > 190) // different seeds -> different noise
+    // Laplace(1): |noise| has mean 1; the 200-sample mean must land well
+    // inside [0.5, 2] unless the transform is broken
+    val meanAbs = a.map(math.abs).sum / a.length
+    assert(meanAbs > 0.5 && meanAbs < 2.0, meanAbs.toString)
+  }
+
+  test("funnel stages require temporal order: click before view doesn't count") {
+    import spark.implicits._
+    // user 1 converts fully in order; user 2's click PRECEDES its first
+    // view, so it stalls at stage 1; user 3 never views (stage 0).
+    val events = Seq(
+      (1L, 1L, "view", "2024-01-01 09:00:00", 0.0),
+      (2L, 1L, "click", "2024-01-01 09:10:00", 0.0),
+      (3L, 1L, "purchase", "2024-01-01 09:20:00", 0.0),
+      (4L, 2L, "click", "2024-01-01 08:00:00", 0.0),
+      (5L, 2L, "view", "2024-01-01 09:00:00", 0.0),
+      (6L, 3L, "error", "2024-01-01 09:00:00", 0.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    events.withColumn("ts", col("ts").cast("long") * 1000000000L)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_agg_funnel")(spark, dir)
+      .select("user_id", "stage").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 3L), (2L, 1L), (3L, 0L)), got.mkString(","))
+  }
+
   test("scd2FromChangelog collapses runs and chains validity intervals") {
     import spark.implicits._
     // key 1: A,A,B,A → versions A[t1,t3) B[t3,t4) A[t4,∞); key 2: one row.
