@@ -140,6 +140,54 @@ object ScaleQueries {
         .orderBy("user_id", "valid_from", "event_id")
     },
 
+    // Point-in-time (temporal) join: enrich each fact row with the
+    // dimension version active at its timestamp — the consumer of the
+    // SCD2 history q_cdc_scd2 builds. Equi-join on the key plus a
+    // validity-interval filter; per-key versions are bounded and
+    // non-overlapping, so each fact matches exactly once and the join
+    // stays a plain hash equi-join at any scale (no interval blow-up).
+    // Events grouped by their active state version: an event whose type
+    // didn't change state still maps to the RUN's first timestamp.
+    QueryDef(
+      "q_join_temporal",
+      Some("""WITH o AS (
+                SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                       lag(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev
+                FROM events),
+              c AS (SELECT user_id, event_id, event_type, ts_us FROM o
+                    WHERE prev IS NULL OR prev <> event_type),
+              v AS (SELECT user_id, event_type AS state, ts_us AS vf,
+                           lead(ts_us) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, event_id) AS vt
+                    FROM c),
+              e AS (SELECT user_id, epoch_us(ts) AS t FROM events)
+              SELECT e.user_id, state,
+                     CAST(vf AS BIGINT) AS valid_from,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM e JOIN v ON e.user_id = v.user_id
+                AND t >= vf AND (vt IS NULL OR t < vt)
+              GROUP BY e.user_id, state, vf
+              ORDER BY e.user_id, valid_from""")) { (s, d) =>
+      val events = Tables.events(s, d)
+      val facts = events
+        .select(col("user_id").as("f_user"), unix_micros(col("ts")).as("t"))
+      val dim = Cdc.scd2FromChangelog(
+          events, Seq("user_id"), "ts", "event_id", Seq("event_type"))
+        .select(col("user_id"), col("event_type").as("state"),
+          unix_micros(col("valid_from")).as("vf"),
+          unix_micros(col("valid_to")).as("vt"))
+      facts.join(dim,
+          facts("f_user") === dim("user_id") &&
+            col("t") >= col("vf") &&
+            (col("vt").isNull || col("t") < col("vt")))
+        .groupBy(col("user_id"), col("state"), col("vf"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("state"),
+          col("vf").as("valid_from"), col("n_events"))
+        .orderBy("user_id", "valid_from")
+    },
+
     // Edit-distance near-dup over the part-name vocabulary via PassJoin
     // segment blocking (StringJoin.editDistancePairs) — the character-level
     // member of the near-dup family. Vocabulary-first is the scale shape:

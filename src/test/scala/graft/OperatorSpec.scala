@@ -59,6 +59,28 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
       (2L, 1L, 1L, 0L, 8.0)), got.mkString(","))
   }
 
+  test("temporal join maps each fact to exactly one version; boundary goes to the NEW version") {
+    import spark.implicits._
+    // user 1 state history: A from 10:00, B from 12:00. Facts at 10:00
+    // (exact start -> A), 11:59 (-> A), 12:00 (boundary -> B), 13:00 (-> B).
+    val events = Seq(
+      (1L, 1L, "A", "2024-01-01 10:00:00", 0.0),
+      (2L, 1L, "A", "2024-01-01 11:59:00", 0.0),
+      (3L, 1L, "B", "2024-01-01 12:00:00", 0.0),
+      (4L, 1L, "B", "2024-01-01 13:00:00", 0.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pit").toString
+    events.withColumn("ts", col("ts").cast("long") * 1000000000L)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_join_temporal")(spark, dir)
+      .select("state", "n_events").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // 4 facts over 2 versions, every fact matched exactly once
+    assert(got == Seq(("A", 2L), ("B", 2L)), got.mkString(","))
+  }
+
   test("laplaceNoise is seed-deterministic, seed-sensitive, and finite") {
     import spark.implicits._
     import graft.operators.Privacy
