@@ -157,4 +157,34 @@ object Joins {
       .filter(rTime >= lStart && rTime <= lEnd)
       .drop("__bin")
   }
+
+  /** Interval × interval overlap join — both sides are LARGE interval
+    * sets (sessions vs maintenance windows, ad flights vs outages), so a
+    * raw `a.start <= b.end AND b.start <= a.end` theta join would plan as
+    * a nested loop. Both sides explode onto the same time grid and meet
+    * in a bin equi-join; a pair overlapping many bins would duplicate, so
+    * only the FIRST bin both sides share emits the pair:
+    * `max(bin(aStart), bin(bStart))` — exactly-once without a distinct.
+    *
+    * Scale shape: shuffle keyed by bin (time-spread data ⇒ spread keys;
+    * hot bins split by AQE); per-row fan-out is `len/binSeconds + 1`, so
+    * pick `binSeconds` near the typical interval length.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: Column,
+      lEnd: Column,
+      rStart: Column,
+      rEnd: Column,
+      binSeconds: Long): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    def bin(t: Column) = floor(unix_micros(t) / lit(binUs))
+    val lb = left.withColumn("__bin", explode(sequence(bin(lStart), bin(lEnd))))
+    val rb = right.withColumn("__bin", explode(sequence(bin(rStart), bin(rEnd))))
+    lb.join(rb, Seq("__bin"))
+      .filter(lStart <= rEnd && rStart <= lEnd)
+      .filter(col("__bin") === greatest(bin(lStart), bin(rStart)))
+      .drop("__bin")
+  }
 }

@@ -73,6 +73,47 @@ object ScaleQueries {
         .orderBy("event_id")
     },
 
+    // Interval × interval overlap join — BOTH sides are large interval
+    // sets (here: ±10min activity windows around purchases vs around
+    // errors — "purchases possibly affected by an error"), where a raw
+    // theta join nested-loops. Both sides grid-bucket; a pair meeting in
+    // several bins is emitted only in the first shared bin, so the result
+    // is exactly-once without a distinct (Joins.intervalOverlapJoin; the
+    // DuckDB oracle is the brute-force theta join — lossless).
+    QueryDef(
+      "q_join_overlap",
+      Some("""WITH p AS (SELECT event_id AS p_id,
+                                ts - INTERVAL 10 MINUTE AS ps,
+                                ts + INTERVAL 10 MINUTE AS pe
+                         FROM events WHERE event_type = 'purchase'),
+                   e AS (SELECT event_id AS e_id,
+                                ts - INTERVAL 10 MINUTE AS es,
+                                ts + INTERVAL 10 MINUTE AS ee
+                         FROM events WHERE event_type = 'error')
+              SELECT p_id, CAST(count(*) AS BIGINT) AS n_errs,
+                     CAST(min(e_id) AS BIGINT) AS first_err
+              FROM p JOIN e ON ps <= ee AND es <= pe
+              GROUP BY p_id ORDER BY p_id""")) { (s, d) =>
+      val purchases = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"),
+          (col("ts") - expr("INTERVAL 10 MINUTES")).as("ps"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("pe"))
+      val errors = Tables.events(s, d)
+        .filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"),
+          (col("ts") - expr("INTERVAL 10 MINUTES")).as("es"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("ee"))
+      Joins.intervalOverlapJoin(
+          purchases, errors,
+          lStart = col("ps"), lEnd = col("pe"),
+          rStart = col("es"), rEnd = col("ee"),
+          binSeconds = 1200L)
+        .groupBy("p_id")
+        .agg(count(lit(1)).as("n_errs"), min("e_id").as("first_err"))
+        .orderBy("p_id")
+    },
+
     // Snapshot CDC: diff yesterday's and today's extracts on the business
     // key. Synthetic snapshots derived deterministically from orders:
     // yesterday misses keys ending in 3, today misses keys ending in 7 and

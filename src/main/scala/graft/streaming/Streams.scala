@@ -179,6 +179,78 @@ object Streams {
     }
   }
 
+  /** Streaming SCD2 maintenance: consume an append-only changelog stream
+    * and keep a slowly-changing-dimension type-2 table up to date — the
+    * incremental twin of [[graft.operators.Cdc.scd2FromChangelog]]
+    * (StreamingSpec proves batch/stream parity on the same log).
+    *
+    * Per micro-batch, only TOUCHED keys are rebuilt: closed versions are
+    * immutable and pass through, open versions of untouched keys pass
+    * through, and each touched key's open version re-enters a mini
+    * changelog together with the batch's rows (so a batch row repeating
+    * the open version's attributes correctly creates no new version).
+    * Late rows older than a key's open version violate the append-only
+    * contract and are dropped.
+    *
+    * State storage reuses the [[mergeSink]] generation scheme (committed
+    * `gen=` directories keyed by batch id ⇒ crash replay re-merges from
+    * the same input it saw). The state is DIMENSION-sized; the stream is
+    * the fact-rate changelog. At cluster scale, partition the state table
+    * by a key bucket and swap only touched buckets via dynamic partition
+    * overwrite (`q_part_overwrite` is that primitive); the per-batch
+    * compute here already touches only the batch's keys.
+    */
+  def scd2Sink(
+      changes: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      attrCols: Seq[String],
+      statePath: String,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val logCols = (keys :+ tsCol :+ tieCol) ++ attrCols
+    val writer = checkpointLocation.foldLeft(
+      changes.writeStream.outputMode("append"))(
+      (w, p) => w.option("checkpointLocation", p))
+    writer
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.select(logCols.map(col): _*).persist()
+        // seed an empty gen=0 exactly once (schema = the operator's own)
+        if (listGens(spark, statePath).isEmpty)
+          graft.operators.Cdc
+            .scd2FromChangelog(batch.limit(0), keys, tsCol, tieCol, attrCols)
+            .write.mode("overwrite").parquet(genDir(statePath, 0L))
+        val prev = latestGen(spark, statePath, atOrBelow = batchId)
+        val state = spark.read.parquet(genDir(statePath, prev))
+        val touched = batch.select(keys.map(col): _*).distinct()
+        val closed = state.filter(col("valid_to").isNotNull)
+        val open = state.filter(col("valid_to").isNull)
+        val openUntouched = open.join(touched, keys, "left_anti")
+        val openTouched = open.join(touched, keys, "left_semi")
+        // drop late rows (older than the key's open version head)
+        val heads = openTouched
+          .select(keys.map(col) :+ col("valid_from").as("__head"): _*)
+        val fresh = batch.join(heads, keys, "left")
+          .filter(col("__head").isNull || col(tsCol) >= col("__head"))
+          .drop("__head")
+        val rebuilt = graft.operators.Cdc.scd2FromChangelog(
+          fresh.unionByName(openTouched.select(logCols.map(col): _*)),
+          keys, tsCol, tieCol, attrCols)
+        closed.unionByName(openUntouched).unionByName(rebuilt)
+          .write.mode("overwrite").parquet(genDir(statePath, batchId + 1))
+        pruneGens(spark, statePath, keepFrom = batchId)
+        batch.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** Lazily read the newest SCD2 state written by [[scd2Sink]]. */
+  def scd2State(spark: SparkSession, statePath: String): DataFrame =
+    mergeState(spark, statePath)
+
   /** File-source streaming read of an events directory with an explicit
     * schema — checkpointed offsets give the reference's resume semantics
     * for free. */

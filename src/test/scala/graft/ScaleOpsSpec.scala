@@ -110,6 +110,38 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("intervalOverlapJoin == brute-force theta join, exactly once, no nested-loop") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import spark.implicits._
+    val rnd = new Random(7)
+    def intervals(n: Int, tag: String) = (1 to n).map { i =>
+      val st = 1700000000000000L + rnd.nextInt(86400) * 1000000L
+      (i.toLong, st, st + (60 + rnd.nextInt(7200)) * 1000000L)
+    }.toDF(s"${tag}id", "st_us", "en_us")
+      .select(col(s"${tag}id"), timestamp_micros(col("st_us")).as(s"${tag}s"),
+        timestamp_micros(col("en_us")).as(s"${tag}e"))
+    val a = intervals(120, "a")
+    val b = intervals(90, "b")
+    val got = Joins.intervalOverlapJoin(a, b,
+        col("as"), col("ae"), col("bs"), col("be"), binSeconds = 1800L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exactly-once: multi-bin overlaps must not duplicate
+    assert(got.length == got.distinct.length)
+    val brute = a.crossJoin(b)
+      .filter(col("as") <= col("be") && col("bs") <= col("ae"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq == brute.sorted.toSeq,
+      s"got ${got.length} pairs, brute ${brute.length}")
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = Joins.intervalOverlapJoin(a, b,
+        col("as"), col("ae"), col("bs"), col("be"), binSeconds = 1800L)
+        .queryExecution.sparkPlan
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, plan.toString)
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty, plan.toString)
+    }
+  }
+
   test("star join plan is four broadcasts, zero fact-side SortMergeJoins") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
     val plan = SparkEntry.queries("q_join_star")(spark, "/root/testdata/sf0.001")
