@@ -114,6 +114,40 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Two-stage ANN retrieval: SRP-LSH recall (query probes its own bucket
+    * plus every Hamming-1 neighbor) then exact-cosine rerank to top-k —
+    * the production retrieval shape (cheap recall stage bounds the exact
+    * stage's candidate set). Probe keys per query are distinct, so each
+    * (query, corpus) candidate arises at most once — no dedup before the
+    * rank window. The corpus side is bucket-partitioned ONCE; queries are
+    * few, so their (nBits+1)-way explode is negligible; the rank window
+    * partitions by query id. Ranking ties break on round(cos, 6) then
+    * vec_id — deterministic across engines (same convention as ivfTopK).
+    */
+  def lshTopK(
+      queries: DataFrame, // (q_id, qv: array<double>)
+      corpus: DataFrame,  // (vec_id, cv: array<double>)
+      dim: Int,
+      nBits: Int,
+      k: Int,
+      portable: Boolean = false): DataFrame = {
+    val cb = corpus
+      .withColumn("bucket", srpBucket(col("cv"), dim, nBits, portable))
+      .repartition(col("bucket"))
+    val probes = queries
+      .withColumn("__qb", srpBucket(col("qv"), dim, nBits, portable))
+      .withColumn("bucket", explode(array(col("__qb") +:
+        (0 until nBits).map(j => col("__qb").bitwiseXOR(lit(1L << j))): _*)))
+      .drop("__qb")
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+    probes.join(cb, Seq("bucket"))
+      .withColumn("cos", V.cosineNative(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
+  }
+
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
     * their nearest centroid once (a broadcast join against C centroids —
     * embarrassingly parallel); each query searches only the nprobe

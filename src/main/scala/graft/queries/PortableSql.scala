@@ -209,6 +209,22 @@ object PortableSql {
         SELECT id_a, id_b, ${Num.oracleRound2("cos")} AS cos
         FROM kept ORDER BY id_a, id_b"""
 
+  /** q_sim_rerank: two-stage retrieval — SRP recall (Hamming<=1 between
+    * query and corpus buckets) then exact-cosine top-k rerank; ranking
+    * ties on round(cos, 6) then vec_id, same as the IVF oracle. */
+  def lshRerankOracle(topK: Int): String =
+    s"""WITH $srpCtes,
+        q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb
+              FROM bk WHERE vec_id % 100 = 0),
+        c AS (SELECT vec_id, v AS cv, bucket FROM bk WHERE vec_id % 100 <> 0),
+        cand AS (SELECT q_id, vec_id, ${cosine("qv", "cv")} AS cos
+                 FROM q JOIN c ON bit_count(xor(q.qb, c.bucket)) <= 1)
+        SELECT q_id, vec_id, ${Num.oracleRound2("cos")} AS cos,
+               CAST(rn AS BIGINT) AS rn
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY round(cos, 6) DESC, vec_id) AS rn FROM cand)
+        WHERE rn <= $topK ORDER BY q_id, rn"""
+
   /** q_dedup_embed: survivors after dropping every id that appears as the
     * larger partner of a pair with cosine >= minCosine (keepFromPairs). */
   def embedDedupOracle(minCosine: Double): String =

@@ -68,6 +68,28 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Two-stage ANN retrieval (the production search shape): SRP-LSH
+    // recall bounds the candidate set — each query probes its own bucket
+    // plus all Hamming-1 neighbors — then an exact-cosine rerank picks
+    // top-k. The portable bucket bits make the recall stage, and
+    // therefore the exact result set, replayable by the DuckDB oracle
+    // (PortableSql.lshRerankOracle).
+    QueryDef("q_sim_rerank", Some(PortableSql.lshRerankOracle(5))) { (s, d) =>
+      import graft.functions.{VectorFunctions => V}
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val corpus = emb.filter(col("vec_id") % 100 =!= 0)
+        .select(col("vec_id"), col("v").as("cv"))
+      val nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings"))
+      Similarity.lshTopK(queries, corpus, dim = 64, nBits = nBits, k = 5,
+          portable = true)
+        .select(col("q_id"), col("vec_id"),
+          Num.round2(col("cos")).as("cos"), col("rn").cast("long").as("rn"))
+        .orderBy("q_id", "rn")
+    },
+
     // MinHash + banding near-dup candidates over documents (16-component
     // signatures, 4 bands of 4 — 4-row bands collide on shared-vocabulary
     // corpora). Portable md5-derived hash family: the DuckDB oracle
