@@ -397,6 +397,31 @@ object AggQueries {
         .groupBy(date_format(col("tday"), "yyyy-MM-dd").as("day"))
         .agg(countDistinct("user_id").as("wau"))
         .orderBy("day")
+    },
+
+    // Rolling actives via MERGEABLE SKETCHES — the 100 TB form of
+    // q_agg_wau: the raw events are touched ONCE (per-day HLL sketches,
+    // map-side partial merge); the rolling 7-day union then runs over the
+    // DAY-sketch table (metadata-sized — one row per day), not over
+    // user-days. Precompute-once/merge-anywhere is what makes arbitrary
+    // window recombination affordable at scale; the exact twin exists for
+    // the oracle. No DuckDB oracle by nature (Datasketches HLL binary is
+    // engine-specific); EntrySpec bounds the estimate against the exact
+    // q_agg_wau per-day within HLL tolerance.
+    QueryDef("q_agg_wau_sketch", None) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(date_trunc("DAY", col("ts"))).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val mx = daily.agg(max("day").as("max_day"))
+      daily
+        .select(col("day"), col("sk"), explode(sequence(lit(0), lit(6))).as("k"))
+        .withColumn("tday", date_add(col("day"), col("k")))
+        .crossJoin(broadcast(mx))
+        .filter(col("tday") <= col("max_day"))
+        .groupBy(date_format(col("tday"), "yyyy-MM-dd").as("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .cast("long").as("wau_est"))
+        .orderBy("day")
     }
   )
 }

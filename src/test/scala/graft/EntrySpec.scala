@@ -41,6 +41,22 @@ class EntrySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("q_agg_wau_sketch: rolling sketch-union estimate tracks the exact WAU per day") {
+    // Datasketches HLL at the default lgConfigK has rsd ~1.6%; the band
+    // is wide enough to be non-flaky while still proving the sketch
+    // rollup computes the same rolling-window semantics as the exact twin.
+    val exact = SparkEntry.queries("q_agg_wau")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = SparkEntry.queries("q_agg_wau_sketch")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (day, e) =>
+      val ex = exact(day).toDouble
+      assert(math.abs(e - ex) / ex <= 0.1,
+        s"$day: sketch $e vs exact $ex off by ${math.abs(e - ex) / ex}")
+    }
+  }
+
   test("representative queries from each family execute and return rows") {
     val sample = Seq(
       "q_agg_group", "q_join_asof", "q_win_latest", "q_set_except",
