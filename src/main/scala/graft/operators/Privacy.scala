@@ -81,8 +81,13 @@ object Privacy {
       releaseTag: String): DataFrame =
     df.groupBy(keyCol)
       .agg(count(lit(1)).as("__n"))
+      // coalesce: concat(tag, NULL) is NULL and md5(NULL) is NULL — a NULL
+      // key group would otherwise be released with NULL noise (neither
+      // protected nor published); the sentinel gives it a real seed
       .withColumn("noisy_n",
         col("__n") + laplaceNoise(
-          concat(lit(releaseTag + "_"), col(keyCol)), 1.0 / epsilon))
+          concat(lit(releaseTag + "_"),
+            coalesce(col(keyCol).cast("string"), lit("__null__"))),
+          1.0 / epsilon))
       .drop("__n")
 }

@@ -104,8 +104,7 @@ object Similarity {
       else bucketed
         .select(col("bucket").as("b_bucket"),
           col("vec_id").as("id_b"), col("v").as("v_b"))
-        .withColumn("bucket", explode(array(col("b_bucket") +:
-          (0 until nBits).map(j => col("b_bucket").bitwiseXOR(lit(1L << j))): _*)))
+        .withColumn("bucket", explode(probeKeys(col("b_bucket"), nBits)))
         .drop("b_bucket")
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
@@ -113,6 +112,15 @@ object Similarity {
       .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Multi-probe key set for a bucket: the bucket itself plus every
+    * Hamming-distance-1 neighbor. ONE definition feeds both the self-join
+    * (lshBucketJoin) and the query-vs-corpus (lshTopK) paths, matching
+    * the DuckDB oracle's `bit_count(xor(a, b)) <= 1` contract — a probe
+    * scheme change happens here or nowhere. */
+  private def probeKeys(bucket: Column, nBits: Int): Column =
+    array(bucket +:
+      (0 until nBits).map(j => bucket.bitwiseXOR(lit(1L << j))): _*)
 
   /** Two-stage ANN retrieval: SRP-LSH recall (query probes its own bucket
     * plus every Hamming-1 neighbor) then exact-cosine rerank to top-k —
@@ -136,8 +144,7 @@ object Similarity {
       .repartition(col("bucket"))
     val probes = queries
       .withColumn("__qb", srpBucket(col("qv"), dim, nBits, portable))
-      .withColumn("bucket", explode(array(col("__qb") +:
-        (0 until nBits).map(j => col("__qb").bitwiseXOR(lit(1L << j))): _*)))
+      .withColumn("bucket", explode(probeKeys(col("__qb"), nBits)))
       .drop("__qb")
     val w = Window.partitionBy("q_id")
       .orderBy(round(col("cos"), 6).desc, col("vec_id"))

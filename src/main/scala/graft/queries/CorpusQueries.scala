@@ -599,14 +599,14 @@ object CorpusQueries {
     // is a narrow map.
     QueryDef(
       "q_split_assign",
-      Some("""SELECT source,
+      Some(s"""SELECT source,
                      CASE WHEN b < 90 THEN 'train'
                           WHEN b < 95 THEN 'validation'
                           ELSE 'test' END AS split,
                      CAST(count(*) AS BIGINT) AS n_docs,
                      CAST(sum(n_chars) AS BIGINT) AS sum_chars
               FROM (SELECT source, n_chars,
-                           ((doc_id % 1000003) * 2654435761 + 40503) % 1000003 % 100 AS b
+                           ${PortableSql.hashBucket("doc_id", 100)} AS b
                     FROM documents)
               GROUP BY source, split
               ORDER BY source, split""")) { (s, d) =>

@@ -28,6 +28,12 @@ object PortableSql {
   /** 48-bit base hash of SQL string expr `s` — mirrors Portable.h48. */
   def h48(s: String): String = hexParse(s"md5($s)", 12)
 
+  /** Deterministic bucket in [0, buckets) of BIGINT expr `id` — mirrors
+    * Sample.hashBucket (same constants, same overflow-safe pre-fold); the
+    * ONE source of truth for the sampling/split oracles. */
+  def hashBucket(id: String, buckets: Int): String =
+    s"(($id % 1000003) * 2654435761 + 40503) % 1000003 % $buckets"
+
   /** Whitespace tokens, lowercased, empties removed — mirrors
     * TextFunctions.tokens (same snippet the jaccard oracle uses). */
   def toks(textCol: String): String =

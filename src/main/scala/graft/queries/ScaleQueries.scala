@@ -435,7 +435,8 @@ object ScaleQueries {
       Some(s"""WITH c AS (SELECT event_type, count(*) AS n
                           FROM events GROUP BY event_type),
                u AS (SELECT event_type, n,
-                            (${PortableSql.h48("'rel1_' || event_type")} + 0.5)
+                            (${PortableSql.h48(
+                              "'rel1_' || coalesce(event_type, '__null__')")} + 0.5)
                               / 281474976710656.0 * 2.0 - 1.0 AS ctr
                      FROM c)
                SELECT event_type,

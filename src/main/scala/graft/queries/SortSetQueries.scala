@@ -104,9 +104,9 @@ object SortSetQueries {
     // consistent. The corpus-balancing primitive of a training pipeline.
     QueryDef(
       "q_sample_stratified",
-      Some("""SELECT doc_id, lang FROM (
+      Some(s"""SELECT doc_id, lang FROM (
                 SELECT doc_id, lang,
-                       ((doc_id % 1000003) * 2654435761 + 40503) % 1000003 % 100 AS b
+                       ${PortableSql.hashBucket("doc_id", 100)} AS b
                 FROM documents)
               WHERE (lang = 'en' AND b < 25) OR (lang <> 'en' AND b < 50)
               ORDER BY doc_id""")) { (s, d) =>

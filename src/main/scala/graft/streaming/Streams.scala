@@ -229,12 +229,20 @@ object Streams {
         val open = state.filter(col("valid_to").isNull)
         val openUntouched = open.join(touched, keys, "left_anti")
         val openTouched = open.join(touched, keys, "left_semi")
-        // drop late rows (older than the key's open version head)
-        val heads = openTouched
-          .select(keys.map(col) :+ col("valid_from").as("__head"): _*)
+        // drop late rows — late in the (tsCol, tieCol) TOTAL order, not
+        // just the timestamp: a row tied on ts but ordered before the open
+        // head would sort ahead of it in the mini changelog and manufacture
+        // a phantom version no full-log batch run would produce. Equality
+        // (a replay of the head row itself) stays: it collapses as an
+        // unchanged run.
+        val heads = openTouched.select(
+          keys.map(col) :+ col("valid_from").as("__head")
+            :+ col(tieCol).as("__headTie"): _*)
         val fresh = batch.join(heads, keys, "left")
-          .filter(col("__head").isNull || col(tsCol) >= col("__head"))
-          .drop("__head")
+          .filter(col("__head").isNull ||
+            col(tsCol) > col("__head") ||
+            (col(tsCol) === col("__head") && col(tieCol) >= col("__headTie")))
+          .drop("__head", "__headTie")
         val rebuilt = graft.operators.Cdc.scd2FromChangelog(
           fresh.unionByName(openTouched.select(logCols.map(col): _*)),
           keys, tsCol, tieCol, attrCols)

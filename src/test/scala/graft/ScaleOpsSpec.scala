@@ -144,7 +144,7 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
 
   test("star join plan is four broadcasts, zero fact-side SortMergeJoins") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
-    val plan = SparkEntry.queries("q_join_star")(spark, "/root/testdata/sf0.001")
+    val plan = SparkEntry.queries("q_join_star")(spark, sf)
       .queryExecution.sparkPlan
     val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
     val smj = plan.collect { case j: SortMergeJoinExec => j }

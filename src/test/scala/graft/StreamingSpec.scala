@@ -348,4 +348,29 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(streamed.count(_._1 == 1L) == 3)
     assert(streamed.count(_._1 == 3L) == 1)
   }
+
+  test("scd2Sink drops a late row tied on ts but ordered before the open head") {
+    import spark.implicits._
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-scd2-tie").toString
+    // batch 1 establishes A@(10,tie 1) then B@(20,tie 5) — open head is
+    // (20, 5). Batch 2 replays a LATE row (ts=20, tie=3, A): it precedes
+    // the head in the total order, so it must be dropped, not allowed to
+    // manufacture a phantom zero-length A[20,20) version.
+    val input = MemoryStream[(Long, Long, String, Long)](spark)
+    val q = Streams.scd2Sink(
+      input.toDF().toDF("event_id", "user_id", "event_type", "t"),
+      keys = Seq("user_id"), tsCol = "t", tieCol = "event_id",
+      attrCols = Seq("event_type"), statePath = statePath)
+    input.addData(Seq((1L, 1L, "A", 10L), (5L, 1L, "B", 20L)))
+    q.processAllAvailable()
+    input.addData(Seq((3L, 1L, "A", 20L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = Streams.scd2State(spark, statePath)
+      .select("event_type", "valid_from", "is_current").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._2).toSeq
+    assert(got == Seq(("A", 10L, false), ("B", 20L, true)), got.mkString(","))
+  }
 }
