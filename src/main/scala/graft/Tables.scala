@@ -49,7 +49,7 @@ object Tables {
     * collide outright), plus the JVM pid so concurrent PROCESSES over the
     * same dir (Verify alongside Bench) each own their layout instead of
     * racing one overwrite. */
-  private def dirTag(d: String): String = {
+  private[graft] def dirTag(d: String): String = {
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(6).map(b => f"${b & 0xff}%02x").mkString

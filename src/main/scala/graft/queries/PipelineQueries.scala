@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.functions.Num
 import graft.operators.Enrich
 import graft.sources.{Audit, CatalogSchema, Ingest, Jdbc, SchemaInfer, UrlTemplating}
 import org.apache.spark.sql.functions._
@@ -305,6 +306,35 @@ object PipelineQueries {
           min("n_name").as("first_name"),
           sum("n_nationkey").as("key_sum"))
         .orderBy("n_regionkey")
+    },
+
+    // JSON-lines sink round-trip: write orders as JSON, read it back with
+    // the explicit schema, aggregate — the oracle is the same aggregate
+    // over the original parquet, so a hash match proves the text sink
+    // serialized every row faithfully (timestamps through ISO-8601,
+    // doubles through shortest-round-trip) and the source parsed them
+    // back losslessly. Closes the sink matrix next to the parquet layout
+    // writers and the JDBC round-trip.
+    QueryDef(
+      "q_sink_json",
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                     CAST(round(CAST(sum(o_totalprice) AS DECIMAL(28,6)), 2) AS DOUBLE) AS sum_price,
+                     strftime(min(o_orderdate), '%Y-%m-%d') AS first_day,
+                     strftime(max(o_orderdate), '%Y-%m-%d') AS last_day
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")) { (s, d) =>
+      val path = s"/tmp/graft_json_rt_${Tables.dirTag(d)}"
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+      src.write.mode("overwrite").json(path)
+      s.read.schema(src.schema).json(path)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          Num.round2(sum("o_totalprice")).as("sum_price"),
+          date_format(min("o_orderdate"), "yyyy-MM-dd").as("first_day"),
+          date_format(max("o_orderdate"), "yyyy-MM-dd").as("last_day"))
+        .orderBy("o_orderpriority")
     }
   )
 }
