@@ -150,6 +150,12 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
     val smj = plan.collect { case j: SortMergeJoinExec => j }
     assert(bhj.length === 4, s"expected 4 broadcast joins:\n$plan")
     assert(smj.isEmpty, s"fact side must not shuffle-join:\n$plan")
+    // the dimension predicate must reach the part parquet scan as a
+    // pushed filter, not evaluate post-scan
+    val planStr = SparkEntry.queries("q_join_star")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedFilters: [IsNotNull(p_size), LessThanOrEqual(p_size,25)]")
+      || planStr.contains("LessThanOrEqual(p_size,25)"), planStr)
   }
 
   test("snapshotDiff plan is ONE full-outer sort-merge join, no second pass") {
