@@ -399,6 +399,31 @@ object AggQueries {
         .orderBy("day")
     },
 
+    // Per-group linear trend: least-squares slope/intercept of value over
+    // day offset per user — drift/trend detection as ONE keyed aggregate
+    // (regr_slope/regr_intercept are distributive: map-side partial sums
+    // of x, y, xy, x²), not a per-group fit loop. The x axis is integer
+    // days since a fixed epoch so both engines feed identical doubles.
+    QueryDef(
+      "q_agg_trend",
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                     CAST(round(CAST(regr_slope(value,
+                       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+                       AS DECIMAL(28,6)), 2) AS DOUBLE) AS slope,
+                     CAST(round(CAST(regr_intercept(value,
+                       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+                       AS DECIMAL(28,6)), 2) AS DOUBLE) AS icept
+              FROM events GROUP BY user_id ORDER BY user_id""")) { (s, d) =>
+      val x = datediff(to_date(col("ts")), lit("2024-01-01")).cast("double")
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n"),
+          Num.round2(regr_slope(col("value"), x)).as("slope"),
+          Num.round2(regr_intercept(col("value"), x)).as("icept"))
+        .orderBy("user_id")
+    },
+
     // Rolling actives via MERGEABLE SKETCHES — the 100 TB form of
     // q_agg_wau: the raw events are touched ONCE (per-day HLL sketches,
     // map-side partial merge); the rolling 7-day union then runs over the

@@ -424,6 +424,47 @@ object ScaleQueries {
         .orderBy("day")
     },
 
+    // Calendar-spine / date-dimension builder: densify the full day range
+    // of the fact table (weekends and zero-activity days included) and
+    // enrich each day with the standard dimension attributes — the date
+    // dimension every warehouse materializes once and joins everywhere.
+    // The spine is generated from ONE broadcast (min, max) row; days are
+    // metadata-sized relative to facts, so the left join back is cheap.
+    QueryDef(
+      "q_date_spine",
+      Some("""WITH span AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+                                   CAST(max(o_orderdate) AS DATE) AS d1
+                            FROM orders),
+              cal AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                               CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+                      FROM span),
+              o AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+                    FROM orders GROUP BY day)
+              SELECT strftime(day, '%Y-%m-%d') AS day,
+                     CAST(isodow(day) AS BIGINT) AS dow,
+                     CAST(quarter(day) AS BIGINT) AS quarter,
+                     (isodow(day) >= 6) AS is_weekend,
+                     CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+              FROM cal LEFT JOIN o USING (day)
+              ORDER BY day""")) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val cal = orders
+        .agg(to_date(min("o_orderdate")).as("d0"),
+          to_date(max("o_orderdate")).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val perDay = orders
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      cal.join(perDay, Seq("day"), "left")
+        .select(
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          (weekday(col("day")) + 1).cast("long").as("dow"),
+          quarter(col("day")).cast("long").as("quarter"),
+          (weekday(col("day")) + 1 >= 6).as("is_weekend"),
+          coalesce(col("n"), lit(0L)).cast("long").as("n_orders"))
+        .orderBy("day")
+    },
+
     // ε-differentially-private histogram release (Laplace mechanism,
     // sensitivity 1): per-event-type counts + deterministic seeded noise
     // (Privacy.laplaceNoise — portable md5-derived uniform, so re-running
