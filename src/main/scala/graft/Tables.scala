@@ -49,6 +49,22 @@ object Tables {
     * collide outright), plus the JVM pid so concurrent PROCESSES over the
     * same dir (Verify alongside Bench) each own their layout instead of
     * racing one overwrite. */
+  // Shutdown cleanup for per-process scratch dirs (the dirTag pid suffix
+  // isolates concurrent processes but would otherwise leave one orphaned
+  // copy per run accumulating in /tmp). One hook per path.
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def cleanupOnExit(path: String): Unit =
+    if (cleanupRegistered.add(path)) {
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(path))
+      }
+      ()
+    }
+
   private[graft] def dirTag(d: String): String = {
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -406,13 +406,11 @@ object AggQueries {
     // days since a fixed epoch so both engines feed identical doubles.
     QueryDef(
       "q_agg_trend",
-      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-                     CAST(round(CAST(regr_slope(value,
-                       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
-                       AS DECIMAL(28,6)), 2) AS DOUBLE) AS slope,
-                     CAST(round(CAST(regr_intercept(value,
-                       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
-                       AS DECIMAL(28,6)), 2) AS DOUBLE) AS icept
+      Some(s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                     ${Num.oracleRound2(
+                       "regr_slope(value, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))")} AS slope,
+                     ${Num.oracleRound2(
+                       "regr_intercept(value, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))")} AS icept
               FROM events GROUP BY user_id ORDER BY user_id""")) { (s, d) =>
       val x = datediff(to_date(col("ts")), lit("2024-01-01")).cast("double")
       Tables.events(s, d)

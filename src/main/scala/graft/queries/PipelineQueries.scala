@@ -317,13 +317,14 @@ object PipelineQueries {
     // writers and the JDBC round-trip.
     QueryDef(
       "q_sink_json",
-      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-                     CAST(round(CAST(sum(o_totalprice) AS DECIMAL(28,6)), 2) AS DOUBLE) AS sum_price,
+      Some(s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                     ${Num.oracleRound2("sum(o_totalprice)")} AS sum_price,
                      strftime(min(o_orderdate), '%Y-%m-%d') AS first_day,
                      strftime(max(o_orderdate), '%Y-%m-%d') AS last_day
               FROM orders GROUP BY o_orderpriority
               ORDER BY o_orderpriority""")) { (s, d) =>
       val path = s"/tmp/graft_json_rt_${Tables.dirTag(d)}"
+      Tables.cleanupOnExit(path)
       val src = Tables.orders(s, d)
         .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
       src.write.mode("overwrite").json(path)

@@ -144,18 +144,18 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
 
   test("star join plan is four broadcasts, zero fact-side SortMergeJoins") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
-    val plan = SparkEntry.queries("q_join_star")(spark, sf)
-      .queryExecution.sparkPlan
+    val df = SparkEntry.queries("q_join_star")(spark, sf)
+    val plan = df.queryExecution.sparkPlan
     val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
     val smj = plan.collect { case j: SortMergeJoinExec => j }
     assert(bhj.length === 4, s"expected 4 broadcast joins:\n$plan")
     assert(smj.isEmpty, s"fact side must not shuffle-join:\n$plan")
     // the dimension predicate must reach the part parquet scan as a
     // pushed filter, not evaluate post-scan
-    val planStr = SparkEntry.queries("q_join_star")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(planStr.contains("PushedFilters: [IsNotNull(p_size), LessThanOrEqual(p_size,25)]")
-      || planStr.contains("LessThanOrEqual(p_size,25)"), planStr)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains(
+      "PushedFilters: [IsNotNull(p_size), LessThanOrEqual(p_size,25), IsNotNull(p_partkey)]"),
+      planStr)
   }
 
   test("snapshotDiff plan is ONE full-outer sort-merge join, no second pass") {
