@@ -399,6 +399,27 @@ object AggQueries {
         .orderBy("day")
     },
 
+    // Fixed-width numeric histogram: one keyed aggregation over an
+    // arithmetic bucket key (integer-exact floor division, identical in
+    // both engines) — distribution profiling without a sort or a
+    // percentile pass. Bucket edges land on exactly-representable
+    // doubles, so the floor never straddles an ULP.
+    QueryDef(
+      "q_agg_hist",
+      Some("""SELECT CAST(LEAST(floor(value / 50.0), 9) AS BIGINT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(round(CAST(min(value) AS DECIMAL(28,6)), 2) AS DOUBLE) AS lo,
+                     CAST(round(CAST(max(value) AS DECIMAL(28,6)), 2) AS DOUBLE) AS hi
+              FROM events GROUP BY bucket ORDER BY bucket""")) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(least(floor(col("value") / 50.0), lit(9)).cast("long").as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          Num.round2(min("value")).as("lo"),
+          Num.round2(max("value")).as("hi"))
+        .orderBy("bucket")
+    },
+
     // Per-group linear trend: least-squares slope/intercept of value over
     // day offset per user — drift/trend detection as ONE keyed aggregate
     // (regr_slope/regr_intercept are distributive: map-side partial sums

@@ -286,6 +286,56 @@ object WindowQueries {
           col("n_events"), col("start_sec"), col("duration_sec"),
           col("sess_value"))
         .orderBy("user_id", "session_id")
+    },
+
+    // Period-over-period rank movement ("movers"): customers ranked by
+    // 1995 vs 1996 revenue within their market segment, joined on the
+    // customer to expose the rank delta for everyone top-20 in both
+    // years (top-100 — deep enough to stay populated as the customer
+    // base grows). Rank key is the ROUNDED revenue (decimal sandwich) + custkey
+    // tiebreak, so two engines summing doubles in different orders still
+    // rank identically; windows partition by segment — never global.
+    QueryDef(
+      "q_win_rankdelta",
+      Some("""WITH rev AS (
+                SELECT c_mktsegment AS seg, o_custkey AS ck,
+                       CAST(year(o_orderdate) AS BIGINT) AS yr,
+                       CAST(round(CAST(sum(o_totalprice) AS DECIMAL(28,6)), 2) AS DOUBLE) AS rev
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                WHERE year(o_orderdate) IN (1995, 1996)
+                GROUP BY seg, ck, yr),
+              rk AS (SELECT seg, ck, yr, rev,
+                            row_number() OVER (PARTITION BY seg, yr
+                              ORDER BY rev DESC, ck) AS rn
+                     FROM rev)
+              SELECT a.seg, a.ck,
+                     CAST(a.rn AS BIGINT) AS rank_1995,
+                     CAST(b.rn AS BIGINT) AS rank_1996,
+                     CAST(a.rn - b.rn AS BIGINT) AS moved_up
+              FROM rk a JOIN rk b ON a.seg = b.seg AND a.ck = b.ck
+              WHERE a.yr = 1995 AND b.yr = 1996 AND a.rn <= 100 AND b.rn <= 100
+              ORDER BY a.seg, moved_up DESC, a.ck""")) { (s, d) =>
+      val rev = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .filter(year(col("o_orderdate")).isin(1995, 1996))
+        .groupBy(col("c_mktsegment").as("seg"), col("o_custkey").as("ck"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(Num.round2(sum("o_totalprice")).as("rev"))
+      val w = Window.partitionBy("seg", "yr")
+        .orderBy(col("rev").desc, col("ck"))
+      val rk = rev.withColumn("rn", row_number().over(w))
+      val a = rk.filter(col("yr") === 1995 && col("rn") <= 100)
+        .select(col("seg"), col("ck"), col("rn").as("rank_1995"))
+      val b = rk.filter(col("yr") === 1996 && col("rn") <= 100)
+        .select(col("seg").as("seg_b"), col("ck").as("ck_b"),
+          col("rn").as("rank_1996"))
+      a.join(b, col("seg") === col("seg_b") && col("ck") === col("ck_b"))
+        .select(col("seg"), col("ck"),
+          col("rank_1995").cast("long").as("rank_1995"),
+          col("rank_1996").cast("long").as("rank_1996"),
+          (col("rank_1995") - col("rank_1996")).cast("long").as("moved_up"))
+        .orderBy(col("seg"), col("moved_up").desc, col("ck"))
     }
   )
 }
