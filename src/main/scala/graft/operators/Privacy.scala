@@ -76,6 +76,16 @@ object Privacy {
     * Laplace(1/ε) noise (each row changes one count by one → sensitivity
     * 1). One keyed aggregation with map-side partials; the noise is a
     * narrow post-agg map keyed by the released key itself.
+    *
+    * SECURITY CAVEAT — `releaseTag` is the noise seed. The DP guarantee
+    * holds only against an adversary who cannot recompute the noise, so
+    * the tag must be a SECRET high-entropy value (a per-release random
+    * key held by the releasing party), never a public or guessable label:
+    * with a known tag anyone can re-derive md5(tag + key), subtract the
+    * noise, and recover exact counts. The registered q_anon_dp query uses
+    * a hardcoded public tag ('rel1') deliberately — determinism via a
+    * public seed is an oracle-parity/benchmark artifact that lets DuckDB
+    * replay the noise bit-exactly; it is NOT a private release.
     */
   def dpCounts(df: DataFrame, keyCol: String, epsilon: Double,
       releaseTag: String): DataFrame =

@@ -30,9 +30,12 @@ object PortableSql {
 
   /** Deterministic bucket in [0, buckets) of BIGINT expr `id` — mirrors
     * Sample.hashBucket (same constants, same overflow-safe pre-fold); the
-    * ONE source of truth for the sampling/split oracles. */
+    * ONE source of truth for the sampling/split oracles. DuckDB `%` keeps
+    * the dividend's sign while Spark's pmod is always nonnegative, so the
+    * first mod is re-folded into [0, P) before the multiply; every later
+    * intermediate is then nonnegative and plain `%` matches pmod. */
   def hashBucket(id: String, buckets: Int): String =
-    s"(($id % 1000003) * 2654435761 + 40503) % 1000003 % $buckets"
+    s"((($id % 1000003 + 1000003) % 1000003) * 2654435761 + 40503) % 1000003 % $buckets"
 
   /** Whitespace tokens, lowercased, empties removed — mirrors
     * TextFunctions.tokens (same snippet the jaccard oracle uses). */

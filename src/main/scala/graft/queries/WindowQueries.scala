@@ -290,9 +290,9 @@ object WindowQueries {
 
     // Period-over-period rank movement ("movers"): customers ranked by
     // 1995 vs 1996 revenue within their market segment, joined on the
-    // customer to expose the rank delta for everyone top-20 in both
-    // years (top-100 — deep enough to stay populated as the customer
-    // base grows). Rank key is the ROUNDED revenue (decimal sandwich) + custkey
+    // customer to expose the rank delta for everyone top-100 in both
+    // years (deep enough to stay populated as the customer base grows).
+    // Rank key is the ROUNDED revenue (decimal sandwich) + custkey
     // tiebreak, so two engines summing doubles in different orders still
     // rank identically; windows partition by segment — never global.
     QueryDef(

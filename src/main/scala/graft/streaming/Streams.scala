@@ -165,7 +165,20 @@ object Streams {
   }
 
   private def latestGen(spark: SparkSession, statePath: String, atOrBelow: Long): Long = {
-    val gens = listGens(spark, statePath).filter(_ <= atOrBelow)
+    val all = listGens(spark, statePath)
+    val gens = all.filter(_ <= atOrBelow)
+    // A state table exists but every committed generation is NEWER than
+    // this batch id: the query was restarted with a FRESH checkpoint (batch
+    // ids reset to 0) against a statePath whose gen=0 was already pruned.
+    // Falling back to the newest gen would silently re-apply already-merged
+    // batches, so fail loudly with the actual operator error instead of an
+    // opaque require.
+    require(all.isEmpty || gens.nonEmpty,
+      s"checkpoint/state mismatch under $statePath: batch id $atOrBelow but " +
+        s"committed generations are [${all.sorted.mkString(", ")}] — the sink " +
+        "was restarted with a new checkpoint against an existing state table. " +
+        "Resume the ORIGINAL checkpointLocation to continue this state table, " +
+        "or point the new checkpoint at a fresh statePath.")
     require(gens.nonEmpty, s"no state generation <= $atOrBelow under $statePath")
     gens.max
   }
@@ -217,39 +230,43 @@ object Streams {
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val spark = batch0.sparkSession
         val batch = batch0.select(logCols.map(col): _*).persist()
-        // seed an empty gen=0 exactly once (schema = the operator's own)
-        if (listGens(spark, statePath).isEmpty)
-          graft.operators.Cdc
-            .scd2FromChangelog(batch.limit(0), keys, tsCol, tieCol, attrCols)
-            .write.mode("overwrite").parquet(genDir(statePath, 0L))
-        val prev = latestGen(spark, statePath, atOrBelow = batchId)
-        val state = spark.read.parquet(genDir(statePath, prev))
-        val touched = batch.select(keys.map(col): _*).distinct()
-        val closed = state.filter(col("valid_to").isNotNull)
-        val open = state.filter(col("valid_to").isNull)
-        val openUntouched = open.join(touched, keys, "left_anti")
-        val openTouched = open.join(touched, keys, "left_semi")
-        // drop late rows — late in the (tsCol, tieCol) TOTAL order, not
-        // just the timestamp: a row tied on ts but ordered before the open
-        // head would sort ahead of it in the mini changelog and manufacture
-        // a phantom version no full-log batch run would produce. Equality
-        // (a replay of the head row itself) stays: it collapses as an
-        // unchanged run.
-        val heads = openTouched.select(
-          keys.map(col) :+ col("valid_from").as("__head")
-            :+ col(tieCol).as("__headTie"): _*)
-        val fresh = batch.join(heads, keys, "left")
-          .filter(col("__head").isNull ||
-            col(tsCol) > col("__head") ||
-            (col(tsCol) === col("__head") && col(tieCol) >= col("__headTie")))
-          .drop("__head", "__headTie")
-        val rebuilt = graft.operators.Cdc.scd2FromChangelog(
-          fresh.unionByName(openTouched.select(logCols.map(col): _*)),
-          keys, tsCol, tieCol, attrCols)
-        closed.unionByName(openUntouched).unionByName(rebuilt)
-          .write.mode("overwrite").parquet(genDir(statePath, batchId + 1))
-        pruneGens(spark, statePath, keepFrom = batchId)
-        batch.unpersist()
+        // finally-unpersist: a failure anywhere in the merge (state read,
+        // write, mismatch require) triggers foreachBatch retries — without
+        // the finally each retry would leak another cached copy
+        try {
+          // seed an empty gen=0 exactly once (schema = the operator's own)
+          if (listGens(spark, statePath).isEmpty)
+            graft.operators.Cdc
+              .scd2FromChangelog(batch.limit(0), keys, tsCol, tieCol, attrCols)
+              .write.mode("overwrite").parquet(genDir(statePath, 0L))
+          val prev = latestGen(spark, statePath, atOrBelow = batchId)
+          val state = spark.read.parquet(genDir(statePath, prev))
+          val touched = batch.select(keys.map(col): _*).distinct()
+          val closed = state.filter(col("valid_to").isNotNull)
+          val open = state.filter(col("valid_to").isNull)
+          val openUntouched = open.join(touched, keys, "left_anti")
+          val openTouched = open.join(touched, keys, "left_semi")
+          // drop late rows — late in the (tsCol, tieCol) TOTAL order, not
+          // just the timestamp: a row tied on ts but ordered before the open
+          // head would sort ahead of it in the mini changelog and manufacture
+          // a phantom version no full-log batch run would produce. Equality
+          // (a replay of the head row itself) stays: it collapses as an
+          // unchanged run.
+          val heads = openTouched.select(
+            keys.map(col) :+ col("valid_from").as("__head")
+              :+ col(tieCol).as("__headTie"): _*)
+          val fresh = batch.join(heads, keys, "left")
+            .filter(col("__head").isNull ||
+              col(tsCol) > col("__head") ||
+              (col(tsCol) === col("__head") && col(tieCol) >= col("__headTie")))
+            .drop("__head", "__headTie")
+          val rebuilt = graft.operators.Cdc.scd2FromChangelog(
+            fresh.unionByName(openTouched.select(logCols.map(col): _*)),
+            keys, tsCol, tieCol, attrCols)
+          closed.unionByName(openUntouched).unionByName(rebuilt)
+            .write.mode("overwrite").parquet(genDir(statePath, batchId + 1))
+          pruneGens(spark, statePath, keepFrom = batchId)
+        } finally batch.unpersist()
         ()
       }
       .start()
