@@ -129,6 +129,28 @@ object Tables {
       path
     })
 
+  private val compactDayCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A PRIVATE day-partitioned copy of events for the compaction executor
+    * (q_layout_compact_exec) — deliberately fragmented (repartition(8)
+    * spreads every day across 8 tasks → 8 files per day directory) so the
+    * compaction pass has real work at every SF. Separate from
+    * [[partitionedEventsByDay]] because compaction MUTATES the file
+    * layout; the overwrite/prune queries keep their own stable copy. */
+  def compactableEventsByDay(s: SparkSession, d: String): String =
+    compactDayCache.computeIfAbsent(d, { _ =>
+      import org.apache.spark.sql.functions.{col, date_format}
+      val path = s"/tmp/graft_events_compact_${dirTag(d)}"
+      graft.sources.Warehouse.writePartitioned(
+        events(s, d)
+          .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+          .repartition(8),
+        path, Seq("event_date"))
+      cleanupOnExit(path)
+      path
+    })
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

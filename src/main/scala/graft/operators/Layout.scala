@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators — multi-dimensional clustering (Z-order) for
@@ -65,5 +65,80 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** Execute small-file compaction on a Hive-partitioned parquet table:
+    * every partition directory holding MORE files than its row count
+    * needs (ceil(n_rows / targetRowsPerFile)) is rewritten in place into
+    * exactly that many files; partitions already at or under their target
+    * are left byte-for-byte untouched (their file set is never rewritten,
+    * so concurrent readers and downstream mtime-based caches are safe).
+    * This is the EXECUTOR for the q_layout_compact planner — the
+    * maintenance pass that keeps a streaming-ingested table scannable.
+    *
+    * Mechanics: one distributed keyed count sizes each partition; only
+    * partitions over target are re-read, hash-repartitioned on the
+    * partition column (each partition's rows land in one task — the
+    * writer still splits output per directory, so task collisions cannot
+    * merge days), and written back via dynamic partition overwrite with
+    * `maxRecordsPerFile`, which rolls files at exactly the target row
+    * count → ceil(n/target) files per partition. The eager localCheckpoint
+    * materializes the selected rows on executors BEFORE the overwrite
+    * deletes the directories being read — same-path read+write is illegal
+    * otherwise. At warehouse scale the checkpoint becomes a scratch-dir
+    * write + atomic rename, and a very large single partition adds a slot
+    * column to the repartition to parallelize its rewrite (costing at most
+    * slots-1 underfull files).
+    *
+    * Returns the per-partition audit (value, n_rows, files_before,
+    * files_after) as a DataFrame. The audit is partition-count-sized —
+    * table METADATA, like a catalog listing — so building it on the driver
+    * is bounded; all row data moves only inside the rewrite job.
+    */
+  def compactExecute(
+      spark: SparkSession,
+      path: String,
+      partCol: String,
+      targetRowsPerFile: Long): DataFrame = {
+    require(targetRowsPerFile > 0, s"target must be positive, got $targetRowsPerFile")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileCounts(): Map[String, Int] =
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+        .map { d =>
+          val v = d.getPath.getName.stripPrefix(s"$partCol=")
+          v -> fs.listStatus(d.getPath)
+            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        }.toMap
+    val before = fileCounts()
+    def targetFiles(n: Long): Int =
+      ((n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val rowCounts = spark.read.parquet(path)
+      .groupBy(col(partCol).cast("string").as("__pv"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val needs = rowCounts.keys
+      .filter(v => before.getOrElse(v, 0) > targetFiles(rowCounts(v)))
+      .toSeq.sorted
+    if (needs.nonEmpty) {
+      val selected = spark.read.parquet(path)
+        .filter(col(partCol).cast("string").isin(needs: _*))
+        .localCheckpoint(true)
+      selected
+        .repartition(col(partCol))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", targetRowsPerFile)
+        .partitionBy(partCol)
+        .parquet(path)
+    }
+    val after = fileCounts()
+    import spark.implicits._
+    rowCounts.toSeq.sortBy(_._1)
+      .map { case (v, n) =>
+        (v, n, before.getOrElse(v, 0), after.getOrElse(v, 0))
+      }
+      .toDF(partCol, "n_rows", "files_before", "files_after")
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.Num
-import graft.operators.{Cdc, Joins, Privacy, StringJoin}
+import graft.operators.{Cdc, Joins, Layout, Privacy, StringJoin}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -421,6 +421,27 @@ object ScaleQueries {
         .select(
           date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("n_rows"), col("bin"), col("bin_rows"))
+        .orderBy("day")
+    },
+
+    // Compaction EXECUTOR — the planner's other half: actually rewrite the
+    // fragmented per-day partition dirs (8 files/day by construction) into
+    // target-sized files via dynamic partition overwrite, then audit the
+    // resulting layout from the FILESYSTEM. The oracle checks the physical
+    // law the executor must satisfy — every day ends at exactly
+    // ceil(n_rows / 2000) files — so a file-count match proves the rewrite
+    // ran and converged (idempotent: a second run finds no over-target
+    // partition and touches nothing).
+    QueryDef(
+      "q_layout_compact_exec",
+      Some("""SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(ceil(count(*) / 2000.0) AS BIGINT) AS n_files
+              FROM events GROUP BY 1 ORDER BY day""")) { (s, d) =>
+      val path = Tables.compactableEventsByDay(s, d)
+      Layout.compactExecute(s, path, "event_date", 2000L)
+        .select(col("event_date").as("day"), col("n_rows"),
+          col("files_after").cast("long").as("n_files"))
         .orderBy("day")
     },
 
