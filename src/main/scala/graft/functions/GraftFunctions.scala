@@ -19,5 +19,10 @@ object GraftFunctions {
     spark.udf.register("graft_heavy8", HeavyHitters.column(8))
     // bounded-buffer grouped top-3 over (key, value) pairs
     spark.udf.register("graft_top3", TopK.column(3))
+    // mergeable GK quantile sketch: build (double -> binary) and
+    // union+query (binary -> [p50, p90, p99])
+    spark.udf.register("graft_qsketch", QuantileSketchAgg.column())
+    spark.udf.register("graft_qmerge_p50_90_99",
+      QuantileMergeAgg.column(Seq(0.5, 0.9, 0.99)))
   }
 }

@@ -466,6 +466,35 @@ object AggQueries {
         .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
           .cast("long").as("wau_est"))
         .orderBy("day")
+    },
+
+    // Rolling 7-day value percentiles via MERGEABLE QUANTILE SKETCHES —
+    // the percentile twin of q_agg_wau_sketch: per-day Greenwald–Khanna
+    // summaries (Spark's own percentile_approx engine, map-side partial
+    // merge; one ~O(1/ε) summary per day crosses the shuffle) unioned
+    // into each 7-day window over the DAY-sketch table. Raw events are
+    // touched once; any re-window merges stored sketches. No DuckDB
+    // oracle by nature (the sketch binary and its ε-rank answers are
+    // engine-specific); EntrySpec bounds every window's p50/p90/p99
+    // against the exact per-window percentile within the GK rank-error
+    // guarantee.
+    QueryDef("q_agg_quantile_sketch", None) { (s, d) =>
+      val sketch = graft.functions.QuantileSketchAgg.column()
+      val probe = graft.functions.QuantileMergeAgg.column(Seq(0.5, 0.9, 0.99))
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(date_trunc("DAY", col("ts"))).as("day"))
+        .agg(sketch(col("value")).as("sk"))
+      val mx = daily.agg(max("day").as("max_day"))
+      daily
+        .select(col("day"), col("sk"), explode(sequence(lit(0), lit(6))).as("k"))
+        .withColumn("tday", date_add(col("day"), col("k")))
+        .crossJoin(broadcast(mx))
+        .filter(col("tday") <= col("max_day"))
+        .groupBy(date_format(col("tday"), "yyyy-MM-dd").as("day"))
+        .agg(probe(col("sk")).as("q"))
+        .select(col("day"),
+          col("q")(0).as("p50"), col("q")(1).as("p90"), col("q")(2).as("p99"))
+        .orderBy("day")
     }
   )
 }

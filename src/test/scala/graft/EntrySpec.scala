@@ -57,6 +57,40 @@ class EntrySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("q_agg_quantile_sketch: merged day-sketch percentiles respect the GK rank bound") {
+    import org.apache.spark.sql.functions._
+    // GK guarantee: a query at rank p returns a value whose TRUE rank is
+    // within ε·n. Merging k compressed summaries keeps the bound at ε
+    // (Spark merges map-side partials the same way); verify in VALUE space
+    // by bracketing each estimate between the exact quantiles at p ± 3ε
+    // (3ε = ε guarantee + discrete-rank slack on tied/stepped data).
+    val eps = 0.03
+    val est = SparkEntry.queries("q_agg_quantile_sketch")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val events = Tables.events(spark, sf)
+      .select(to_date(date_trunc("DAY", col("ts"))).as("day"), col("value"))
+    val days = events.select("day").distinct().orderBy("day")
+      .collect().map(_.getDate(0))
+    assert(est.size == days.length)
+    days.foreach { day =>
+      val windowVals = events
+        .filter(col("day") > date_sub(lit(day), 7) && col("day") <= lit(day))
+        .select("value").collect().map(_.getDouble(0)).sorted
+      val n = windowVals.length
+      def exactAt(p: Double): Double =
+        windowVals(math.min(n - 1, math.max(0, math.ceil(p * n).toInt - 1)))
+      val key = new java.text.SimpleDateFormat("yyyy-MM-dd").format(day)
+      val (p50, p90, p99) = est(key)
+      Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99).foreach { case (p, e) =>
+        val lo = exactAt(math.max(0.0, p - eps))
+        val hi = exactAt(math.min(1.0, p + eps))
+        assert(e >= lo && e <= hi,
+          s"$key p=$p: sketch $e outside exact rank band [$lo, $hi] (n=$n)")
+      }
+    }
+  }
+
   test("representative queries from each family execute and return rows") {
     val sample = Seq(
       "q_agg_group", "q_join_asof", "q_win_latest", "q_set_except",

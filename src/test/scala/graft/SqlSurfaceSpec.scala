@@ -66,5 +66,15 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTest {
       "SELECT graft_minhash_agg(array('x','y')) AS s FROM items_v LIMIT 1")
       .collect()(0).getSeq[Long](0)
     assert(sig.length == 16 && sig.forall(_ != Long.MaxValue))
+    // quantile sketch round-trip through SQL: build per-group sketches,
+    // union them, read the median of 1..100 (exact on this small input)
+    (1 to 100).map(i => (i % 4, i.toDouble)).toDF("g", "v")
+      .createOrReplaceTempView("qs_v")
+    val med = spark.sql(
+      """SELECT graft_qmerge_p50_90_99(sk) AS q FROM (
+           SELECT g, graft_qsketch(v) AS sk FROM qs_v GROUP BY g)""")
+      .collect()(0).getSeq[Double](0)
+    assert(med.length == 3 && math.abs(med(0) - 50.0) <= 3.0 &&
+      math.abs(med(1) - 90.0) <= 3.0, med.mkString(","))
   }
 }
