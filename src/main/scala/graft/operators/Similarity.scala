@@ -113,6 +113,59 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Persistable SRP bucket table of an embedding corpus: (vec_id,
+    * bucket) — ONE long per vector, the ANN twin of [[bandTable]]. An
+    * ingest pipeline keeps this table (plus the vectors themselves, which
+    * it already stores) and near-dups new arrivals without recomputing a
+    * single corpus bucket; growth = append the admitted vectors' rows. */
+  def bucketTable(
+      emb: DataFrame, // (vec_id, v: array<double>)
+      dim: Int,
+      nBits: Int,
+      portable: Boolean = false): DataFrame =
+    emb.select(col("vec_id"),
+      srpBucket(col("v"), dim, nBits, portable).as("bucket"))
+
+  /** Incremental embedding near-dup: which incoming vectors are
+    * near-duplicates (cosine >= minCosine) of the EXISTING corpus,
+    * joining the incoming batch's multi-probe keys (own bucket +
+    * Hamming-1 neighbors, same recall contract as lshBucketJoin) against
+    * the persisted [[bucketTable]]. Corpus buckets are never recomputed;
+    * corpus VECTORS are fetched by id for candidate pairs only — an
+    * equi-join that touches matching buckets' rows, not a rescan (at
+    * warehouse scale: a semi-join read against the stored embedding
+    * table). Probe keys per incoming row are distinct, so each (incoming,
+    * existing) pair arises at most once — no dedup needed. Output one row
+    * per (id, matched_id); anti-join ids off the batch to admit only
+    * fresh vectors. */
+  def incrementalEmbedDedup(
+      existingBuckets: DataFrame, // (vec_id, bucket)
+      existingVectors: DataFrame, // (vec_id, v) — candidate fetch target
+      incoming: DataFrame,        // (vec_id, v)
+      dim: Int,
+      nBits: Int,
+      minCosine: Double,
+      portable: Boolean = false): DataFrame = {
+    // exchange after bucketing: materialize the nBits hyperplane dot
+    // products once, before the probe explode fans the row out nBits+1x
+    val probed = incoming
+      .withColumn("bucket", srpBucket(col("v"), dim, nBits, portable))
+      .repartition(col("vec_id"))
+      .withColumn("probe", explode(probeKeys(col("bucket"), nBits)))
+    val cands = probed.join(
+        existingBuckets.select(
+          col("vec_id").as("matched_id"), col("bucket").as("probe")),
+        Seq("probe"))
+      .select(col("vec_id").as("id"), col("v"), col("matched_id"))
+    cands.join(
+        existingVectors.select(
+          col("vec_id").as("matched_id"), col("v").as("mv")),
+        Seq("matched_id"))
+      .withColumn("cos", V.cosineNative(col("v"), col("mv")))
+      .filter(col("cos") >= minCosine)
+      .select(col("id"), col("matched_id"))
+  }
+
   /** Multi-probe key set for a bucket: the bucket itself plus every
     * Hamming-distance-1 neighbor. ONE definition feeds both the self-join
     * (lshBucketJoin) and the query-vs-corpus (lshTopK) paths, matching

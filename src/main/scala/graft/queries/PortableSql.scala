@@ -243,6 +243,20 @@ object PortableSql {
         WHERE vec_id NOT IN (SELECT id_b FROM kept)
         ORDER BY vec_id"""
 
+  /** q_dedup_embed_incremental: incoming (vec_id%5=0) vectors vs the
+    * persisted bucket table of the rest — candidate iff buckets equal or
+    * differ in one bit (the multi-probe contract), match iff exact cosine
+    * >= minCosine. Mirrors Similarity.incrementalEmbedDedup stage by
+    * stage. */
+  def embedDedupIncrementalOracle(minCosine: Double): String =
+    s"""WITH $srpCtes
+        SELECT i.vec_id AS id, e.vec_id AS matched_id
+        FROM bk i JOIN bk e
+          ON bit_count(xor(i.bucket, e.bucket)) <= 1
+        WHERE i.vec_id % 5 = 0 AND e.vec_id % 5 <> 0
+          AND ${cosine("i.v", "e.v")} >= $minCosine
+        ORDER BY id, matched_id"""
+
   /** q_dedup_semantic: SemDeDup — corpus-sized deterministic-sample
     * centroids (mirrors Similarity.semanticCells: expected cell ~64 rows,
     * floor 8), argmin cell assignment, in-cell pairs with cosine >= tau,

@@ -222,6 +222,28 @@ object SimilarityQueries {
         .orderBy("id", "matched_id")
     },
 
+    // Incremental EMBEDDING near-dup — the ANN twin of q_dedup_incremental:
+    // every 5th vector plays the incoming batch and is deduped against the
+    // persisted SRP bucket table of the rest (one long per corpus vector;
+    // Similarity.bucketTable). Corpus buckets are never recomputed; corpus
+    // vectors are fetched by id for Hamming<=1 candidates only. tau = 0.3
+    // surfaces the top of the random-vector cosine distribution (real
+    // corpora use ~0.9+). Portable SRP buckets: the oracle replays buckets,
+    // probe set and cosine gate exactly
+    // (PortableSql.embedDedupIncrementalOracle).
+    QueryDef("q_dedup_embed_incremental",
+        Some(PortableSql.embedDedupIncrementalOracle(0.3))) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+      val nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings"))
+      val existing = emb.filter(col("vec_id") % 5 =!= 0)
+      val incoming = emb.filter(col("vec_id") % 5 === 0)
+      val buckets = Similarity.bucketTable(existing, dim = 64, nBits, portable = true)
+      Similarity.incrementalEmbedDedup(buckets, existing, incoming,
+          dim = 64, nBits, minCosine = 0.3, portable = true)
+        .orderBy("id", "matched_id")
+    },
+
     // Grouped MinHash signature via the custom typed UDAF: one signature
     // per language across ALL its documents' tokens — the multi-row-entity
     // path (chunked documents, per-user event histories) that avoids

@@ -212,6 +212,41 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(!hits.exists(_._1 == 101L), s"fresh doc flagged: $hits")
   }
 
+  test("incremental embed dedup vs persisted bucket table == brute-force multi-probe") {
+    import spark.implicits._
+    val dim = 16
+    val corpus = (1 to 40).filter(_ % 5 != 0)
+      .map(i => (i.toLong, vec(i, dim))) ++
+      Seq((41L, vec(3, dim)))                      // exact dup of corpus id 3
+    val batch = (1 to 40).filter(_ % 5 == 0)
+      .map(i => (i.toLong, vec(i, dim))) ++
+      Seq((100L, nearDup(vec(7, dim))))            // near-dup of corpus id 7
+    val existing = corpus.toDF("vec_id", "v")
+    val incoming = batch.toDF("vec_id", "v")
+    val nBits = 6
+    // persist ONLY the bucket table — corpus buckets are never recomputed
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-buckets").toString + "/buckets"
+    Similarity.bucketTable(existing, dim, nBits).write.parquet(statePath)
+    val buckets = spark.read.parquet(statePath)
+    val got = Similarity.incrementalEmbedDedup(
+        buckets, existing, incoming, dim, nBits, minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((100L, 7L)), s"planted near-dup not flagged: $got")
+    // brute force with the same recall contract: Hamming<=1 buckets,
+    // exact cosine gate
+    val bIn = incoming.select(col("vec_id").as("id"), col("v"),
+      Similarity.srpBucket(col("v"), dim, nBits).as("bi"))
+    val bEx = existing.select(col("vec_id").as("matched_id"), col("v").as("mv"),
+      Similarity.srpBucket(col("v"), dim, nBits).as("be"))
+    val brute = bIn.crossJoin(bEx)
+      .filter(bit_count(col("bi").bitwiseXOR(col("be"))) <= 1)
+      .filter(V.cosineNative(col("v"), col("mv")) >= 0.95)
+      .select("id", "matched_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute)
+  }
+
   test("jaccard banding finds near-dups of DIFFERENT lengths (old blocking missed)") {
     import spark.implicits._
     import graft.functions.{TextFunctions => T}
