@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge learning (Sennrich et al. 2016) — the
+  * tokenizer-training step of an LLM data pipeline, distributed.
+  *
+  * The scalable formulation works on the WORD-FREQUENCY table, not the
+  * corpus: one corpus pass builds (word, n); the k merge iterations then
+  * run over the vocabulary-sized table only, so iteration cost is
+  * independent of corpus size (the 100 TB property — a trillion-token
+  * corpus has a few million distinct words). Per iteration: one keyed
+  * pair-count aggregation (map-side partials), ONE driver-side row (the
+  * winning pair — bounded, like duplicateClusters' convergence probe),
+  * and a narrow per-word re-merge map. Eager localCheckpoint truncates
+  * the growing merge-expression lineage each round, same discipline as
+  * Dedup.duplicateClusters.
+  *
+  * The merge itself uses a separator-encoded string form: a symbol
+  * sequence [s1, s2, ...] is encoded as ␟s1␟␟s2␟... and merging pair
+  * (l, r) is a plain `replace` of ␟l␟␟r␟ with ␟lr␟ — left-to-right and
+  * non-overlapping in exactly the same way in Spark (UTF8String.replace)
+  * and DuckDB (replace), which is what makes the greedy BPE scan
+  * oracle-replayable. US (0x1f) never occurs in whitespace-split tokens.
+  */
+object Bpe {
+
+  /** Unit-separator control char — cannot appear in whitespace-split
+    * tokens. */
+  val Sep = "\u001f"
+
+  /** Split a word column (by name) into its character symbols (char-based
+    * substring, identical semantics to the DuckDB oracle's
+    * list_transform/substring walk — NOT split("") whose trailing-empty
+    * behavior differs across engines). */
+  def charSyms(wordCol: String): org.apache.spark.sql.Column =
+    expr(s"transform(sequence(1, char_length($wordCol)), ci -> substring($wordCol, ci, 1))")
+
+  /** Learn `k` BPE merges from a word-frequency table.
+    *
+    * @param words (word: string, n: long) — distinct words with corpus
+    *              counts (build with one groupBy over tokenized text)
+    * @return (step, lhs, rhs, n): the i-th winning pair and its count at
+    *         selection time. Ties break on (count DESC, lhs ASC, rhs ASC)
+    *         — integer counts and binary string order, so the sequence is
+    *         deterministic across engines and partitionings.
+    */
+  def learnMerges(words: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = words.sparkSession
+    // block hygiene around localCheckpoint, same idiom as
+    // Dedup.duplicateClusters: superseded round frames are released
+    // explicitly so k rounds never pin k copies of the vocab table
+    val sc = spark.sparkContext
+    def tracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    var (syms, symIds) = tracked(
+      words.select(charSyms("word").as("syms"), col("n")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      // corpus-wide pair counts: explode adjacent pairs weighted by word
+      // count — one shuffle over the vocabulary-sized table
+      val top = syms
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "gi -> struct(element_at(syms, gi) AS l, element_at(syms, gi + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("n").as("cnt"))
+        .orderBy(desc("cnt"), col("l"), col("r"))
+        .limit(1)
+        .collect() // ONE row — the winner; bounded driver state
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, l, r, cnt))
+        // apply the merge: encode, replace (greedy left-to-right), decode
+        val pat = lit(Sep + l + Sep + Sep + r + Sep)
+        val rep = lit(Sep + l + r + Sep)
+        val (next, nextIds) = tracked(syms.select(
+          split(
+            trim(replace(
+              array_join(transform(col("syms"), s => concat(lit(Sep), s, lit(Sep))), ""),
+              pat, rep), Sep),
+            Sep + Sep).as("syms"),
+          col("n")))
+        release(symIds) // next is materialized; the parent round is dead
+        syms = next
+        symIds = nextIds
+        step += 1
+      }
+    }
+    release(symIds)
+    import spark.implicits._
+    merges.toSeq.toDF("step", "lhs", "rhs", "n")
+      .select(col("step").cast("long"), col("lhs"), col("rhs"), col("n"))
+  }
+
+  /** One corpus pass to the word-frequency table learnMerges consumes. */
+  def wordCounts(tokens: DataFrame): DataFrame =
+    tokens.groupBy("word").agg(count(lit(1)).as("n"))
+}

@@ -590,6 +590,23 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // BPE merge learning (Sennrich et al. 2016) — the step AFTER
+    // q_corpus_vocab in tokenizer training: 6 iterations of corpus-wide
+    // top-pair selection over the WORD-FREQUENCY table (vocabulary-sized,
+    // so iteration cost is independent of corpus size), each merging the
+    // winning adjacent-symbol pair greedily left-to-right. Tie-breaks are
+    // integer-count DESC then binary string order — deterministic across
+    // engines; the oracle unrolls the same 6 levels in SQL and replays
+    // the merge via the identical separator-encoded replace
+    // (PortableSql.bpeOracle). Driver state = one winning pair per
+    // iteration; localCheckpoint discipline as in duplicateClusters.
+    QueryDef("q_corpus_bpe", Some(PortableSql.bpeOracle(6))) { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(explode(T.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      graft.operators.Bpe.learnMerges(words, 6).orderBy("step")
+    },
+
     // Deterministic train/validation/test split: every document's fate is
     // an arithmetic function of its own id (Sample.hashBucket — identical
     // in Spark and DuckDB), so splits are reproducible across runs and

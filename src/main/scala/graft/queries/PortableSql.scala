@@ -243,6 +243,45 @@ object PortableSql {
         WHERE vec_id NOT IN (SELECT id_b FROM kept)
         ORDER BY vec_id"""
 
+  /** q_corpus_bpe: k unrolled BPE merge iterations over the corpus
+    * word-frequency table — each level picks the top adjacent-symbol pair
+    * (count DESC, lhs, rhs) and replays the greedy left-to-right merge via
+    * the same separator-encoded `replace` as Bpe.learnMerges. wN levels
+    * are MATERIALIZED: each is referenced twice (pair count + next merge)
+    * and the default inlining would re-derive the chain exponentially. */
+  def bpeOracle(k: Int): String = {
+    val sep = "chr(31)"
+    val ctes = new StringBuilder(
+      s"""t0 AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+                 FROM (SELECT unnest(${toks("text")}) AS w FROM documents)
+                 GROUP BY w),
+          w0 AS (SELECT list_transform(generate_series(1, length(w)),
+                        ci -> substring(w, ci, 1)) AS syms, n FROM t0)""")
+    for (i <- 1 to k) {
+      val prev = s"w${i - 1}"
+      ctes ++= s""",
+        p$i AS (SELECT l, r, cnt FROM (
+                  SELECT p.l AS l, p.r AS r, CAST(sum(n) AS BIGINT) AS cnt FROM (
+                    SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+                           gi -> struct_pack(l := syms[gi], r := syms[gi + 1]))) AS p, n
+                    FROM $prev WHERE len(syms) >= 2)
+                  GROUP BY p.l, p.r)
+                ORDER BY cnt DESC, l, r LIMIT 1),
+        w$i AS MATERIALIZED (SELECT string_split(
+                  trim(replace(
+                    list_aggregate(list_transform(syms, s -> $sep || s || $sep),
+                      'string_agg', ''),
+                    (SELECT $sep || l || $sep || $sep || r || $sep FROM p$i),
+                    (SELECT $sep || l || r || $sep FROM p$i)), chr(31)),
+                  $sep || $sep) AS syms, n
+                FROM $prev)"""
+    }
+    val union = (1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, l AS lhs, r AS rhs, cnt AS n FROM p$i")
+      .mkString("\n UNION ALL ")
+    s"WITH $ctes\n $union ORDER BY step"
+  }
+
   /** q_dedup_embed_incremental: incoming (vec_id%5=0) vectors vs the
     * persisted bucket table of the rest — candidate iff buckets equal or
     * differ in one bit (the multi-probe contract), match iff exact cosine

@@ -290,4 +290,62 @@ class CorpusSpec extends AnyFunSuite with SparkTest {
       (1L, 2L, 3L, 1.5), (2L, 2L, 3L, 1.5), (3L, 1L, 1L, 1.0), (4L, 0L, 0L, 0.0)),
       got.mkString(","))
   }
+
+  /** Sequential reference BPE: same tie-breaks (count DESC, lhs, rhs),
+    * same greedy left-to-right non-overlapping merge, two-pointer form. */
+  private def refBpe(words: Seq[(String, Long)], k: Int): Seq[(Long, String, String, Long)] = {
+    var syms: Seq[(Vector[String], Long)] =
+      words.map { case (w, n) => (w.map(_.toString).toVector, n) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (ss, n) =>
+        var i = 0
+        while (i + 1 < ss.length) {
+          val key = (ss(i), ss(i + 1))
+          counts(key) = counts.getOrElse(key, 0L) + n
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head
+        out += ((step.toLong, l, r, c))
+        syms = syms.map { case (ss, n) =>
+          val nb = Vector.newBuilder[String]
+          var i = 0
+          while (i < ss.length) {
+            if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) {
+              nb += (l + r); i += 2
+            } else { nb += ss(i); i += 1 }
+          }
+          (nb.result(), n)
+        }
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("BPE merges match the sequential reference, including self-pairs and compounds") {
+    import spark.implicits._
+    // 'aaaa' forces the (a,a) self-pair (greedy non-overlap: aaaa -> aa aa),
+    // the classic low/lower/lowest family forces compound merges
+    val words = Seq(
+      ("aaaa", 10L), ("low", 6L), ("lower", 3L), ("lowest", 4L),
+      ("newest", 5L), ("widest", 2L), ("x", 1L))
+    val got = graft.operators.Bpe.learnMerges(words.toDF("word", "n"), 8)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val want = refBpe(words, 8)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    // the self-pair must appear; COUNTING sees all three adjacent (a,a)
+    // positions in 'aaaa' (3 x weight 10), only MERGING is non-overlapping
+    assert(want.exists { case (_, l, r, n) => l == "a" && r == "a" && n == 30L })
+    // and at least one later merge consumes an already-merged symbol
+    assert(want.exists { case (_, l, r, _) => l.length > 1 || r.length > 1 })
+  }
 }
