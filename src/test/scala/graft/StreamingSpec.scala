@@ -316,6 +316,52 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(stateIds === Set(10L, 12L))
   }
 
+  test("dedup ingest restarted from the SAME checkpoint continues batch ids " +
+    "and keeps rejecting docs admitted before the restart") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    val bandPath = java.nio.file.Files
+      .createTempDirectory("graft-ingest-bands3").toString + "/bands"
+    val admitPath = java.nio.file.Files
+      .createTempDirectory("graft-ingest-admit3").toString + "/admitted"
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft-ingest-ckpt3").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDF().toDF("id", "text")
+      .select(col("id"), T.ngrams(T.tokens(col("text")), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    def start() = Streams.dedupIngestSink(docs, bandPath, admitPath,
+      k = 16, nBands = 4, checkpointLocation = Some(checkpoint))
+    val q1 = start()
+    input.addData(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "spark shuffles partitions across the cluster respecting locality")))
+    q1.processAllAvailable()
+    input.addData(Seq(
+      (101L, "entirely fresh content mentioning gardens and rivers flowing")))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart the SAME sink from the SAME checkpoint: batch ids must
+    // continue (not reset to 0), so the pre-restart corpus stays visible
+    // to the `batch < batchId` state filter
+    val q2 = start()
+    input.addData(Seq(
+      (300L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (301L, "completely new material discussing telescopes and astronomy")))
+    q2.processAllAvailable()
+    q2.stop()
+    val admitted = Streams.admittedDocs(spark, admitPath)
+      .select("id", "batch").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 300 near-dups doc 1 (admitted BEFORE the restart) -> rejected; a
+    // batch-id reset would hide the old state and wrongly admit it
+    assert(admitted.keySet === Set(1L, 2L, 101L, 301L), s"admitted: $admitted")
+    // batch ids continued across the restart: the post-restart admission
+    // landed in batch 2, and no pre-restart doc was re-admitted elsewhere
+    assert(admitted(301L) === 2, s"admitted: $admitted")
+    assert(admitted(1L) === 0 && admitted(2L) === 0 && admitted(101L) === 1)
+  }
+
   test("scd2Sink over micro-batches == batch scd2FromChangelog over the full log") {
     import spark.implicits._
     val statePath = java.nio.file.Files
