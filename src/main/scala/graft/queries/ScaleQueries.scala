@@ -23,6 +23,15 @@ object ScaleQueries {
     // key (value < 150 -> key 0). The plain join puts the hot key on ONE
     // reducer; Joins.saltedJoin spreads it over 8 via a (key, salt)
     // composite. Result is semantically the plain join -> plain-join oracle.
+    // Measured vs AQE (tools/SkewBench, broadcast disabled, min-of-3):
+    // sf0.1 salted 0.45s / plain+AQE 0.51s / plain-noAQE 0.62s; 10x
+    // plain+AQE 0.71s / salted 0.92s — AQE skew-split WINS as data grows
+    // (salting's dim explode and wider composite-key shuffle scale with
+    // the data; AQE splits only the partitions that need it). Default at
+    // cluster scale: plain join + AQE (ScaleOpsSpec asserts
+    // OptimizeSkewedJoin fires); saltedJoin stays the static mitigation
+    // for engines/paths without AQE and for skewed AGGREGATIONS, and is
+    // what this query exercises.
     QueryDef(
       "q_join_skew",
       Some("""SELECT n.n_name,

@@ -278,4 +278,33 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
     val days = spark.read.parquet(path).select("event_date").distinct().count()
     assert(days === 30L)
   }
+
+  test("AQE OptimizeSkewedJoin fires on the plain skewed join (salting's alternative)") {
+    import spark.implicits._
+    // 85%-hot key distribution, the q_join_skew shape, but against a
+    // NON-broadcastable dim (broadcast disabled): the setting where the
+    // salting-vs-AQE choice actually exists. Thresholds are scaled to
+    // test data; at cluster scale the defaults (256 MB / 64 MB) play the
+    // same role.
+    val fact = (1 to 120000).map { i =>
+      (i.toLong, if (i % 100 < 85) 0L else (i % 20).toLong, s"payload_$i")
+    }.toDF("row_id", "k", "pay")
+    val dim = (0L to 19L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    // (the adaptive broadcast threshold inherits this value when unset)
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "50KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      val joined = fact.join(dim, Seq("k"))
+      // execute THIS frame's plan (count() would run its own QueryExecution
+      // and leave the adaptive plan here unfinalized)
+      assert(joined.collect().length === 120000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"))
+      assert(finalPlan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire:\n$finalPlan")
+    }
+  }
 }
