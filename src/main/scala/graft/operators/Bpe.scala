@@ -108,4 +108,28 @@ object Bpe {
   /** One corpus pass to the word-frequency table learnMerges consumes. */
   def wordCounts(tokens: DataFrame): DataFrame =
     tokens.groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Apply learned merges: segment each word of `words` (word: string)
+    * into its subword symbols under the merge sequence — the TOKENIZE
+    * step that pairs with [[learnMerges]].
+    *
+    * The k merges arrive as driver-side literals (k rows — the learned
+    * vocabulary delta, inherently tiny), so application is a chain of k
+    * narrow `replace` maps over the vocabulary-sized word table: NO
+    * shuffle, NO join, fully codegen. Segmenting a trillion-token corpus
+    * is then one broadcast-free pass: tokenize, join each word to its
+    * precomputed segmentation (vocabulary-sized build side), done.
+    *
+    * @param merges (lhs, rhs) in application order, exactly as emitted by
+    *               learnMerges
+    * @return (word, syms: array<string>) — the subword segmentation
+    */
+  def applyMerges(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val enc0 = array_join(
+      transform(charSyms("word"), s => concat(lit(Sep), s, lit(Sep))), "")
+    val encoded = merges.foldLeft(enc0) { case (enc, (l, r)) =>
+      replace(enc, lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep))
+    }
+    words.withColumn("syms", split(trim(encoded, Sep), Sep + Sep))
+  }
 }

@@ -607,6 +607,36 @@ object CorpusQueries {
       graft.operators.Bpe.learnMerges(words, 6).orderBy("step")
     },
 
+    // BPE APPLY — the tokenize step that pairs with q_corpus_bpe: learn
+    // the 6 merges, then segment every distinct word with a chain of 6
+    // narrow replace maps (merges are driver literals — the learned vocab
+    // delta is inherently tiny; NO shuffle, NO join in the apply itself)
+    // and join document tokens to their word's precomputed segmentation
+    // (vocabulary-sized build side). Output: per-doc token vs subword
+    // counts and the subword ratio — the fertility metric tokenizer
+    // training monitors. Oracle replays learn + apply + join end to end.
+    QueryDef("q_corpus_bpe_apply", Some(PortableSql.bpeApplyOracle(6))) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("word"))
+      val words = toks.groupBy("word").agg(count(lit(1)).as("n"))
+      val merges = graft.operators.Bpe.learnMerges(words, 6)
+        .orderBy("step").collect() // k rows — the learned merge table
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val seg = graft.operators.Bpe.applyMerges(words.select("word"), merges)
+        .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+      val perDoc = toks.join(seg, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("n_sub").as("n_subwords"))
+      docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+          when(coalesce(col("n_tokens"), lit(0L)) > 0,
+            Num.round2(col("n_subwords").cast("double") / col("n_tokens")))
+            .otherwise(lit(0.0)).as("subword_ratio"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic train/validation/test split: every document's fate is
     // an arithmetic function of its own id (Sample.hashBucket — identical
     // in Spark and DuckDB), so splits are reproducible across runs and

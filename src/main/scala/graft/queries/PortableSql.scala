@@ -249,13 +249,17 @@ object PortableSql {
     * the same separator-encoded `replace` as Bpe.learnMerges. wN levels
     * are MATERIALIZED: each is referenced twice (pair count + next merge)
     * and the default inlining would re-derive the chain exponentially. */
-  def bpeOracle(k: Int): String = {
+  /** Shared CTE chain for the BPE oracles: word-frequency table t0, then
+    * k (pair-selection, merge) levels w1..wk — each level CARRIES the
+    * original word `w` so the final segmentation stays joinable back to
+    * document tokens. */
+  private def bpeCtes(k: Int): String = {
     val sep = "chr(31)"
     val ctes = new StringBuilder(
       s"""t0 AS (SELECT w, CAST(count(*) AS BIGINT) AS n
                  FROM (SELECT unnest(${toks("text")}) AS w FROM documents)
                  GROUP BY w),
-          w0 AS (SELECT list_transform(generate_series(1, length(w)),
+          w0 AS (SELECT w, list_transform(generate_series(1, length(w)),
                         ci -> substring(w, ci, 1)) AS syms, n FROM t0)""")
     for (i <- 1 to k) {
       val prev = s"w${i - 1}"
@@ -267,7 +271,7 @@ object PortableSql {
                     FROM $prev WHERE len(syms) >= 2)
                   GROUP BY p.l, p.r)
                 ORDER BY cnt DESC, l, r LIMIT 1),
-        w$i AS MATERIALIZED (SELECT string_split(
+        w$i AS MATERIALIZED (SELECT w, string_split(
                   trim(replace(
                     list_aggregate(list_transform(syms, s -> $sep || s || $sep),
                       'string_agg', ''),
@@ -276,11 +280,34 @@ object PortableSql {
                   $sep || $sep) AS syms, n
                 FROM $prev)"""
     }
+    ctes.toString
+  }
+
+  def bpeOracle(k: Int): String = {
     val union = (1 to k)
       .map(i => s"SELECT CAST($i AS BIGINT) AS step, l AS lhs, r AS rhs, cnt AS n FROM p$i")
       .mkString("\n UNION ALL ")
-    s"WITH $ctes\n $union ORDER BY step"
+    s"WITH ${bpeCtes(k)}\n $union ORDER BY step"
   }
+
+  /** q_corpus_bpe_apply: per-document subword stats under the k learned
+    * merges — the tokenize step. Docs with no tokens report zeros. */
+  def bpeApplyOracle(k: Int): String =
+    s"""WITH ${bpeCtes(k)},
+        seg AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM w$k),
+        tok AS (SELECT doc_id, unnest(${toks("text")}) AS w FROM documents),
+        d AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(seg.n_sub) AS BIGINT) AS n_subwords
+              FROM tok JOIN seg ON tok.w = seg.w
+              GROUP BY tok.doc_id)
+        SELECT doc.doc_id,
+               CAST(coalesce(d.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(d.n_subwords, 0) AS BIGINT) AS n_subwords,
+               CASE WHEN coalesce(d.n_tokens, 0) > 0
+                    THEN ${Num.oracleRound2("CAST(d.n_subwords AS DOUBLE) / d.n_tokens")}
+                    ELSE 0.0 END AS subword_ratio
+        FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
+        ORDER BY doc.doc_id"""
 
   /** q_dedup_embed_incremental: incoming (vec_id%5=0) vectors vs the
     * persisted bucket table of the rest — candidate iff buckets equal or

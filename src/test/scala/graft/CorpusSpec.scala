@@ -348,4 +348,32 @@ class CorpusSpec extends AnyFunSuite with SparkTest {
     // and at least one later merge consumes an already-merged symbol
     assert(want.exists { case (_, l, r, _) => l.length > 1 || r.length > 1 })
   }
+
+  test("BPE applyMerges segments words exactly as the reference merge chain") {
+    import spark.implicits._
+    val words = Seq(
+      ("lowest", 4L), ("low", 6L), ("newest", 5L), ("aaaa", 10L), ("x", 1L))
+    val merges = refBpe(words, 5).map { case (_, l, r, _) => (l, r) }
+    // reference segmentation: replay the same merges sequentially
+    def segment(w: String): Vector[String] =
+      merges.foldLeft(w.map(_.toString).toVector) { case (ss, (l, r)) =>
+        val nb = Vector.newBuilder[String]
+        var i = 0
+        while (i < ss.length) {
+          if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) {
+            nb += (l + r); i += 2
+          } else { nb += ss(i); i += 1 }
+        }
+        nb.result()
+      }
+    val got = graft.operators.Bpe
+      .applyMerges(words.map(_._1).toDF("word"), merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    words.map(_._1).foreach { w =>
+      assert(got(w) == segment(w), s"$w: ${got(w)} != ${segment(w)}")
+      assert(got(w).mkString == w, s"$w: segmentation must reassemble the word")
+    }
+    // the merges learned on this fixture actually compress something
+    assert(words.map(_._1).exists(w => got(w).length < w.length))
+  }
 }
