@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, JaccardSimilarity, MinHashSignature, NGrams, RabinKarpWindows, SimHash64, Tokenize}
+import graft.expressions.{CosineSimilarity, JaccardSimilarity, MinHashSignature, NGrams, NfcNormalize, RabinKarpWindows, SimHash64, Tokenize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
@@ -53,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NGrams(
           children(0),
           children(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NfcNormalize(children(0))))
     // graft_rk_windows(tokens, w) — w must be a literal int (plan-time constant)
     ext.injectFunction((
       FunctionIdentifier("graft_rk_windows"),

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.expressions.{DeflateRatio, NGrams, Tokenize}
+import graft.expressions.{DeflateRatio, NGrams, NfcNormalize, Tokenize}
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
@@ -36,6 +36,12 @@ object TextFunctions {
     * built-in formulation it is verified against. */
   def tokens(c: Column): Column =
     GraftColumnBridge.column(Tokenize(GraftColumnBridge.expression(c)))
+
+  /** Unicode NFC canonical composition — native codegen expression
+    * (graft.expressions.NfcNormalize); normalize before hashing/dedup so
+    * composed and decomposed forms of the same text collide. */
+  def nfc(c: Column): Column =
+    GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(c)))
 
   /** Built-in-composition tokenizer, kept as the differential-test oracle
     * for [[tokens]]. The `filter` lambda runs interpreted — measurably

@@ -274,6 +274,39 @@ object TextQueries {
             transform(array_distinct(col("toks")), graft.functions.Portable.h48(_)),
             lit(0L), (acc, h) => acc + h).as("fp"))
         .orderBy("id")
+    },
+
+    // Unicode NFC normalization over the corpus — every row is extended
+    // with a DECOMPOSED suffix (e + combining acute, and 한 as three
+    // Hangul jamo) so the normalizer does real composition work on every
+    // document, then both engines must agree on the exact normalized
+    // string: md5 of the NFC output is the parity check (same UTF-8 bytes
+    // or the row fails), with the char counts exposing the 3-codepoint
+    // contraction. Narrow per-row map (graft.expressions.NfcNormalize,
+    // codegen, isNormalized fast path for already-NFC input); JDK and
+    // DuckDB both implement Unicode canonical composition, which is what
+    // makes this oracle-checkable at all.
+    QueryDef(
+      "q_text_normalize",
+      Some("""SELECT doc_id,
+                     CAST(length(raw) AS BIGINT) AS n_raw,
+                     CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
+                     md5(nfc_normalize(raw)) AS h_nfc
+              FROM (SELECT doc_id,
+                           text || ' e' || chr(769) || ' ' ||
+                             chr(4370) || chr(4449) || chr(4523) AS raw
+                    FROM documents)
+              ORDER BY doc_id""")) { (s, d) =>
+      val raw = concat(col("text"),
+        lit(" é 한"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(
+          col("doc_id"),
+          length(col("raw")).cast("long").as("n_raw"),
+          length(T.nfc(col("raw"))).cast("long").as("n_nfc"),
+          md5(T.nfc(col("raw"))).as("h_nfc"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -310,6 +310,34 @@ class ExpressionSpec extends AnyFunSuite with SparkTest {
     assert(salted == plain)
   }
 
+  test("NFC normalization composes decomposed forms; idempotent; SQL-callable") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    val decomposedE = "é"                      // e + COMBINING ACUTE
+    val decomposedHan = "한"         // HIEUH + A + NIEUN jamo
+    val df = Seq(
+      (1L, decomposedE), (2L, decomposedHan),
+      (3L, "é"), (4L, "한"), (5L, "plain ascii"), (6L, "")
+    ).toDF("id", "s")
+    val got = df.select(col("id"), T.nfc(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "é", "combining acute must compose to é")
+    assert(got(2L) == "한", "jamo must compose to the Hangul syllable")
+    assert(got(3L) == "é" && got(4L) == "한", "NFC input unchanged")
+    assert(got(5L) == "plain ascii" && got(6L) == "")
+    // idempotent: nfc(nfc(x)) == nfc(x)
+    val twice = df.select(T.nfc(T.nfc(col("s"))).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == df.select(T.nfc(col("s"))).collect().map(_.getString(0)).toSeq)
+    // equality after normalization is what dedup needs
+    assert(got(1L) == got(3L) && got(2L) == got(4L))
+    // SQL surface (same temp-function registration path as graft_cosine)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => graft.expressions.NfcNormalize(exprs(0)), "built-in")
+    val viaSql = spark.sql(s"SELECT graft_nfc('$decomposedHan')").collect()(0).getString(0)
+    assert(viaSql == "한")
+  }
+
   test("salted aggregation equals the plain aggregation") {
     import spark.implicits._
     val df = ((1 to 500).map(_ => ("hot", 1.0)) ++
