@@ -247,6 +247,32 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     sketch.get("click").foreach(c => assert(c <= 40))
   }
 
+  test("quantile-sketch UDAF runs in a streaming aggregation; merged state stays rank-accurate") {
+    import spark.implicits._
+    import graft.functions.{QuantileMergeAgg, QuantileSketchAgg}
+    val input = MemoryStream[Ev](spark)
+    // per-user sketches built incrementally, then unioned across users —
+    // the same build-then-merge shape as the batch day-sketch rollup
+    val agg = input.toDF()
+      .groupBy("user_id")
+      .agg(QuantileSketchAgg.column()(col("value")).as("sk"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("qs_stream").start()
+    input.addData((1 to 400).map(i => ev(i, i % 60, user = i % 8, v = i.toDouble)))
+    q.processAllAvailable()
+    // second micro-batch doubles the value range: state must merge, not reset
+    input.addData((401 to 800).map(i => ev(i, i % 60, user = i % 8, v = i.toDouble)))
+    q.processAllAvailable()
+    q.stop()
+    val qs = spark.table("qs_stream")
+      .agg(QuantileMergeAgg.column(Seq(0.5, 0.9))(col("sk")).as("p"))
+      .collect()(0).getSeq[Double](0)
+    // values are 1..800 once each: p50 ~ 400, p90 ~ 720; GK eps=0.01 over
+    // n=800 allows +-8 ranks, widened to +-16 for the cross-user merge
+    assert(math.abs(qs(0) - 400.0) <= 16.0, s"p50=${qs(0)}")
+    assert(math.abs(qs(1) - 720.0) <= 16.0, s"p90=${qs(1)}")
+  }
+
   test("streaming dedup ingest admits only docs fresh vs the persisted corpus") {
     import spark.implicits._
     import graft.functions.{TextFunctions => T}
