@@ -151,6 +151,28 @@ object Tables {
       path
     })
 
+  private val evolveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Two-generation events layout with EVOLVED schemas for the
+    * mergeSchema read (q_schema_evolve): gen=1 was written before the
+    * event_type column existed; gen=2 carries it. Split by event_id
+    * parity so the expected contents are pure arithmetic over events. */
+  def evolvedEvents(s: SparkSession, d: String): String =
+    evolveCache.computeIfAbsent(d, { _ =>
+      import org.apache.spark.sql.functions.col
+      val path = s"/tmp/graft_events_evolve_${dirTag(d)}"
+      val ev = events(s, d)
+      ev.filter(col("event_id") % 2 === 0)
+        .select("event_id", "user_id", "value")
+        .write.mode("overwrite").parquet(s"$path/gen=1")
+      ev.filter(col("event_id") % 2 =!= 0)
+        .select("event_id", "user_id", "value", "event_type")
+        .write.mode("overwrite").parquet(s"$path/gen=2")
+      cleanupOnExit(path)
+      path
+    })
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

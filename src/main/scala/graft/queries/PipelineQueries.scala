@@ -336,6 +336,35 @@ object PipelineQueries {
           date_format(min("o_orderdate"), "yyyy-MM-dd").as("first_day"),
           date_format(max("o_orderdate"), "yyyy-MM-dd").as("last_day"))
         .orderBy("o_orderpriority")
+    },
+
+    // Schema-evolution read: a table whose early partitions predate a
+    // column (gen=1 has no event_type; gen=2 added it) read as ONE frame
+    // via mergeSchema — the schema-drift reality of any multi-year
+    // partitioned warehouse table. Missing columns surface as NULL, so
+    // the audit (rows, typed rows, distinct types per generation) is pure
+    // arithmetic over the source events — the oracle derives it from
+    // first principles and the Spark side must reproduce it from the
+    // ACTUAL merged read. Footer merging at scale is a metadata
+    // operation (schema from footers, not data).
+    QueryDef(
+      "q_schema_evolve",
+      Some("""SELECT gen, CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN gen = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_typed,
+                     CAST(count(DISTINCT CASE WHEN gen = 2 THEN event_type END) AS BIGINT) AS n_types
+              FROM (SELECT CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS gen,
+                           event_type
+                    FROM events)
+              GROUP BY gen ORDER BY gen""")) { (s, d) =>
+      val path = Tables.evolvedEvents(s, d)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("gen").cast("long").as("gen"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("event_type").isNotNull, 1).otherwise(0))
+            .cast("long").as("n_typed"),
+          countDistinct("event_type").as("n_types"))
+        .orderBy("gen")
     }
   )
 }

@@ -117,6 +117,29 @@ object SortSetQueries {
           (col("lang") =!= "en" && col("b") < 50))
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    },
+
+    // Deterministic per-stratum reservoir: AT MOST k documents per
+    // language, chosen as the k smallest (id-hash, id) pairs — a
+    // reproducible fixed-size sample per group (Sample.fixedPerStratum),
+    // the "N examples per language for eval" primitive. Unlike rate
+    // sampling the output size is bounded per stratum regardless of
+    // stratum skew; the window partitions by lang (one hash shuffle), and
+    // re-ingestion keeps old picks stable unless a new doc hashes
+    // earlier. Oracle replays the same hash order (portable pmod mirror).
+    QueryDef(
+      "q_sample_reservoir",
+      Some(s"""SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                         ORDER BY ${PortableSql.hashBucket("doc_id", 1000003)}, doc_id) AS rn
+                FROM documents)
+              WHERE rn <= 40 ORDER BY doc_id""")) { (s, d) =>
+      Sample.fixedPerStratum(
+          Tables.documents(s, d).select("doc_id", "lang"),
+          stratumCol = "lang", idCol = "doc_id", k = 40)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     }
   )
 }
