@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -77,4 +77,14 @@ object Cdc {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__prev")
   }
+
+  /** Time travel over an SCD2 table: the dimension state as of instant
+    * `at` — the version whose validity interval covers it (valid_from <=
+    * at < valid_to, open current version included). A narrow filter over
+    * the history table (partition-prunable when the table is laid out by
+    * valid_from date), no window, no join: per key at most one row
+    * survives because versions are non-overlapping by construction. */
+  def snapshotAt(scd2: DataFrame, at: Column): DataFrame =
+    scd2.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") > at))
 }

@@ -190,6 +190,42 @@ object ScaleQueries {
         .orderBy("user_id", "valid_from", "event_id")
     },
 
+    // Time travel: the dimension state AS OF an instant, read from the
+    // SCD2 history q_cdc_scd2 builds (Cdc.snapshotAt) — "what did every
+    // user's state look like on Jan 15" without replaying the log. A
+    // narrow validity-interval filter; at most one version per key
+    // survives because intervals are non-overlapping by construction.
+    QueryDef(
+      "q_cdc_asof",
+      Some("""WITH o AS (
+                SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                       lag(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev
+                FROM events),
+              c AS (SELECT user_id, event_id, event_type, ts_us FROM o
+                    WHERE prev IS NULL OR prev <> event_type),
+              v AS (SELECT user_id, event_id, event_type,
+                           ts_us AS valid_from,
+                           lead(ts_us) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, event_id) AS valid_to
+                    FROM c)
+              SELECT user_id, event_id, event_type,
+                     CAST(valid_from AS BIGINT) AS valid_from
+              FROM v
+              WHERE valid_from <= epoch_us(TIMESTAMP '2024-01-15 00:00:00')
+                AND (valid_to IS NULL
+                     OR valid_to > epoch_us(TIMESTAMP '2024-01-15 00:00:00'))
+              ORDER BY user_id""")) { (s, d) =>
+      val hist = Cdc.scd2FromChangelog(
+        Tables.events(s, d),
+        keys = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+        attrCols = Seq("event_type"))
+      Cdc.snapshotAt(hist, lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from"))
+        .orderBy("user_id")
+    },
+
     // Point-in-time (temporal) join: enrich each fact row with the
     // dimension version active at its timestamp — the consumer of the
     // SCD2 history q_cdc_scd2 builds. Equi-join on the key plus a

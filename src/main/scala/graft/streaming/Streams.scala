@@ -375,4 +375,80 @@ object Streams {
     * that admitted each. */
   def admittedDocs(spark: SparkSession, admittedPath: String): DataFrame =
     spark.read.parquet(admittedPath)
+
+  /** Streaming EMBEDDING ingest with ANN admission control — the vector
+    * twin of [[dedupIngestSink]]: every micro-batch of (vec_id,
+    * v: array<double>) is near-dup-checked against the vectors admitted
+    * so far, and only fresh vectors are admitted.
+    *
+    * State is the SRP bucket table ([[graft.operators.Similarity
+    * .bucketTable]]: one long per admitted vector) plus the admitted
+    * vector store itself — which an embedding pipeline persists anyway.
+    * Cross-batch probing joins the batch's multi-probe keys (own bucket +
+    * Hamming-1 neighbors, the lshBucketJoin recall contract) against the
+    * bucket state; only CANDIDATES' vectors are fetched by id from the
+    * admitted store for the exact-cosine gate — admitted corpus buckets
+    * are never recomputed and its vectors never rescanned wholesale.
+    *
+    * Batch-id discipline is identical to dedupIngestSink: per-batch
+    * `batch=<id>` overwrite (crash replays converge), state reads exclude
+    * partitions >= the current batch id, AnalysisException-only
+    * empty-state fallback, and a durable `checkpointLocation` is required
+    * for restart idempotency (StreamingSpec proves the restart case for
+    * the doc sink; the mechanics here are the same code shape).
+    *
+    * In-batch self-dedup (on by default): a burst of mutual near-dups
+    * admits only the smallest id per collision cluster via an in-batch
+    * multi-probe self-join. */
+  def embedIngestSink(
+      vecs: DataFrame,
+      bucketStatePath: String,
+      admittedPath: String,
+      dim: Int,
+      nBits: Int,
+      minCosine: Double,
+      selfDedup: Boolean = true,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = checkpointLocation.foldLeft(
+      vecs.writeStream.outputMode("append"))(
+      (w, p) => w.option("checkpointLocation", p))
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist()
+        try {
+          val sim = graft.operators.Similarity
+          val inBuckets = sim.bucketTable(b, dim, nBits).persist()
+          try {
+            def stateBefore(path: String): Option[DataFrame] =
+              (try Some(spark.read.parquet(path))
+              catch { case _: org.apache.spark.sql.AnalysisException => None })
+                .map(_.filter(col("batch") < batchId))
+            val crossDup = (stateBefore(bucketStatePath), stateBefore(admittedPath)) match {
+              case (Some(buckets), Some(store)) =>
+                sim.incrementalEmbedDedup(
+                    buckets.select("vec_id", "bucket"),
+                    store.select("vec_id", "v"),
+                    b, dim, nBits, minCosine)
+                  .select("id")
+              case _ => b.limit(0).select(col("vec_id").as("id"))
+            }
+            val selfDup =
+              if (!selfDedup) b.limit(0).select(col("vec_id").as("id"))
+              else sim.lshBucketJoin(b, dim, nBits, minCosine, multiProbe = true)
+                .select(col("id_b").as("id")) // larger partner drops
+            val dupIds = crossDup.unionAll(selfDup).distinct()
+            val admitted = b.join(
+              dupIds.select(col("id").as("vec_id")), Seq("vec_id"), "left_anti")
+            inBuckets.join(admitted.select("vec_id"), Seq("vec_id"), "left_semi")
+              .write.mode("overwrite").parquet(s"$bucketStatePath/batch=$batchId")
+            admitted.select("vec_id", "v")
+              .write.mode("overwrite").parquet(s"$admittedPath/batch=$batchId")
+          } finally inBuckets.unpersist()
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+  }
 }

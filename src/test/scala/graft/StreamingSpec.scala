@@ -388,6 +388,48 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(admitted(1L) === 0 && admitted(2L) === 0 && admitted(101L) === 1)
   }
 
+  test("embedding ingest sink admits only vectors fresh vs the admitted store, " +
+    "self-dedups bursts, never rescans corpus buckets") {
+    import spark.implicits._
+    def vec(seed: Int, dim: Int = 16): Seq[Double] =
+      (0 until dim).map { i =>
+        val x = (seed * 2654435761L + i * 40503L) & 0xffff
+        (x.toDouble / 0xffff) - 0.5
+      }
+    def nearDup(v: Seq[Double]): Seq[Double] =
+      v.zipWithIndex.map { case (x, i) => x + (if (i % 7 == 0) 0.01 else 0.0) }
+    val bucketPath = java.nio.file.Files
+      .createTempDirectory("graft-embed-buckets").toString + "/buckets"
+    val admitPath = java.nio.file.Files
+      .createTempDirectory("graft-embed-admit").toString + "/admitted"
+    val input = MemoryStream[(Long, Seq[Double])](spark)
+    val q = Streams.embedIngestSink(
+      input.toDF().toDF("vec_id", "v"), bucketPath, admitPath,
+      dim = 16, nBits = 4, minCosine = 0.95)
+    // batch 0: six distinct vectors plus an in-batch near-dup of id 1 —
+    // the burst must admit only the smaller id. Seeds are chosen so no
+    // ACCIDENTAL pair exceeds cosine ~0.35 (the linear generator makes
+    // e.g. vec(4)/vec(6) correlate at 0.986 — a real near-dup the sink
+    // would rightly drop).
+    val seeds = Seq(1, 2, 5, 11, 17, 31)
+    input.addData(seeds.zipWithIndex.map { case (s0, i) =>
+      ((i + 1).toLong, vec(s0))
+    } :+ (100L, nearDup(vec(1))))
+    q.processAllAvailable()
+    // batch 1: a near-dup of an ADMITTED vector (rejected via the bucket
+    // state + admitted store, no corpus rescan) and one fresh vector
+    input.addData(Seq((200L, nearDup(vec(5))), (201L, vec(77))))
+    q.processAllAvailable()
+    q.stop()
+    val admitted = spark.read.parquet(admitPath)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(1L, 2L, 3L, 4L, 5L, 6L, 201L), s"admitted: $admitted")
+    // bucket state mirrors exactly the admitted ids, one row each
+    val stateIds = spark.read.parquet(bucketPath)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(stateIds.toSet === admitted && stateIds.length === admitted.size)
+  }
+
   test("scd2Sink over micro-batches == batch scd2FromChangelog over the full log") {
     import spark.implicits._
     val statePath = java.nio.file.Files
