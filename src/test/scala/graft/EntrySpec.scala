@@ -91,6 +91,32 @@ class EntrySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("quantile day-sketch table survives a parquet round-trip byte-exactly") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB contract is a STORED day-sketch table: build per-day
+    // sketches, persist, read back, merge — answers must equal merging
+    // the in-memory sketches directly (serialization is the load-bearing
+    // part; QuantileSketch's hand-rolled layout must round-trip stable)
+    val sketch = graft.functions.QuantileSketchAgg.column()
+    val probe = graft.functions.QuantileMergeAgg.column(Seq(0.25, 0.5, 0.9))
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(sketch(col("value")).as("sk"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-qsketch").toString + "/daily"
+    daily.write.parquet(path)
+    val direct = daily.agg(probe(col("sk"))).collect()(0).getSeq[Double](0)
+    val viaDisk = spark.read.parquet(path)
+      .agg(probe(col("sk"))).collect()(0).getSeq[Double](0)
+    assert(viaDisk == direct, s"disk $viaDisk != direct $direct")
+    // and the stored bytes themselves are identical per day
+    val a = daily.collect().map(r => r.getDate(0).toString ->
+      r.getAs[Array[Byte]]("sk").toSeq).toMap
+    val b = spark.read.parquet(path).collect().map(r => r.getDate(0).toString ->
+      r.getAs[Array[Byte]]("sk").toSeq).toMap
+    assert(a == b)
+  }
+
   test("representative queries from each family execute and return rows") {
     val sample = Seq(
       "q_agg_group", "q_join_asof", "q_win_latest", "q_set_except",
