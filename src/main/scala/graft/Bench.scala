@@ -29,6 +29,10 @@ object Bench {
       Tables.partitionedEvents(spark, sfDir)
     if (args.isEmpty || args.contains("q_part_overwrite"))
       Tables.partitionedEventsByDay(spark, sfDir)
+    // the compaction executor's FRAGMENTED source layout is table prep
+    // too — the timed body should measure the rewrite, not the fixture
+    if (args.isEmpty || args.contains("q_layout_compact_exec"))
+      Tables.compactableEventsByDay(spark, sfDir)
     // deterministic execution order (name-sorted) so per-query timings are
     // comparable across rounds; optional args narrow to named queries for
     // targeted profiling (the driver invokes with no args = full suite)

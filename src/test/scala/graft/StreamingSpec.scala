@@ -430,6 +430,44 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(stateIds.toSet === admitted && stateIds.length === admitted.size)
   }
 
+  test("embedding ingest restarted from the SAME checkpoint keeps rejecting " +
+    "vectors admitted before the restart") {
+    import spark.implicits._
+    def vec(seed: Int, dim: Int = 16): Seq[Double] =
+      (0 until dim).map { i =>
+        val x = (seed * 2654435761L + i * 40503L) & 0xffff
+        (x.toDouble / 0xffff) - 0.5
+      }
+    def nearDup(v: Seq[Double]): Seq[Double] =
+      v.zipWithIndex.map { case (x, i) => x + (if (i % 7 == 0) 0.01 else 0.0) }
+    val bucketPath = java.nio.file.Files
+      .createTempDirectory("graft-embed-buckets2").toString + "/buckets"
+    val admitPath = java.nio.file.Files
+      .createTempDirectory("graft-embed-admit2").toString + "/admitted"
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft-embed-ckpt2").toString
+    val input = MemoryStream[(Long, Seq[Double])](spark)
+    def start() = Streams.embedIngestSink(
+      input.toDF().toDF("vec_id", "v"), bucketPath, admitPath,
+      dim = 16, nBits = 4, minCosine = 0.95,
+      checkpointLocation = Some(checkpoint))
+    val q1 = start()
+    input.addData(Seq((1L, vec(1)), (2L, vec(2)), (3L, vec(5))))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    // near-dup of pre-restart id 2 must still be rejected (batch ids
+    // continue, so the old state stays visible); vec(77) is fresh
+    input.addData(Seq((300L, nearDup(vec(2))), (301L, vec(77))))
+    q2.processAllAvailable()
+    q2.stop()
+    val admitted = spark.read.parquet(admitPath)
+      .select("vec_id", "batch").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(admitted.keySet === Set(1L, 2L, 3L, 301L), s"admitted: $admitted")
+    assert(admitted(301L) === 1 && admitted(1L) === 0)
+  }
+
   test("scd2Sink over micro-batches == batch scd2FromChangelog over the full log") {
     import spark.implicits._
     val statePath = java.nio.file.Files
