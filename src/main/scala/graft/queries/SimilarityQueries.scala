@@ -309,6 +309,33 @@ object SimilarityQueries {
       Similarity.jaccardNearDupPairs(t, minJaccard = 0.5)
         .select(col("doc_a"), col("doc_b"), Num.round2(col("jaccard")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // Per-group embedding centroid: the mean vector per language (long
+    // format: one row per (lang, dimension)) — the IVF/k-means training
+    // audit and the "does each source cluster where it should" embedding
+    // diagnostic. posexplode + ONE keyed (lang, idx) aggregation with
+    // map-side partials — the shuffle carries langs x dim partial sums,
+    // never vectors; the doc join is a plain equi-join. Floats cast to
+    // double before averaging on BOTH engines; decimal-sandwich rounding.
+    QueryDef(
+      "q_embed_centroid",
+      Some(s"""SELECT lang, CAST(i - 1 AS INT) AS idx,
+                      ${Num.oracleRound2("avg(CAST(v[i] AS DOUBLE))")} AS c,
+                      CAST(count(*) AS BIGINT) AS n_vecs
+               FROM (SELECT d.lang, e.embedding AS v
+                     FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+                    generate_series(1, 64) t(i)
+               GROUP BY lang, i ORDER BY lang, idx""")) { (s, d) =>
+      Tables.embeddings(s, d)
+        .join(Tables.documents(s, d)
+          .select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
+        .select(col("lang"), posexplode(col("embedding")).as(Seq("idx", "x")))
+        .groupBy("lang", "idx")
+        .agg(
+          Num.round2(avg(col("x").cast("double"))).as("c"),
+          count(lit(1)).as("n_vecs"))
+        .orderBy("lang", "idx")
     }
   )
 }
