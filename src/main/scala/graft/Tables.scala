@@ -132,24 +132,45 @@ object Tables {
   private val compactDayCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Target file size (rows) the compaction executor converges to — shared
+    * between the q_layout_compact_exec query body and the fixture builder
+    * below so the fixture's fragmentation always exceeds the executor's
+    * per-day target. */
+  val CompactTargetRows: Long = 2000L
+
   /** A PRIVATE day-partitioned copy of events for the compaction executor
-    * (q_layout_compact_exec) — deliberately fragmented (repartition(8)
-    * spreads every day across 8 tasks → 8 files per day directory) so the
-    * compaction pass has real work at every SF. Separate from
+    * (q_layout_compact_exec) — deliberately fragmented so the compaction
+    * pass has real work at every SF. The fragment count SCALES WITH THE
+    * DATA: max(8, 2·ceil(maxRowsPerDay / target)) round-robin tasks, so
+    * even the largest day starts at ~2× its converged file count and the
+    * executor always has a real rewrite to do (a fixed 8 stops being
+    * over-target once any day exceeds 8·target rows — at which point the
+    * "rewrite" benchmark would silently time a no-op audit). Separate from
     * [[partitionedEventsByDay]] because compaction MUTATES the file
     * layout; the overwrite/prune queries keep their own stable copy. */
   def compactableEventsByDay(s: SparkSession, d: String): String =
     compactDayCache.computeIfAbsent(d, { _ =>
-      import org.apache.spark.sql.functions.{col, date_format}
+      import org.apache.spark.sql.functions.{col, count, date_format, lit, max}
       val path = s"/tmp/graft_events_compact_${dirTag(d)}"
+      val ev = events(s, d)
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      val maxPerDay = ev.groupBy("event_date").agg(count(lit(1)).as("n"))
+        .agg(max("n")).collect()(0).getLong(0)
+      val frag = math.max(
+        8L, 2L * ((maxPerDay + CompactTargetRows - 1) / CompactTargetRows)).toInt
       graft.sources.Warehouse.writePartitioned(
-        events(s, d)
-          .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
-          .repartition(8),
-        path, Seq("event_date"))
+        ev.repartition(frag), path, Seq("event_date"))
       cleanupOnExit(path)
       path
     })
+
+  /** Rebuild the fragmented compaction fixture (q_layout_compact_exec
+    * mutates it to its converged state — a repeated timing run needs the
+    * fragmentation restored between repeats or it times a no-op audit). */
+  private[graft] def refragmentCompactable(s: SparkSession, d: String): String = {
+    compactDayCache.remove(d)
+    compactableEventsByDay(s, d)
+  }
 
   private val evolveCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -22,12 +22,18 @@ import org.apache.spark.sql.functions._
   * (l, r) is a plain `replace` of ␟l␟␟r␟ with ␟lr␟ — left-to-right and
   * non-overlapping in exactly the same way in Spark (UTF8String.replace)
   * and DuckDB (replace), which is what makes the greedy BPE scan
-  * oracle-replayable. US (0x1f) never occurs in whitespace-split tokens.
+  * oracle-replayable. US (0x1f) is NOT whitespace (Java `\s` is
+  * `[ \t\n\x0B\f\r]`), so a malicious/binary token COULD carry it and
+  * corrupt the encoding — both entry points therefore drop words
+  * containing the separator up front (a tokenizer learning merges from
+  * control-character "words" is discarding noise, not signal).
   */
 object Bpe {
 
-  /** Unit-separator control char — cannot appear in whitespace-split
-    * tokens. */
+  /** Unit-separator control char used for the merge encoding. Words
+    * containing it are excluded by [[learnMerges]]/[[applyMerges]] — see
+    * the object doc for why whitespace splitting alone does not rule it
+    * out. */
   val Sep = "\u001f"
 
   /** Split a word column (by name) into its character symbols (char-based
@@ -61,7 +67,8 @@ object Bpe {
     def release(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     var (syms, symIds) = tracked(
-      words.select(charSyms("word").as("syms"), col("n")))
+      words.filter(!col("word").contains(Sep)) // encoding invariant — class doc
+        .select(charSyms("word").as("syms"), col("n")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -130,6 +137,7 @@ object Bpe {
     val encoded = merges.foldLeft(enc0) { case (enc, (l, r)) =>
       replace(enc, lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep))
     }
-    words.withColumn("syms", split(trim(encoded, Sep), Sep + Sep))
+    words.filter(!col("word").contains(Sep)) // encoding invariant — class doc
+      .withColumn("syms", split(trim(encoded, Sep), Sep + Sep))
   }
 }

@@ -484,7 +484,7 @@ object ScaleQueries {
                      CAST(ceil(count(*) / 2000.0) AS BIGINT) AS n_files
               FROM events GROUP BY 1 ORDER BY day""")) { (s, d) =>
       val path = Tables.compactableEventsByDay(s, d)
-      Layout.compactExecute(s, path, "event_date", 2000L)
+      Layout.compactExecute(s, path, "event_date", Tables.CompactTargetRows)
         .select(col("event_date").as("day"), col("n_rows"),
           col("files_after").cast("long").as("n_files"))
         .orderBy("day")

@@ -376,4 +376,24 @@ class CorpusSpec extends AnyFunSuite with SparkTest {
     // the merges learned on this fixture actually compress something
     assert(words.map(_._1).exists(w => got(w).length < w.length))
   }
+
+  test("BPE drops words carrying the U+001F separator instead of corrupting merges") {
+    import spark.implicits._
+    // U+001F is NOT matched by the \s+ tokenizer split (Java \s is
+    // [ \t\n\x0B\f\r]), so such a "word" can reach learnMerges; encoded
+    // naively it would forge symbol boundaries. Both entry points must
+    // exclude it — and its presence must not change what is learned.
+    val clean = Seq(("aaaa", 10L), ("low", 6L), ("lower", 3L))
+    val dirty = clean :+ ("a\u001fa", 100L) // would dominate counts if kept
+    val gotClean = graft.operators.Bpe.learnMerges(clean.toDF("word", "n"), 4)
+      .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val gotDirty = graft.operators.Bpe.learnMerges(dirty.toDF("word", "n"), 4)
+      .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(gotDirty == gotClean,
+      s"separator-carrying word changed learned merges: $gotDirty != $gotClean")
+    val seg = graft.operators.Bpe
+      .applyMerges(Seq("a\u001fa", "low").toDF("word"), Seq(("l", "o")))
+      .collect().map(_.getString(0)).toSeq
+    assert(seg == Seq("low"), s"applyMerges must drop separator words, got $seg")
+  }
 }

@@ -99,9 +99,14 @@ class EntrySpec extends AnyFunSuite with SparkTest {
     // part; QuantileSketch's hand-rolled layout must round-trip stable)
     val sketch = graft.functions.QuantileSketchAgg.column()
     val probe = graft.functions.QuantileMergeAgg.column(Seq(0.25, 0.5, 0.9))
+    // materialize ONCE: GK summary bytes depend on partial-merge order,
+    // which Spark does not fix across independent executions — every use
+    // below (the write, `direct`, the byte comparison) must read the same
+    // materialization or the byte-exact assertions can flake
     val daily = Tables.events(spark, sf)
       .groupBy(to_date(date_trunc("DAY", col("ts"))).as("day"))
       .agg(sketch(col("value")).as("sk"))
+      .localCheckpoint(true)
     val path = java.nio.file.Files
       .createTempDirectory("graft-qsketch").toString + "/daily"
     daily.write.parquet(path)
