@@ -52,20 +52,19 @@ object Bpe {
     *         — integer counts and binary string order, so the sequence is
     *         deterministic across engines and partitionings.
     */
-  def learnMerges(words: DataFrame, k: Int): DataFrame = {
+  def learnMerges(
+      words: DataFrame,
+      k: Int,
+      mode: CheckpointMode = CheckpointMode.Local): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = words.sparkSession
-    // block hygiene around localCheckpoint, same idiom as
+    // checkpoint + block hygiene via Lineage, same idiom as
     // Dedup.duplicateClusters: superseded round frames are released
-    // explicitly so k rounds never pin k copies of the vocab table
-    val sc = spark.sparkContext
-    def tracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
-    def release(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    // explicitly so k rounds never pin k copies of the vocab table;
+    // `mode` = Reliable(dir) survives executor loss mid-loop
+    val lin = new Lineage(spark, mode)
+    def tracked(df: DataFrame): (DataFrame, Set[Int]) = lin.tracked(df)
+    def release(ids: Set[Int]): Unit = lin.release(ids)
     var (syms, symIds) = tracked(
       words.filter(!col("word").contains(Sep)) // encoding invariant — class doc
         .select(charSyms("word").as("syms"), col("n")))

@@ -46,27 +46,27 @@ object Dedup {
     * groupBy key skewed by design; partial aggregation absorbs it (min is
     * map-side combinable), and at cluster scale AQE skew handling covers
     * the join. Input: (doc_a, doc_b) pairs; output: (id, root) with
-    * root = smallest id in the component. */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // localCheckpoint (eager) on the loop-carried frames: truncates the
+    * root = smallest id in the component.
+    *
+    * `mode` picks where each round's truncated state lives:
+    * [[CheckpointMode.Local]] (default, executor blocks — single-node /
+    * fail-fast) or [[CheckpointMode.Reliable]] (fault-tolerant checkpoint
+    * dir — an executor lost mid-loop re-reads instead of failing the
+    * job). Output is identical either way (CheckpointModeSpec). */
+  def duplicateClusters(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      mode: CheckpointMode = CheckpointMode.Local): DataFrame = {
+    // Checkpoint (eager) on the loop-carried frames: truncates the
     // logical plan each round — without it the plan nests the previous
-    // round's twice per round and analysis alone goes exponential. The
-    // checkpointed blocks live on executors (spillable), not the driver.
+    // round's twice per round and analysis alone goes exponential.
     //
-    // Block hygiene: checkpointing persists RDD blocks that would otherwise
-    // stay pinned until JVM GC notices the dead reference. Superseded
-    // round frames are unpersisted EXPLICITLY once their successor is
-    // materialized — at scale, letting maxIter copies of the edge set
-    // accumulate is a storage-memory leak. Ids are tracked around each
-    // checkpoint call (the loop is single-threaded per query).
-    val sc = pairs.sparkSession.sparkContext
-    def tracked(df: DataFrame, eager: Boolean): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(eager)
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
-    def release(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    // Block hygiene lives in Lineage: superseded round frames are
+    // unpersisted EXPLICITLY once their successor is materialized — at
+    // scale, letting maxIter copies of the edge set accumulate is a
+    // storage-memory leak.
+    val lin = new Lineage(pairs.sparkSession, mode)
+    import lin.{release, tracked}
     // materialize the (possibly expensive) pair pipeline ONCE — the
     // symmetric union below references it twice
     val (p, pIds) = tracked(pairs.select("doc_a", "doc_b"), eager = true)

@@ -82,11 +82,12 @@ object Layout {
     * writer still splits output per directory, so task collisions cannot
     * merge days), and written back via dynamic partition overwrite with
     * `maxRecordsPerFile`, which rolls files at exactly the target row
-    * count → ceil(n/target) files per partition. The eager localCheckpoint
-    * materializes the selected rows on executors BEFORE the overwrite
-    * deletes the directories being read — same-path read+write is illegal
-    * otherwise. At warehouse scale the checkpoint becomes a scratch-dir
-    * write + atomic rename, and a very large single partition adds a slot
+    * count → ceil(n/target) files per partition. The eager checkpoint
+    * (executor blocks by default; [[CheckpointMode.Reliable]] for a
+    * fault-tolerant scratch dir) materializes the selected rows BEFORE
+    * the overwrite deletes the directories being read — same-path
+    * read+write is illegal otherwise. At warehouse scale a very large
+    * single partition adds a slot
     * column to the repartition to parallelize its rewrite (costing at most
     * slots-1 underfull files).
     *
@@ -99,7 +100,13 @@ object Layout {
       spark: SparkSession,
       path: String,
       partCol: String,
-      targetRowsPerFile: Long): DataFrame = {
+      targetRowsPerFile: Long,
+      mode: CheckpointMode = CheckpointMode.Local): DataFrame = {
+    // mode = Reliable(dir): the pre-overwrite materialization below is a
+    // reliable checkpoint, so executor loss DURING the overwrite (after
+    // the source dirs are deleted) re-reads checkpoint files instead of
+    // failing with the source gone — the cluster-production setting
+    val lin = new Lineage(spark, mode)
     require(targetRowsPerFile > 0, s"target must be positive, got $targetRowsPerFile")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -122,9 +129,8 @@ object Layout {
       .filter(v => before.getOrElse(v, 0) > targetFiles(rowCounts(v)))
       .toSeq.sorted
     if (needs.nonEmpty) {
-      val selected = spark.read.parquet(path)
-        .filter(col(partCol).cast("string").isin(needs: _*))
-        .localCheckpoint(true)
+      val selected = lin.tracked(spark.read.parquet(path)
+        .filter(col(partCol).cast("string").isin(needs: _*)))._1
       selected
         .repartition(col(partCol))
         .write.mode(SaveMode.Overwrite)

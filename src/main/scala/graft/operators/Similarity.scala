@@ -402,7 +402,13 @@ object Similarity {
   def jaccardNearDupPairs(
       docs: DataFrame, // (doc_id, lang, n_chars, toks: array<string>)
       minJaccard: Double,
-      bandWidth: Double = 0.1): DataFrame = {
+      bandWidth: Double = 0.1,
+      mode: CheckpointMode = CheckpointMode.Local): DataFrame = {
+    // mode = Reliable(dir): the lazy lineage truncations below become
+    // reliable checkpoints, so an executor lost after materialization
+    // re-reads instead of failing the job (CheckpointModeSpec proves
+    // output parity)
+    val lin = new Lineage(docs.sparkSession, mode)
     // Determinism note: the oracle computes the band as DuckDB
     // ln(1+n)/w while this side uses JVM log1p — different libm entry
     // points, so a value landing within 1 ULP of a band boundary could in
@@ -426,7 +432,7 @@ object Similarity {
       .select(col("doc_id"), col("lang"),
         band(col("n_chars")).as("band"), col("toks"))
       .withColumn("n_toks", size(col("toks")))
-      .localCheckpoint(false)
+      .transform(df => lin.tracked(df, eager = false)._1)
 
     // PPJoin prefix filter (Bayardo/Chaudhuri): under a global token order
     // (rarest first), any pair with Jaccard >= t shares at least one token
@@ -451,7 +457,8 @@ object Similarity {
       .filter(col("r") <=
         col("n_toks") - ceil(lit(minJaccard) * col("n_toks") - lit(1e-9)) + 1)
       .select("doc_id", "lang", "band", "token", "n_toks", "r")
-      .localCheckpoint(false) // read by both sides of the candidate join
+      // read by both sides of the candidate join
+      .transform(df => lin.tracked(df, eager = false)._1)
 
     val a = prefix.select(
       col("doc_id").as("doc_a"), col("lang"), col("band"), col("token"),
