@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding merge learning (Sennrich et al. 2016) — the
@@ -36,6 +36,11 @@ object Bpe {
     * out. */
   val Sep = "\u001f"
 
+  /** Rounds executed by the most recent [[learnMerges]] call — diagnostic
+    * for measuring how far batching cuts driver round-trips (read by
+    * CorpusSpec and PROGRESS notes; not part of the operator contract). */
+  @volatile private[graft] var lastLearnRounds: Int = 0
+
   /** Split a word column (by name) into its character symbols (char-based
     * substring, identical semantics to the DuckDB oracle's
     * list_transform/substring walk — NOT split("") whose trailing-empty
@@ -47,16 +52,40 @@ object Bpe {
     *
     * @param words (word: string, n: long) — distinct words with corpus
     *              counts (build with one groupBy over tokenized text)
+    * @param batch look-ahead width: per round, up to `batch` pairs from
+    *              the count ranking are selected and merged together, but
+    *              ONLY a prefix whose selections are PROVABLY identical to
+    *              running them sequentially. Three guards make that exact
+    *              (see the inline proofs at the selection code):
+    *              (1) candidates are a rank-order prefix, pairwise
+    *              disjoint on the TRIPLE {lhs, rhs, lhs+rhs} — disjoint
+    *              merges commute and cannot destroy or create each other's
+    *              occurrences; (2) the batch stops at the first rank row
+    *              sharing a triple symbol with a kept pair; (3) each kept
+    *              pair after the first must STRICTLY out-count an
+    *              interference bound computed from this round's pair
+    *              table — merging (l,r) can grow pairs that touch the
+    *              created symbol, and only strict dominance over their
+    *              maximum possible growth guarantees the sequential scan
+    *              would not have preferred one (ties break on string
+    *              order, so a tie is not safe). batch=1 is plain
+    *              sequential BPE; batch=m cuts driver round-trips toward
+    *              k/m — the k≈32,000 production-tokenizer lever, where
+    *              sequential selection means 32k Spark jobs of scheduler
+    *              overhead regardless of data size.
     * @return (step, lhs, rhs, n): the i-th winning pair and its count at
     *         selection time. Ties break on (count DESC, lhs ASC, rhs ASC)
     *         — integer counts and binary string order, so the sequence is
-    *         deterministic across engines and partitionings.
+    *         deterministic across engines and partitionings, and identical
+    *         for every `batch` (CorpusSpec proves batched == sequential).
     */
   def learnMerges(
       words: DataFrame,
       k: Int,
-      mode: CheckpointMode = CheckpointMode.Local): DataFrame = {
+      mode: CheckpointMode = CheckpointMode.Local,
+      batch: Int = 1): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     val spark = words.sparkSession
     // checkpoint + block hygiene via Lineage, same idiom as
     // Dedup.duplicateClusters: superseded round frames are released
@@ -71,10 +100,12 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
+    var rounds = 0
     while (step <= k && !exhausted) {
+      rounds += 1
       // corpus-wide pair counts: explode adjacent pairs weighted by word
       // count — one shuffle over the vocabulary-sized table
-      val top = syms
+      def pairCounts(of: DataFrame): DataFrame = of
         .filter(size(col("syms")) >= 2)
         .select(col("n"), explode(expr(
           "transform(sequence(1, size(syms) - 1), " +
@@ -82,30 +113,123 @@ object Bpe {
           .as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("n").as("cnt"))
+      val want = k - step + 1
+      val maxSel = math.min(batch, want)
+      // batched rounds read the pair table twice (rank window + the
+      // interference bound below) — materialize it once; sequential
+      // rounds keep the original single-action shape
+      val (pt, ptIds) =
+        if (maxSel <= 1) (pairCounts(syms), Set.empty[Int])
+        else tracked(pairCounts(syms))
+      val fetch = if (maxSel <= 1) 1 else maxSel * 2 + 2
+      val top = pt
         .orderBy(desc("cnt"), col("l"), col("r"))
-        .limit(1)
-        .collect() // ONE row — the winner; bounded driver state
-      if (top.isEmpty) exhausted = true
+        .limit(fetch)
+        .collect() // <= fetch rows — bounded driver state
+      if (top.isEmpty) { release(ptIds); exhausted = true }
       else {
-        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((step, l, r, cnt))
-        // apply the merge: encode, replace (greedy left-to-right), decode
-        val pat = lit(Sep + l + Sep + Sep + r + Sep)
-        val rep = lit(Sep + l + r + Sep)
+        val rows = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        // Candidate selection: walk the ranking in order, keeping pairs
+        // whose TRIPLES {l, r, l+r} are pairwise disjoint, stopping at
+        // the first row that shares a triple symbol with a kept one.
+        // Triple disjointness (not just {l, r}) matters: a later merge
+        // whose created symbol equals an earlier pair's member — or vice
+        // versa — could create/destroy occurrences the count ranking
+        // never saw. With triples disjoint, merging p_i cannot change
+        // count(p_j) (no token of p_j's symbols is consumed or created),
+        // so every kept pair's count is still its exact count at its
+        // sequential selection time, and the replaces commute.
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var idx = 0
+        var stopped = false
+        while (!stopped && idx < rows.length && sel.size < maxSel) {
+          val (l, r, _) = rows(idx)
+          val triple = Seq(l, r, l + r)
+          if (triple.exists(used.contains)) stopped = true
+          else { sel += rows(idx); used ++= triple; idx += 1 }
+        }
+        // Sequential-equivalence trim. Merging p_i = (l_i, r_i) into
+        // s_i = l_i+r_i can GROW exactly the pairs touching s_i:
+        //   post(x, s_i) <= c(x, s_i) + c(x, l_i)          =: h_i(x)
+        //   post(s_i, y) <= c(s_i, y) + c(r_i, y)          =: g_i(y)
+        //   post(s_i, s_j) <= g_i(s_j) + g_i(l_j) <= 2·G_i
+        // (each post-merge adjacency maps to exactly one pre-merge
+        // adjacency: x→[old s_i] or x→[l_i r_i just merged], etc.).
+        // Every other pair's count is unchanged or shrinks, and rank
+        // order already decides those. So p_j is the sequential pick at
+        // its step iff count(p_j) STRICTLY exceeds the maximum possible
+        // grown count from the merges before it: M_j = max over i<j of
+        // max(H_i, 2·G_i) with H_i = max_x h_i(x), G_i = max_y g_i(y)
+        // (strict, because a count tie is broken by string order and a
+        // freshly created pair could win it). H_i/G_i come from one
+        // tiny aggregation over this round's pair table; p_1 is the
+        // sequential argmax unconditionally, so progress is guaranteed.
+        val batchSel: Seq[(String, String, Long)] =
+          if (sel.size <= 1) Seq(rows(0))
+          else {
+            val cand = sel.toSeq
+            val rSide = cand.zipWithIndex.flatMap { case ((l, r, _), i) =>
+              Seq((l + r) -> i, l -> i) }.toMap // x→s_i parents: r ∈ {s_i, l_i}
+            val lSide = cand.zipWithIndex.flatMap { case ((l, r, _), i) =>
+              Seq((l + r) -> i, r -> i) }.toMap // s_i→y parents: l ∈ {s_i, r_i}
+            def mapLit(m: Map[String, Int]): Column =
+              map(m.toSeq.flatMap { case (s, i) => Seq(lit(s), lit(i)) }: _*)
+            val bounds = pt
+              .select(col("l"), col("r"), col("cnt"),
+                element_at(mapLit(rSide), col("r")).as("hi"),
+                element_at(mapLit(lSide), col("l")).as("gi"))
+              .select(
+                when(col("hi").isNotNull,
+                  struct(col("hi").as("i"), lit("h").as("f"), col("l").as("o"),
+                    col("cnt"))).as("h"),
+                when(col("gi").isNotNull,
+                  struct(col("gi").as("i"), lit("g").as("f"), col("r").as("o"),
+                    col("cnt"))).as("g"))
+              .select(explode(array(col("h"), col("g"))).as("t"))
+              .filter(col("t").isNotNull)
+              .groupBy(col("t.i").as("i"), col("t.f").as("f"), col("t.o").as("o"))
+              .agg(sum(col("t.cnt")).as("b"))
+              .groupBy("i", "f").agg(max("b").as("mx"))
+              .collect() // <= 2·batch rows
+            val hMax = Array.fill(cand.size)(0L)
+            val gMax = Array.fill(cand.size)(0L)
+            bounds.foreach { r =>
+              val (i, f, v) = (r.getInt(0), r.getString(1), r.getLong(2))
+              if (f == "h") hMax(i) = v else gMax(i) = v
+            }
+            var m = 0L // running max of the interference bound over i < j
+            val keep = scala.collection.mutable.ArrayBuffer(cand.head)
+            var j = 1
+            var cont = true
+            while (cont && j < cand.size) {
+              m = math.max(m, math.max(hMax(j - 1), 2L * gMax(j - 1)))
+              if (cand(j)._3 > m) { keep += cand(j); j += 1 }
+              else cont = false
+            }
+            keep.toSeq
+          }
+        release(ptIds) // rank + bounds read; the pair table is dead
+        batchSel.foreach { case (l, r, cnt) =>
+          merges += ((step, l, r, cnt)); step += 1
+        }
+        // apply the whole batch in ONE narrow projection: encode once,
+        // fold the replaces in selection order (greedy left-to-right per
+        // merge; triple-disjoint replaces commute), decode once
+        val enc0 =
+          array_join(transform(col("syms"), s => concat(lit(Sep), s, lit(Sep))), "")
+        val encoded = batchSel.foldLeft(enc0) { case (e, (l, r, _)) =>
+          replace(e, lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep))
+        }
         val (next, nextIds) = tracked(syms.select(
-          split(
-            trim(replace(
-              array_join(transform(col("syms"), s => concat(lit(Sep), s, lit(Sep))), ""),
-              pat, rep), Sep),
-            Sep + Sep).as("syms"),
-          col("n")))
+          split(trim(encoded, Sep), Sep + Sep).as("syms"), col("n")))
         release(symIds) // next is materialized; the parent round is dead
         syms = next
         symIds = nextIds
-        step += 1
       }
     }
     release(symIds)
+    lastLearnRounds = rounds
     import spark.implicits._
     merges.toSeq.toDF("step", "lhs", "rhs", "n")
       .select(col("step").cast("long"), col("lhs"), col("rhs"), col("n"))

@@ -377,6 +377,52 @@ class CorpusSpec extends AnyFunSuite with SparkTest {
     assert(words.map(_._1).exists(w => got(w).length < w.length))
   }
 
+  test("batched BPE (k=64, batch=8) learns the identical merge sequence as sequential") {
+    import spark.implicits._
+    val words = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(T.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    def run(b: Int): (Seq[(Long, String, String, Long)], Int) = {
+      val m = graft.operators.Bpe.learnMerges(words, 64, batch = b)
+        .orderBy("step").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      (m, graft.operators.Bpe.lastLearnRounds)
+    }
+    val (seqMerges, seqRounds) = run(1)
+    val (batMerges, batRounds) = run(8)
+    assert(batMerges == seqMerges,
+      s"batched merges diverge from sequential\nseq: $seqMerges\nbat: $batMerges")
+    assert(seqRounds == 64)
+    assert(batRounds <= seqRounds)
+    info(s"rounds: sequential=$seqRounds batched=$batRounds " +
+      s"(${seqMerges.size} merges)")
+  }
+
+  test("batched BPE guards against created-pair interference (adversarial fixtures)") {
+    import spark.implicits._
+    def seqVsBatch(words: Seq[(String, Long)], k: Int): Unit = {
+      val df = words.toDF("word", "n")
+      def run(b: Int) = graft.operators.Bpe.learnMerges(df, k, batch = b)
+        .orderBy("step").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val (s, b) = (run(1), run(8))
+      assert(b == s, s"\nwords=$words\nseq: $s\nbat: $b")
+    }
+    // Created-pair overtake: after merging (a,b) -> "ab", the new pair
+    // (x, ab) has count 13 and beats (c, d)=12 — a batcher that merely
+    // SKIPS interacting rank rows (instead of stopping at the first one)
+    // would wrongly select (c, d) in round one.
+    seqVsBatch(Seq(("xab", 13L), ("ab", 16L), ("cd", 12L)), 3)
+    // Self-pair growth: merging (a,a) over 'aaaa' creates (aa,aa)=10 which
+    // beats (c,d)=8 — (c,d) does NOT interact with {a, aa}, so only the
+    // interference-bound trim (2·G over c(a,*) mass) keeps it out of the
+    // first batch.
+    seqVsBatch(Seq(("aaaa", 10L), ("cd", 8L)), 3)
+    // Tie case: created (x,ab) ties (c,d) at 12 and the tie breaks on
+    // string order — strict (not >=) dominance is required.
+    seqVsBatch(Seq(("xab", 12L), ("ab", 17L), ("cd", 12L)), 3)
+  }
+
   test("BPE drops words carrying the U+001F separator instead of corrupting merges") {
     import spark.implicits._
     // U+001F is NOT matched by the \s+ tokenizer split (Java \s is
