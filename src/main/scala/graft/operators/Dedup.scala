@@ -4,6 +4,28 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Contraction algorithm for [[Dedup.duplicateClusters]]. Both converge to
+  * the same (id, root=component-min) labeling; they differ in per-round
+  * shuffle volume on long-chain / high-diameter graphs. */
+sealed trait CcAlgorithm
+
+object CcAlgorithm {
+  /** Rastogi et al. hash-to-min: every node ships its closed neighborhood
+    * to its current minimum each round. Simple, O(log n) rounds, but the
+    * intermediate graph can briefly GROW (each round re-emits full
+    * neighborhoods both ways) before the stars collapse. */
+  case object HashToMin extends CcAlgorithm
+
+  /** Kiveris et al., "Connected Components in MapReduce and Beyond"
+    * (SoCC 2014): alternate large-star (strictly larger neighbors hook to
+    * the neighborhood minimum) and small-star (smaller neighbors collapse
+    * onto the minimum). Each emitted edge strictly decreases a potential,
+    * so the edge set only ever shrinks toward the star fixpoint — no
+    * transient blow-up, and the per-round shuffle carries one edge per
+    * input edge instead of a full symmetrized neighborhood. */
+  case object TwoPhaseStar extends CcAlgorithm
+}
+
 /** Deduplication operators — exact family (SURVEY.md §2.7, §2.10; the
   * near-dup family lives in graft.functions.MinHash / SimHash).
   *
@@ -56,7 +78,16 @@ object Dedup {
   def duplicateClusters(
       pairs: DataFrame,
       maxIter: Int = 20,
-      mode: CheckpointMode = CheckpointMode.Local): DataFrame = {
+      mode: CheckpointMode = CheckpointMode.Local,
+      algo: CcAlgorithm = CcAlgorithm.HashToMin): DataFrame = algo match {
+    case CcAlgorithm.HashToMin    => hashToMinClusters(pairs, maxIter, mode)
+    case CcAlgorithm.TwoPhaseStar => twoPhaseStarClusters(pairs, maxIter, mode)
+  }
+
+  private def hashToMinClusters(
+      pairs: DataFrame,
+      maxIter: Int,
+      mode: CheckpointMode): DataFrame = {
     // Checkpoint (eager) on the loop-carried frames: truncates the
     // logical plan each round — without it the plan nests the previous
     // round's twice per round and analysis alone goes exponential.
@@ -112,6 +143,91 @@ object Dedup {
     }
     release(gIds) // the returned labels frame is checkpointed data
     labels
+  }
+
+  /** Two-phase star contraction (Kiveris et al. 2014). The working set is
+    * the canonical undirected edge list oriented (u > v); one round is
+    * large-star followed by small-star:
+    *
+    *  - large-star at node a: every strictly LARGER neighbor b hooks to
+    *    m(a) = min(N(a) ∪ {a}) — emitted edge (b, m(a)).
+    *  - small-star at node u (over the (u > v) orientation): the smaller
+    *    neighbors collapse onto mn(u) = min of them — edges (v, mn(u)) for
+    *    v ≠ mn(u), plus (u, mn(u)).
+    *
+    * Every emitted edge has endpoints no larger than the edge it replaces
+    * (the paper's decreasing potential), so — unlike hash-to-min, whose
+    * symmetrized neighborhood re-emission transiently doubles the graph —
+    * the edge set is monotone shrinking, and both phases shuffle ONE row
+    * per edge (a groupBy plus a join back), not a full closed
+    * neighborhood. Fixpoint = union of stars centered on component minima;
+    * detected when a round leaves the edge multiset unchanged (count +
+    * endpoint sums + 64-bit hash sum — a false fixpoint needs a hash-sum
+    * collision at identical counts and endpoint sums, and truncation at
+    * `maxIter` degrades to best-effort labels exactly like hash-to-min). */
+  private def twoPhaseStarClusters(
+      pairs: DataFrame,
+      maxIter: Int,
+      mode: CheckpointMode): DataFrame = {
+    val lin = new Lineage(pairs.sparkSession, mode)
+    import lin.{release, tracked}
+    var (e, eIds) = tracked(
+      pairs.select(
+          greatest(col("doc_a"), col("doc_b")).as("u"),
+          least(col("doc_a"), col("doc_b")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct(),
+      eager = true)
+
+    // large-star: symmetrize to see full neighborhoods, hook b > a to m(a).
+    // Output keeps the (u > v) orientation: b > a >= m(a).
+    def largeStar(g: DataFrame): DataFrame = {
+      val sym = g.unionAll(g.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u").as("c"), least(col("u"), col("mn")).as("m"))
+      sym.join(m, sym("u") === m("c"))
+        .filter(sym("v") > sym("u"))
+        .select(sym("v").as("u"), m("m").as("v"))
+        .distinct()
+    }
+    // small-star over the canonical orientation: Γ(u) = {v : (u,v), v < u}.
+    def smallStar(g: DataFrame): DataFrame = {
+      val m = g.groupBy("u").agg(min("v").as("mn"))
+      g.join(m, "u")
+        .filter(col("v") =!= col("mn"))
+        .select(col("v").as("u"), col("mn").as("v"))
+        .unionAll(m.select(col("u"), col("mn").as("v")))
+        .distinct()
+    }
+    def probe(g: DataFrame): Seq[Any] =
+      g.agg(
+        count(lit(1)),
+        sum(col("u").cast("decimal(38,0)")),
+        sum(col("v").cast("decimal(38,0)")),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))
+      ).collect()(0).toSeq
+
+    var prev = probe(e)
+    var converged = prev.head == 0L // no edges: nothing to contract
+    var i = 0
+    while (!converged && i < maxIter) {
+      // checkpoint BETWEEN the phases: small-star references its input
+      // twice (groupBy + join back), so an unmaterialized large-star
+      // subtree would execute twice per round
+      val (eLarge, eLargeIds) = tracked(largeStar(e), eager = true)
+      val (eNext, eNextIds) = tracked(smallStar(eLarge), eager = true)
+      val cur = probe(eNext)
+      converged = cur == prev
+      prev = cur
+      release(eIds ++ eLargeIds)
+      e = eNext; eIds = eNextIds
+      i += 1
+    }
+    // Stars to labels: children are the u side, roots the v side; the
+    // groupBy(min) also degrades gracefully if maxIter truncated the loop.
+    e.select(col("u").as("id"), col("v").as("root"))
+      .unionAll(e.select(col("v").as("id"), col("v").as("root")))
+      .groupBy("id").agg(min("root").as("root"))
   }
 
   /** Greedy keeper set from near-dup pairs: every id that appears only as

@@ -4,6 +4,33 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Noise-seed mode for [[Privacy.dpCounts]]. The Laplace noise is derived
+  * deterministically from the seed, so WHO can recompute the seed decides
+  * whether the release is actually private. */
+sealed trait ReleaseSeed
+
+object ReleaseSeed {
+  /** Publicly-known seed: the noise is replayable by anyone who knows the
+    * tag, so the release carries NO differential-privacy guarantee. Exists
+    * for oracle parity and benchmarking (DuckDB replays the identical
+    * noise bit-exactly); the output column is flagged `dp_seed_mode =
+    * public-tag` so a downstream consumer can refuse to publish it. */
+  final case class PublicTag(tag: String) extends ReleaseSeed
+
+  /** Production mode: a per-release random secret held by the releasing
+    * party. An adversary who cannot recompute md5(key + group) cannot
+    * subtract the noise, so the ε-DP guarantee holds. Re-running the same
+    * release with the same key republishes the SAME noised values (never a
+    * second, differently-noised copy that would average away protection);
+    * a new release epoch gets a fresh key. ≥128 bits of key material
+    * required — a guessable key is a [[PublicTag]] with extra steps. */
+  final case class SecretKey(key: String) extends ReleaseSeed {
+    require(key.getBytes("UTF-8").length >= 16,
+      "secret release key must carry >= 128 bits of material; " +
+        "use ReleaseSeed.PublicTag for deliberately replayable releases")
+  }
+}
+
 /** Privacy-preserving release operators.
   *
   * Complements the PII scrubbing surface (`q_text_pii`): PII redaction
@@ -77,27 +104,43 @@ object Privacy {
     * 1). One keyed aggregation with map-side partials; the noise is a
     * narrow post-agg map keyed by the released key itself.
     *
-    * SECURITY CAVEAT — `releaseTag` is the noise seed. The DP guarantee
-    * holds only against an adversary who cannot recompute the noise, so
-    * the tag must be a SECRET high-entropy value (a per-release random
-    * key held by the releasing party), never a public or guessable label:
-    * with a known tag anyone can re-derive md5(tag + key), subtract the
-    * noise, and recover exact counts. The registered q_anon_dp query uses
-    * a hardcoded public tag ('rel1') deliberately — determinism via a
-    * public seed is an oracle-parity/benchmark artifact that lets DuckDB
-    * replay the noise bit-exactly; it is NOT a private release.
+    * The [[ReleaseSeed]] mode decides whether the release is PRIVATE or
+    * merely deterministic: [[ReleaseSeed.SecretKey]] is the production
+    * path (noise unrecoverable without the key); [[ReleaseSeed.PublicTag]]
+    * exists so an oracle/benchmark can replay the noise bit-exactly — with
+    * a known tag anyone can re-derive md5(tag + key), subtract the noise,
+    * and recover exact counts, so it is NOT a private release. The seed
+    * mode is stamped into the `noisy_n` column metadata (`dp_seed_mode`,
+    * `dp_guarantee`) so downstream publication steps can gate on it. The
+    * registered q_anon_dp query uses PublicTag("rel1") deliberately.
     */
   def dpCounts(df: DataFrame, keyCol: String, epsilon: Double,
-      releaseTag: String): DataFrame =
+      seed: ReleaseSeed): DataFrame = {
+    val (prefix, mode, guarantee) = seed match {
+      case ReleaseSeed.PublicTag(t) =>
+        (t, "public-tag", "NONE (noise replayable from the public tag)")
+      case ReleaseSeed.SecretKey(k) =>
+        (k, "secret-key", s"epsilon=$epsilon while the key stays secret")
+    }
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("dp_seed_mode", mode)
+      .putString("dp_guarantee", guarantee)
+      .build()
     df.groupBy(keyCol)
       .agg(count(lit(1)).as("__n"))
       // coalesce: concat(tag, NULL) is NULL and md5(NULL) is NULL — a NULL
       // key group would otherwise be released with NULL noise (neither
       // protected nor published); the sentinel gives it a real seed
       .withColumn("noisy_n",
-        col("__n") + laplaceNoise(
-          concat(lit(releaseTag + "_"),
+        (col("__n") + laplaceNoise(
+          concat(lit(prefix + "_"),
             coalesce(col(keyCol).cast("string"), lit("__null__"))),
-          1.0 / epsilon))
+          1.0 / epsilon)).as("noisy_n", meta))
       .drop("__n")
+  }
+
+  /** Back-compat overload: a bare string tag is by definition public. */
+  def dpCounts(df: DataFrame, keyCol: String, epsilon: Double,
+      releaseTag: String): DataFrame =
+    dpCounts(df, keyCol, epsilon, ReleaseSeed.PublicTag(releaseTag))
 }

@@ -460,12 +460,26 @@ object Similarity {
       // read by both sides of the candidate join
       .transform(df => lin.tracked(df, eager = false)._1)
 
+    // Asymmetric prefixes (PPJoin, Xiao et al. WWW'08): orient each pair so
+    // side b is the SMALLER document ((n, id) lexicographic tie-break) —
+    // then b only needs the shorter INDEX prefix
+    //   |y| - ceil(2t/(1+t) * |y|) + 1
+    // while a keeps the probe prefix |x| - ceil(t*|x|) + 1. Lossless under
+    // the size filter: if every common token sat beyond y's index prefix,
+    // overlap <= ceil(2t/(1+t)*|y|) - 1 < 2t/(1+t)*|y| <= t/(1+t)*(|x|+|y|)
+    // <= alpha (using |y| <= |x|) — contradiction, so the first common
+    // token is inside BOTH prefixes. At t=0.5 the index prefix is ~n/3 vs
+    // the probe ~n/2: a third fewer build-side rows into the candidate
+    // join, which is the pipeline's dominant stage.
     val a = prefix.select(
       col("doc_id").as("doc_a"), col("lang"), col("band"), col("token"),
       col("n_toks").as("n_a"), col("r").as("r_a"))
-    val b = prefix.select(
-      col("doc_id").as("doc_b"), col("lang"), col("band").as("b_band"), col("token"),
-      col("n_toks").as("n_b"), col("r").as("r_b"))
+    val b = prefix
+      .filter(col("r") <= col("n_toks") -
+        ceil(lit(2 * minJaccard / (1 + minJaccard)) * col("n_toks") - lit(1e-9)) + 1)
+      .select(
+        col("doc_id").as("doc_b"), col("lang"), col("band").as("b_band"), col("token"),
+        col("n_toks").as("n_b"), col("r").as("r_b"))
       .withColumn("band",
         explode(array(col("b_band") - 1, col("b_band"), col("b_band") + 1)))
       .drop("b_band")
@@ -484,13 +498,26 @@ object Similarity {
     // candidate stream stays proportional to true near-dup volume).
     val alpha = ceil(
       lit(minJaccard / (1 + minJaccard)) * (col("n_a") + col("n_b")) - lit(1e-9))
+    // The pair-level dedup doubles as the FIRST-COMMON-TOKEN positional
+    // filter: for a qualifying pair the globally-first shared token t0 is
+    // inside both prefixes (proof above) and — both documents being sorted
+    // by the same (tf, token) order — t0 has the minimum r_a AND the
+    // minimum r_b among matched rows. So min/min_by recover t0's exact
+    // positions and the positional bound is tested on t0 itself, not on
+    // "some row" (the per-row variant keeps a pair if ANY matched row
+    // passes; this kills every pair whose true first common token sits too
+    // deep — strictly tighter, still lossless).
     val cand = a.join(b, Seq("lang", "band", "token"))
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(col("n_b") >= lit(minJaccard) * col("n_a") - lit(1e-9) &&
-        col("n_a") >= lit(minJaccard) * col("n_b") - lit(1e-9))
+      .filter(col("n_b") < col("n_a") ||
+        (col("n_b") === col("n_a") && col("doc_b") < col("doc_a")))
+      .filter(col("n_b") >= lit(minJaccard) * col("n_a") - lit(1e-9))
       .filter(lit(1) + least(col("n_a") - col("r_a"), col("n_b") - col("r_b")) >= alpha)
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        min(col("r_a")).as("fa"), min_by(col("r_b"), col("r_a")).as("fb"))
+      .filter(lit(1) + least(col("n_a") - col("fa"), col("n_b") - col("fb")) >= alpha)
       .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
 
     val jac = MinHash.exactJaccard(col("toks_a"), col("toks_b"))
     cand
@@ -498,7 +525,8 @@ object Similarity {
       .join(base.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= minJaccard)
-      .select("doc_a", "doc_b", "jaccard")
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
   }
 
   /** Persistable band table of a shingled corpus: (id, band_idx,

@@ -41,21 +41,29 @@ object JaccardProbe {
       .localCheckpoint(false)
     val a = prefix.select(col("doc_id").as("doc_a"), col("lang"), col("band"),
       col("token"), col("n_toks").as("n_a"), col("r").as("r_a"))
-    val b = prefix.select(col("doc_id").as("doc_b"), col("lang"),
-      col("band").as("b_band"), col("token"), col("n_toks").as("n_b"),
-      col("r").as("r_b"))
+    val b = prefix
+      .filter(col("r") <= col("n_toks") -
+        ceil(lit(2 * minJaccard / (1 + minJaccard)) * col("n_toks") - lit(1e-9)) + 1)
+      .select(col("doc_id").as("doc_b"), col("lang"),
+        col("band").as("b_band"), col("token"), col("n_toks").as("n_b"),
+        col("r").as("r_b"))
       .withColumn("band", explode(array(col("b_band") - 1, col("b_band"), col("b_band") + 1)))
       .drop("b_band")
     val alpha = ceil(
       lit(minJaccard / (1 + minJaccard)) * (col("n_a") + col("n_b")) - lit(1e-9))
     val joined = a.join(b, Seq("lang", "band", "token"))
-      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("n_b") < col("n_a") ||
+        (col("n_b") === col("n_a") && col("doc_b") < col("doc_a")))
     val sized = joined
-      .filter(col("n_b") >= lit(minJaccard) * col("n_a") - lit(1e-9) &&
-        col("n_a") >= lit(minJaccard) * col("n_b") - lit(1e-9))
+      .filter(col("n_b") >= lit(minJaccard) * col("n_a") - lit(1e-9))
     val positioned = sized
       .filter(lit(1) + least(col("n_a") - col("r_a"), col("n_b") - col("r_b")) >= alpha)
-    println(s"""{"sf": "$sfDir", "docs": ${base.count()}, "prefixRows": ${prefix.count()}, "joinRows": ${joined.count()}, "afterSize": ${sized.count()}, "afterPos": ${positioned.count()}, "cand": ${positioned.select("doc_a", "doc_b").distinct().count()}}""")
+    val argmin = positioned
+      .groupBy("doc_a", "doc_b")
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        min(col("r_a")).as("fa"), min_by(col("r_b"), col("r_a")).as("fb"))
+      .filter(lit(1) + least(col("n_a") - col("fa"), col("n_b") - col("fb")) >= alpha)
+    println(s"""{"sf": "$sfDir", "docs": ${base.count()}, "prefixRows": ${prefix.count()}, "indexRows": ${b.count()}, "joinRows": ${joined.count()}, "afterSize": ${sized.count()}, "afterPos": ${positioned.count()}, "candAnyRow": ${positioned.select("doc_a", "doc_b").distinct().count()}, "cand": ${argmin.count()}}""")
     spark.stop()
   }
 }

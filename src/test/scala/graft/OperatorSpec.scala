@@ -98,6 +98,36 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(meanAbs > 0.5 && meanAbs < 2.0, meanAbs.toString)
   }
 
+  test("dpCounts secret-key mode: distinct keys give distinct noise, metadata flags the mode") {
+    import spark.implicits._
+    import graft.operators.{Privacy, ReleaseSeed}
+    val df = (1 to 50).flatMap(i => Seq.fill(i % 5 + 1)(s"g${i % 7}")).toDF("g")
+    def release(seed: ReleaseSeed): Map[String, Double] =
+      Privacy.dpCounts(df, "g", epsilon = 0.5, seed)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val k1 = ReleaseSeed.SecretKey("0123456789abcdef0123456789abcdef")
+    val k2 = ReleaseSeed.SecretKey("fedcba9876543210fedcba9876543210")
+    val r1 = release(k1)
+    // same secret key -> the SAME noised values (re-running a release must
+    // not publish a second, differently-noised copy)
+    assert(release(k1) == r1)
+    // a different release key -> different noise on every group
+    val r2 = release(k2)
+    assert(r1.keySet == r2.keySet)
+    assert(r1.keys.forall(k => r1(k) != r2(k)))
+    // the seed mode is flagged in the released column's metadata
+    def meta(seed: ReleaseSeed): org.apache.spark.sql.types.Metadata =
+      Privacy.dpCounts(df, "g", 0.5, seed).schema("noisy_n").metadata
+    assert(meta(k1).getString("dp_seed_mode") == "secret-key")
+    assert(meta(ReleaseSeed.PublicTag("rel1")).getString("dp_seed_mode") == "public-tag")
+    assert(meta(ReleaseSeed.PublicTag("rel1")).getString("dp_guarantee").startsWith("NONE"))
+    // low-entropy secrets are rejected outright
+    assertThrows[IllegalArgumentException](ReleaseSeed.SecretKey("hunter2"))
+    // the string-tag overload is by definition the public path
+    assert(Privacy.dpCounts(df, "g", 0.5, "rel1").schema("noisy_n")
+      .metadata.getString("dp_seed_mode") == "public-tag")
+  }
+
   test("funnel stages require temporal order: click before view doesn't count") {
     import spark.implicits._
     // user 1 converts fully in order; user 2's click PRECEDES its first

@@ -143,6 +143,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("duplicateClusters TwoPhaseStar ≡ HashToMin (chain, clique, pair)") {
+    import spark.implicits._
+    import graft.operators.{CcAlgorithm, Dedup}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    def run(a: CcAlgorithm) = Dedup.duplicateClusters(pairs, algo = a)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val star = run(CcAlgorithm.TwoPhaseStar)
+    assert(star == run(CcAlgorithm.HashToMin))
+    assert(star == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("duplicateClusters TwoPhaseStar ≡ HashToMin on a seeded random graph + long chain") {
+    import spark.implicits._
+    import graft.operators.{CcAlgorithm, Dedup}
+    val rnd = new scala.util.Random(42)
+    // 400 nodes, sparse random edges (many small components) + a diameter-120
+    // chain over a disjoint id range (forces multi-round contraction) + dup
+    // and self edges (must be ignored)
+    val random = (1 to 300).map(_ => (rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+    val chain = (1000L to 1120L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val pairs = (random ++ chain ++ Seq((5L, 5L), (1000L, 1001L)))
+      .toDF("doc_a", "doc_b")
+      .filter(col("doc_a") =!= col("doc_b"))
+    def run(a: CcAlgorithm) = Dedup.duplicateClusters(pairs, algo = a)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val star = run(CcAlgorithm.TwoPhaseStar)
+    assert(star == run(CcAlgorithm.HashToMin))
+    // the chain really contracted to its minimum
+    assert(star.filter(_._1 >= 1000L).forall(_._2 == 1000L))
+  }
+
   test("keepFromPairs drops planted embedding dups, keeps originals and singletons") {
     import spark.implicits._
     import graft.operators.Dedup
@@ -271,6 +308,51 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
         Seq("lang", "n_chars"))
       .filter(col("a") === 1L && col("b") === 2L).count()
     assert(exactBlock == 0L)
+  }
+
+  test("jaccard PPJoin prunes are lossless vs in-band brute force (seeded corpus)") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    // seeded corpus with heavy near-dup structure: base docs plus light-edit
+    // copies (drop/append/replace one token) — sizes differ, so the
+    // asymmetric index prefix and the first-common-token positional filter
+    // both get exercised on qualifying AND near-miss pairs
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 60).map(i => s"w$i")
+    val docs = (1 to 40).flatMap { i =>
+      val n = 6 + rnd.nextInt(10)
+      val toks = rnd.shuffle(vocab).take(n)
+      val edits = Seq(
+        toks.drop(1),                                  // one removed
+        toks :+ s"extra$i",                            // one added
+        toks.updated(0, s"swap$i"))                    // one replaced
+        .take(1 + rnd.nextInt(3))
+      (Seq(toks) ++ edits).zipWithIndex.map { case (ts, j) =>
+        (i * 10L + j, if (i % 4 == 0) "ko" else "en", ts.mkString(" "))
+      }
+    }.toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", length(col("text")))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        T.tokens(col("text")).as("toks"))
+    val got = Similarity.jaccardNearDupPairs(docs, minJaccard = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force, same blocking semantics as the oracle: shared lang,
+    // log-band within +-1, exact token-set jaccard >= 0.5
+    val t = docs.select(col("doc_id"), col("lang"),
+      floor(log1p(col("n_chars")) / 0.1).cast("long").as("band"),
+      array_distinct(col("toks")).as("toks"))
+    val brute = t.as("x").join(t.as("y"),
+        col("x.lang") === col("y.lang") &&
+          abs(col("x.band") - col("y.band")) <= 1 &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(
+        size(array_intersect(col("x.toks"), col("y.toks"))).cast("double") /
+          size(array_union(col("x.toks"), col("y.toks"))) >= 0.5)
+      .select(col("x.doc_id"), col("y.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture produced no qualifying pairs")
+    assert(got == brute)
   }
 
   test("wider jaccard bands catch larger length gaps (recall dial)") {
