@@ -309,6 +309,87 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(stateIds === Set(1L, 2L, 101L))
   }
 
+  /** Drive a rate-micro-batch sink to >= `minBatches` committed batches,
+    * returning (rowsProcessed, elapsedSeconds). Rate-micro-batch emits a
+    * deterministic `rowsPerBatch` rows per batch as fast as the sink
+    * drains, so sustained rows/s is workload throughput, not source
+    * pacing. */
+  private def driveBatches(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      minBatches: Long, rowsPerBatch: Long): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val deadline = t0 + 300L * 1000 * 1000 * 1000
+    var last = -1L
+    while (last < minBatches - 1 && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      last = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    assert(last >= minBatches - 1, s"only ${last + 1} batches in ${dt}s")
+    ((last + 1) * rowsPerBatch, dt)
+  }
+
+  test("dedup ingest sustains 20+ rate-source batches; state grows with ADMITTED rows, not batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-thr-doc").toString
+    val nBands = 4
+    val rowsPerBatch = 400L
+    // shingle group = value % 2000: groups 0..1999 first arrive in batches
+    // 0..4; EVERY row of batches 5+ is a cross-batch duplicate, so admitted
+    // row count freezes at 2000 while batches keep flowing — exactly the
+    // "state linear in admitted rows, not in batches" claim under test
+    val docs = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch).option("numPartitions", 4)
+      .load()
+      .select(col("value").as("id"),
+        transform(sequence(lit(0), lit(9)),
+          i => concat(lit("s"), ((col("value") % 2000) * 10 + i).cast("string")))
+          .as("shingles"))
+    val q = Streams.dedupIngestSink(docs, s"$dir/bands", s"$dir/admitted",
+      k = 16, nBands = nBands, checkpointLocation = Some(s"$dir/ckpt"))
+    val (rows, dt) = driveBatches(q, minBatches = 21, rowsPerBatch)
+    info(f"dedupIngestSink sustained ${rows / dt}%.0f rows/s over $rows rows in $dt%.1f s")
+    val admitted = Streams.admittedDocs(spark, s"$dir/admitted")
+      .select("id").collect().map(_.getLong(0))
+    // exactly the first occurrence of each group was admitted
+    assert(admitted.length == 2000)
+    assert(admitted.toSet == (0L until 2000L).toSet)
+    // band state = nBands rows per ADMITTED doc — NOT per input row: 21+
+    // batches carried >= 8400 rows but the state stayed at 2000 docs' bands
+    val stateRows = spark.read.parquet(s"$dir/bands").count()
+    assert(stateRows == nBands * 2000L, s"state rows $stateRows")
+    assert(rows >= 21 * rowsPerBatch)
+    assert(rows / dt > 20.0, f"throughput collapsed: ${rows / dt}%.1f rows/s")
+  }
+
+  test("embed ingest sustains 20+ rate-source batches; bucket state = one row per admitted vector") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-thr-emb").toString
+    val rowsPerBatch = 100L
+    val dim = 16
+    // vector group = value % 500: identical vectors recur from batch 5 on,
+    // so admission freezes at 500 vectors while batches keep arriving
+    val vecs = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch).option("numPartitions", 4)
+      .load()
+      .select(col("value").as("vec_id"),
+        array((0 until dim).map(i =>
+          (pmod(xxhash64(col("value") % 500, lit(i)), lit(100000L))
+            .cast("double") / lit(100000.0)) - lit(0.5)): _*).as("v"))
+    val q = Streams.embedIngestSink(vecs, s"$dir/buckets", s"$dir/admitted",
+      dim = dim, nBits = 6, minCosine = 0.99,
+      checkpointLocation = Some(s"$dir/ckpt"))
+    val (rows, dt) = driveBatches(q, minBatches = 21, rowsPerBatch)
+    info(f"embedIngestSink sustained ${rows / dt}%.0f rows/s over $rows rows in $dt%.1f s")
+    val admitted = spark.read.parquet(s"$dir/admitted")
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(admitted.length == 500)
+    assert(admitted.toSet == (0L until 500L).toSet)
+    // bucket state carries exactly ONE long-keyed row per admitted vector
+    val stateRows = spark.read.parquet(s"$dir/buckets").count()
+    assert(stateRows == 500L, s"state rows $stateRows")
+    assert(rows / dt > 5.0, f"throughput collapsed: ${rows / dt}%.1f rows/s")
+  }
+
   test("dedup ingest self-dedups a bursty batch: two in-batch near-dups admit one") {
     import spark.implicits._
     import graft.functions.{TextFunctions => T}
