@@ -201,13 +201,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `ts` arrives as nanos-since-epoch (long); convert to a microsecond
-    * timestamp with integer division — ns magnitudes exceed 2^53, so a
-    * double-typed division would lose precision. */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  /** Normalize `ts` to a plain microsecond TIMESTAMP regardless of how the
+    * generator encoded it: TIMESTAMP(NANOS) parquet arrives as a
+    * nanos-since-epoch long (via the `nanosAsLong` session config) and is
+    * converted with integer division — ns magnitudes exceed 2^53, so a
+    * double-typed division would lose precision; TIMESTAMP_NTZ (native
+    * µs parquet) is cast to the instant type under the session's UTC zone,
+    * which preserves wall values; an already-TIMESTAMP column passes
+    * through. Every consumer (batch + streaming) reads through here, so
+    * downstream query semantics are encoding-independent. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val t = table(s, d, "events")
+    t.schema("ts").dataType match {
+      case LongType         => t.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => t.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => t
+      case other => throw new IllegalStateException(
+        s"unsupported events.ts type: $other")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
