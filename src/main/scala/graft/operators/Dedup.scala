@@ -53,22 +53,23 @@ object Dedup {
   }
 
   /** Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
-    * by hash-to-min contraction (Rastogi et al., "Finding Connected
-    * Components in Map-Reduce in Logarithmic Rounds"). Each round every
-    * node v sends its closed neighborhood to m(v) = min(N(v) ∪ {v}):
-    * the next graph is {(m(v), w) : w ∈ N(v) ∪ {v}}, symmetrized and
-    * deduped. Components collapse toward a star centered on their minimum
-    * id; m(v) is monotone non-increasing, so a sum-of-m probe detects the
-    * fixpoint. Rounds are O(log n) even for chains (each round doubles the
-    * reach of small ids), and — unlike static min-label propagation, which
-    * re-joins the FULL edge set every round — the working graph SHRINKS as
-    * cliques become stars, so per-round cost falls off after round one
-    * (measured 11x on isolated CC at a 10x corpus, 117.9 s -> 10.5 s;
-    * parity at 1x). Star centers make the
-    * groupBy key skewed by design; partial aggregation absorbs it (min is
-    * map-side combinable), and at cluster scale AQE skew handling covers
-    * the join. Input: (doc_a, doc_b) pairs; output: (id, root) with
-    * root = smallest id in the component.
+    * by iterative contraction. Input: (doc_a, doc_b) pairs; output:
+    * (id, root) with root = smallest id in the component; both algorithms
+    * produce identical labelings (parity-tested on chains, cliques and
+    * seeded random graphs — SimilaritySpec).
+    *
+    * Default is [[CcAlgorithm.TwoPhaseStar]] (Kiveris et al. 2014): its
+    * edge multiset only ever shrinks, which wins decisively on the dense
+    * clique graphs real near-dup corpora produce — measured on a
+    * 29M-pair 100x corpus, 53 s vs 262 s for hash-to-min on identical
+    * checkpointed inputs (comparable at 1x: 3.4 s vs 2.7 s).
+    * [[CcAlgorithm.HashToMin]] (Rastogi et al.) stays selectable: each
+    * round ships every node's closed neighborhood to its current minimum,
+    * which transiently RE-EXPANDS the working graph on dense components —
+    * the very case dedup clustering exists for. Both run O(log n) rounds;
+    * both use a cheap monotone fixpoint probe per round instead of a
+    * compare-join. Star centers make the groupBy key skewed by design;
+    * partial aggregation absorbs it (min is map-side combinable).
     *
     * `mode` picks where each round's truncated state lives:
     * [[CheckpointMode.Local]] (default, executor blocks — single-node /
@@ -79,7 +80,7 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 20,
       mode: CheckpointMode = CheckpointMode.Local,
-      algo: CcAlgorithm = CcAlgorithm.HashToMin): DataFrame = algo match {
+      algo: CcAlgorithm = CcAlgorithm.TwoPhaseStar): DataFrame = algo match {
     case CcAlgorithm.HashToMin    => hashToMinClusters(pairs, maxIter, mode)
     case CcAlgorithm.TwoPhaseStar => twoPhaseStarClusters(pairs, maxIter, mode)
   }
@@ -98,6 +99,14 @@ object Dedup {
     // storage-memory leak.
     val lin = new Lineage(pairs.sparkSession, mode)
     import lin.{release, tracked}
+    // Round-shuffle parallelism: CC rows are two longs, so AQE's byte-based
+    // partition coalescing packs millions of rows per task on a large edge
+    // set (input-sized, ~64 MB advisory) and every round's sort/agg becomes
+    // a handful of huge tasks — measured superlinear in the 10x->100x
+    // decade. Explicit repartitions with a user-specified count (below, at
+    // each round's shuffle points) opt those exchanges out of coalescing;
+    // spark.sql.shuffle.partitions stays the caller's scale knob.
+    val np = pairs.sparkSession.sessionState.conf.numShufflePartitions
     // materialize the (possibly expensive) pair pipeline ONCE — the
     // symmetric union below references it twice
     val (p, pIds) = tracked(pairs.select("doc_a", "doc_b"), eager = true)
@@ -107,7 +116,7 @@ object Dedup {
       eager = true)
     release(pIds) // g is materialized; the pair frame is dead
     def minMap(graph: DataFrame): DataFrame =
-      graph.groupBy("src").agg(min("dst").as("mnd"))
+      graph.repartition(np, col("src")).groupBy("src").agg(min("dst").as("mnd"))
         .select(col("src").as("id"), least(col("src"), col("mnd")).as("root"))
     // Convergence probe: m(v) only ever shrinks, so the exact root sum is
     // strictly monotone until the star fixpoint — one tiny aggregate per
@@ -123,14 +132,16 @@ object Dedup {
       // hash-to-min round: v's neighborhood moves to m(v); keeping the
       // (m(v), v) self edge is what lets every node keep (and later
       // improve) its current minimum
-      val moved = g.join(labels, g("src") === labels("id"))
+      val moved = g.repartition(np, col("src"))
+        .join(labels, g("src") === labels("id"))
         .select(col("root").as("a"), g("dst").as("b"))
         .unionAll(labels.select(col("root").as("a"), col("id").as("b")))
         .filter(col("a") =!= col("b"))
       val (gNext, gNextIds) = tracked(
         moved.select(col("a").as("src"), col("b").as("dst"))
           .unionAll(moved.select(col("b").as("src"), col("a").as("dst")))
-          .distinct(),
+          .repartition(np, col("src"), col("dst"))
+          .dropDuplicates(),
         eager = true)
       val (next, nextIds) = tracked(minMap(gNext), eager = false)
       val s = rootSum(next) // also materializes `next`
@@ -171,6 +182,10 @@ object Dedup {
       mode: CheckpointMode): DataFrame = {
     val lin = new Lineage(pairs.sparkSession, mode)
     import lin.{release, tracked}
+    // Same round-shuffle parallelism note as hashToMinClusters: tiny rows
+    // make AQE's byte-based coalescing the enemy of a CPU-bound loop, so
+    // every per-round shuffle point pins the partition count explicitly.
+    val np = pairs.sparkSession.sessionState.conf.numShufflePartitions
     var (e, eIds) = tracked(
       pairs.select(
           greatest(col("doc_a"), col("doc_b")).as("u"),
@@ -180,24 +195,30 @@ object Dedup {
       eager = true)
 
     // large-star: symmetrize to see full neighborhoods, hook b > a to m(a).
-    // Output keeps the (u > v) orientation: b > a >= m(a).
+    // Output keeps the (u > v) orientation: b > a >= m(a). The symmetrized
+    // frame is repartitioned ONCE by u — the min-neighbor agg and the join
+    // back both cluster on u, so neither adds a coalescible exchange.
     def largeStar(g: DataFrame): DataFrame = {
       val sym = g.unionAll(g.select(col("v").as("u"), col("u").as("v")))
+        .repartition(np, col("u"))
       val m = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u").as("c"), least(col("u"), col("mn")).as("m"))
       sym.join(m, sym("u") === m("c"))
         .filter(sym("v") > sym("u"))
         .select(sym("v").as("u"), m("m").as("v"))
-        .distinct()
+        .repartition(np, col("u"), col("v"))
+        .dropDuplicates()
     }
     // small-star over the canonical orientation: Γ(u) = {v : (u,v), v < u}.
     def smallStar(g: DataFrame): DataFrame = {
-      val m = g.groupBy("u").agg(min("v").as("mn"))
-      g.join(m, "u")
+      val gp = g.repartition(np, col("u"))
+      val m = gp.groupBy("u").agg(min("v").as("mn"))
+      gp.join(m, "u")
         .filter(col("v") =!= col("mn"))
         .select(col("v").as("u"), col("mn").as("v"))
         .unionAll(m.select(col("u"), col("mn").as("v")))
-        .distinct()
+        .repartition(np, col("u"), col("v"))
+        .dropDuplicates()
     }
     def probe(g: DataFrame): Seq[Any] =
       g.agg(

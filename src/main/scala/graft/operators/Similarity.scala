@@ -507,7 +507,21 @@ object Similarity {
     // "some row" (the per-row variant keeps a pair if ANY matched row
     // passes; this kills every pair whose true first common token sits too
     // deep — strictly tighter, still lossless).
-    val cand = a.join(b, Seq("lang", "band", "token"))
+    // EXPANSION-JOIN partitioning (the 100x lesson): AQE sizes post-shuffle
+    // partitions from the exchange's INPUT bytes, but this join expands its
+    // ~GB-scale prefix inputs into tens of GB of matched candidate rows —
+    // left to itself, AQE coalesces both sides to input-sized partition
+    // counts (measured: 33 partitions at a 100x corpus, 360 s max tasks,
+    // 16 GB of sort/agg spill, and the whole query superlinear at
+    // per-unit 2.2). An explicit repartition with a user-specified count
+    // marks the exchange non-coalescible, which AQE honors for the whole
+    // join, so the partial pair-aggregation after the join runs at
+    // spark.sql.shuffle.partitions parallelism — the knob the caller
+    // already scales with the corpus. Same medicine on the verify joins
+    // below, whose outputs carry two token arrays per row.
+    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val cand = a.repartition(p, col("lang"), col("band"), col("token"))
+      .join(b, Seq("lang", "band", "token"))
       .filter(col("n_b") < col("n_a") ||
         (col("n_b") === col("n_a") && col("doc_b") < col("doc_a")))
       .filter(col("n_b") >= lit(minJaccard) * col("n_a") - lit(1e-9))
@@ -521,7 +535,9 @@ object Similarity {
 
     val jac = MinHash.exactJaccard(col("toks_a"), col("toks_b"))
     cand
+      .repartition(p, col("doc_a"))
       .join(base.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .repartition(p, col("doc_b"))
       .join(base.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= minJaccard)

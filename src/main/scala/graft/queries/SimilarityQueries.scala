@@ -128,11 +128,11 @@ object SimilarityQueries {
     },
 
     // Near-dup pairs resolved into duplicate CLUSTERS: connected components
-    // over the jaccard pair graph via iterative min-label propagation
-    // (Dedup.duplicateClusters — joins + aggregations only, converges in
-    // diameter iterations). Oracle: the same closure via a DuckDB
-    // recursive CTE — full transitive reachability, so a hash match also
-    // proves the propagation ran to convergence.
+    // over the jaccard pair graph via iterative star contraction
+    // (Dedup.duplicateClusters, two-phase star default — joins +
+    // aggregations only, O(log n) rounds). Oracle: the same closure via a
+    // DuckDB recursive CTE — full transitive reachability, so a hash match
+    // also proves the contraction ran to convergence.
     QueryDef(
       "q_dedup_clusters",
       Some("""WITH RECURSIVE t AS (SELECT doc_id, lang,

@@ -12,6 +12,6 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 MEM="${SPARK_DRIVER_MEM:-48g}"
-exec java $OPENS -Xmx$MEM \
+exec java $OPENS -Xmx$MEM $JRUN_EXTRA \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$@"
