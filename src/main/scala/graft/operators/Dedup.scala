@@ -85,6 +85,26 @@ object Dedup {
     case CcAlgorithm.TwoPhaseStar => twoPhaseStarClusters(pairs, maxIter, mode)
   }
 
+  /** Partition count for one CC round-shuffle over `rows` two-long edge
+    * rows. AQE's byte-based coalescing is the wrong policy on both ends of
+    * this loop: early rounds carry tens of millions of tiny rows that pack
+    * into a handful of 64 MB-advisory partitions (multi-GB sorts, spill —
+    * measured superlinear in the 10x->100x decade), while pinning the full
+    * `spark.sql.shuffle.partitions` wastes fixed per-task overhead on the
+    * late rounds where the graph has collapsed to thousands of edges
+    * (measured 3.5x end-to-end at a 10x corpus). Each round therefore
+    * sizes its own shuffles from the CURRENT edge count — known for free
+    * from the convergence probe / a cheap count on the checkpointed frame
+    * — under a row (not byte) budget, capped at the session's shuffle
+    * parallelism, and the explicit user-specified repartition count opts
+    * the exchanges out of AQE re-coalescing. */
+  private val RoundRowsPerPartition = 2L * 1000 * 1000
+
+  private def roundPartitions(df: DataFrame, rows: Long): Int = {
+    val cap = df.sparkSession.sessionState.conf.numShufflePartitions
+    math.max(1L, math.min(cap.toLong, rows / RoundRowsPerPartition + 1)).toInt
+  }
+
   private def hashToMinClusters(
       pairs: DataFrame,
       maxIter: Int,
@@ -99,14 +119,6 @@ object Dedup {
     // storage-memory leak.
     val lin = new Lineage(pairs.sparkSession, mode)
     import lin.{release, tracked}
-    // Round-shuffle parallelism: CC rows are two longs, so AQE's byte-based
-    // partition coalescing packs millions of rows per task on a large edge
-    // set (input-sized, ~64 MB advisory) and every round's sort/agg becomes
-    // a handful of huge tasks — measured superlinear in the 10x->100x
-    // decade. Explicit repartitions with a user-specified count (below, at
-    // each round's shuffle points) opt those exchanges out of coalescing;
-    // spark.sql.shuffle.partitions stays the caller's scale knob.
-    val np = pairs.sparkSession.sessionState.conf.numShufflePartitions
     // materialize the (possibly expensive) pair pipeline ONCE — the
     // symmetric union below references it twice
     val (p, pIds) = tracked(pairs.select("doc_a", "doc_b"), eager = true)
@@ -115,7 +127,13 @@ object Dedup {
         .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
       eager = true)
     release(pIds) // g is materialized; the pair frame is dead
-    def minMap(graph: DataFrame): DataFrame =
+    // Round-shuffle parallelism is sized from the CURRENT edge count (a
+    // cheap count over the just-checkpointed frame), not left to AQE —
+    // see roundPartitions. The count tracks the shrinking graph, so late
+    // tiny rounds run nearly shuffle-free while early huge rounds never
+    // pack a task beyond the row budget.
+    var gRows = g.count()
+    def minMap(graph: DataFrame, np: Int): DataFrame =
       graph.repartition(np, col("src")).groupBy("src").agg(min("dst").as("mnd"))
         .select(col("src").as("id"), least(col("src"), col("mnd")).as("root"))
     // Convergence probe: m(v) only ever shrinks, so the exact root sum is
@@ -123,12 +141,16 @@ object Dedup {
     // round replaces a compare-join against the previous mapping.
     def rootSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("root").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
-    var (labels, labelIds) = tracked(minMap(g), eager = true)
+    var (labels, labelIds) =
+      tracked(minMap(g, roundPartitions(pairs, gRows)), eager = true)
     var prevSum = rootSum(labels)
     // empty pair set: sum over zero rows is NULL — nothing to contract
     var converged = prevSum == null
     var i = 0
     while (!converged && i < maxIter) {
+      // hash-to-min re-emits closed neighborhoods both ways, so the next
+      // graph can transiently grow ~2x — sized into the budget below
+      val np = roundPartitions(pairs, 2 * gRows)
       // hash-to-min round: v's neighborhood moves to m(v); keeping the
       // (m(v), v) self edge is what lets every node keep (and later
       // improve) its current minimum
@@ -143,7 +165,9 @@ object Dedup {
           .repartition(np, col("src"), col("dst"))
           .dropDuplicates(),
         eager = true)
-      val (next, nextIds) = tracked(minMap(gNext), eager = false)
+      gRows = gNext.count() // cheap: gNext is checkpointed
+      val (next, nextIds) =
+        tracked(minMap(gNext, roundPartitions(pairs, gRows)), eager = false)
       val s = rootSum(next) // also materializes `next`
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -182,10 +206,6 @@ object Dedup {
       mode: CheckpointMode): DataFrame = {
     val lin = new Lineage(pairs.sparkSession, mode)
     import lin.{release, tracked}
-    // Same round-shuffle parallelism note as hashToMinClusters: tiny rows
-    // make AQE's byte-based coalescing the enemy of a CPU-bound loop, so
-    // every per-round shuffle point pins the partition count explicitly.
-    val np = pairs.sparkSession.sessionState.conf.numShufflePartitions
     var (e, eIds) = tracked(
       pairs.select(
           greatest(col("doc_a"), col("doc_b")).as("u"),
@@ -198,7 +218,7 @@ object Dedup {
     // Output keeps the (u > v) orientation: b > a >= m(a). The symmetrized
     // frame is repartitioned ONCE by u — the min-neighbor agg and the join
     // back both cluster on u, so neither adds a coalescible exchange.
-    def largeStar(g: DataFrame): DataFrame = {
+    def largeStar(g: DataFrame, np: Int): DataFrame = {
       val sym = g.unionAll(g.select(col("v").as("u"), col("u").as("v")))
         .repartition(np, col("u"))
       val m = sym.groupBy("u").agg(min("v").as("mn"))
@@ -210,7 +230,7 @@ object Dedup {
         .dropDuplicates()
     }
     // small-star over the canonical orientation: Γ(u) = {v : (u,v), v < u}.
-    def smallStar(g: DataFrame): DataFrame = {
+    def smallStar(g: DataFrame, np: Int): DataFrame = {
       val gp = g.repartition(np, col("u"))
       val m = gp.groupBy("u").agg(min("v").as("mn"))
       gp.join(m, "u")
@@ -232,11 +252,15 @@ object Dedup {
     var converged = prev.head == 0L // no edges: nothing to contract
     var i = 0
     while (!converged && i < maxIter) {
+      // round shuffles sized from the probe's edge count (free — it ran
+      // anyway); x2 because large-star symmetrizes its input, and the
+      // star edge multiset only ever shrinks so the bound stays valid
+      val np = roundPartitions(pairs, 2 * prev.head.asInstanceOf[Long])
       // checkpoint BETWEEN the phases: small-star references its input
       // twice (groupBy + join back), so an unmaterialized large-star
       // subtree would execute twice per round
-      val (eLarge, eLargeIds) = tracked(largeStar(e), eager = true)
-      val (eNext, eNextIds) = tracked(smallStar(eLarge), eager = true)
+      val (eLarge, eLargeIds) = tracked(largeStar(e, np), eager = true)
+      val (eNext, eNextIds) = tracked(smallStar(eLarge, np), eager = true)
       val cur = probe(eNext)
       converged = cur == prev
       prev = cur

@@ -403,7 +403,8 @@ object Similarity {
       docs: DataFrame, // (doc_id, lang, n_chars, toks: array<string>)
       minJaccard: Double,
       bandWidth: Double = 0.1,
-      mode: CheckpointMode = CheckpointMode.Local): DataFrame = {
+      mode: CheckpointMode = CheckpointMode.Local,
+      corpusRows: Option[Long] = None): DataFrame = {
     // mode = Reliable(dir): the lazy lineage truncations below become
     // reliable checkpoints, so an executor lost after materialization
     // re-reads instead of failing the job (CheckpointModeSpec proves
@@ -515,11 +516,19 @@ object Similarity {
     // 16 GB of sort/agg spill, and the whole query superlinear at
     // per-unit 2.2). An explicit repartition with a user-specified count
     // marks the exchange non-coalescible, which AQE honors for the whole
-    // join, so the partial pair-aggregation after the join runs at
-    // spark.sql.shuffle.partitions parallelism — the knob the caller
-    // already scales with the corpus. Same medicine on the verify joins
-    // below, whose outputs carry two token arrays per row.
-    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // join. Same medicine on the verify joins below, whose outputs carry
+    // two token arrays per row. The count itself scales with the corpus
+    // when the caller passes `corpusRows` (a memoized table count — free):
+    // ~1 partition per 1k docs absorbs the measured ~2k-candidate-rows/doc
+    // expansion within ~2M-row tasks, and small corpora skip the fixed
+    // overhead of full-width shuffles (pinning the session cap at a 10x
+    // corpus measured +84% on this query). Capped at
+    // spark.sql.shuffle.partitions — the knob the caller already scales
+    // with the corpus; without the hint, that cap is used directly.
+    val cap = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val p = corpusRows
+      .map(n => math.max(1L, math.min(cap.toLong, n / 1000 + 1)).toInt)
+      .getOrElse(cap)
     val cand = a.repartition(p, col("lang"), col("band"), col("token"))
       .join(b, Seq("lang", "band", "token"))
       .filter(col("n_b") < col("n_a") ||

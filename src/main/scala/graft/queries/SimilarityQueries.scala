@@ -157,7 +157,8 @@ object SimilarityQueries {
               SELECT id, min(r) AS root FROM reach GROUP BY id ORDER BY id""")) { (s, d) =>
       val t = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"), T.tokens(col("text")).as("toks"))
-      val pairs = Similarity.jaccardNearDupPairs(t, minJaccard = 0.5)
+      val pairs = Similarity.jaccardNearDupPairs(t, minJaccard = 0.5,
+        corpusRows = Some(Tables.rowCount(s, d, "documents")))
       Dedup.duplicateClusters(pairs.select("doc_a", "doc_b"))
         .orderBy("id")
     },
@@ -306,7 +307,8 @@ object SimilarityQueries {
               ORDER BY doc_a, doc_b""")) { (s, d) =>
       val t = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"), T.tokens(col("text")).as("toks"))
-      Similarity.jaccardNearDupPairs(t, minJaccard = 0.5)
+      Similarity.jaccardNearDupPairs(t, minJaccard = 0.5,
+        corpusRows = Some(Tables.rowCount(s, d, "documents")))
         .select(col("doc_a"), col("doc_b"), Num.round2(col("jaccard")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },

@@ -37,7 +37,8 @@ object Profile {
       .select(col("doc_id"), col("lang"), col("n_chars"), T.tokens(col("text")).as("toks"))
     if (mode == "pairs" || mode == "all") {
       val pairs = time("jaccard pairs build")(
-        Similarity.jaccardNearDupPairs(t, minJaccard = 0.5))
+        Similarity.jaccardNearDupPairs(t, minJaccard = 0.5,
+        corpusRows = Some(Tables.rowCount(spark, sfDir, "documents"))))
       val nPairs = time("jaccard pairs count (cold)")(pairs.count())
       println(s"[profile] n_pairs = $nPairs")
       // warm repeats: base/prefix lazy checkpoints are materialized after
@@ -47,10 +48,12 @@ object Profile {
       val reps = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "4").toInt
       (1 to reps).foreach(r =>
         time(s"jaccard pairs count (warm rep$r)")(
-          Similarity.jaccardNearDupPairs(t, minJaccard = 0.5).count()))
+          Similarity.jaccardNearDupPairs(t, minJaccard = 0.5,
+        corpusRows = Some(Tables.rowCount(spark, sfDir, "documents"))).count()))
     }
     if (mode == "clusters" || mode == "all") {
-      val pairs2 = Similarity.jaccardNearDupPairs(t, minJaccard = 0.5)
+      val pairs2 = Similarity.jaccardNearDupPairs(t, minJaccard = 0.5,
+        corpusRows = Some(Tables.rowCount(spark, sfDir, "documents")))
       time("clusters total (pairs + CC)")(
         Dedup.duplicateClusters(pairs2.select("doc_a", "doc_b")).count())
     }
@@ -65,7 +68,8 @@ object Profile {
       // contraction-algorithm shootout on identical checkpointed pairs:
       // isolates CC iteration cost from pair generation. Order alternates
       // per repeat so neither algorithm systematically pays JIT warmup.
-      val cached = Similarity.jaccardNearDupPairs(t, minJaccard = 0.5)
+      val cached = Similarity.jaccardNearDupPairs(t, minJaccard = 0.5,
+        corpusRows = Some(Tables.rowCount(spark, sfDir, "documents")))
         .select("doc_a", "doc_b").localCheckpoint(true)
       println(s"[profile] n_pairs = ${cached.count()}")
       val reps = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
@@ -80,7 +84,8 @@ object Profile {
     }
     if (mode == "cc" || mode == "all") {
       // CC on a cheap precomputed frame: isolates the iteration overhead
-      val cached = Similarity.jaccardNearDupPairs(t, minJaccard = 0.5)
+      val cached = Similarity.jaccardNearDupPairs(t, minJaccard = 0.5,
+        corpusRows = Some(Tables.rowCount(spark, sfDir, "documents")))
         .select("doc_a", "doc_b").localCheckpoint(true)
       time("CC on checkpointed pairs")(Dedup.duplicateClusters(cached).count())
     }
