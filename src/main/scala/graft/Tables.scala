@@ -29,9 +29,14 @@ object Tables {
   /** Session configs every graft session needs — call once at session
     * construction (Bench/Verify/Explain and the test harness do).
     * `nanosAsLong`: events.parquet carries TIMESTAMP(NANOS), which the
-    * vectorized reader rejects; read as long and convert in [[events]]. */
+    * vectorized reader rejects; read as long and convert in [[events]].
+    * `session.timeZone=UTC`: the NTZ→TIMESTAMP cast in [[normalizeEventsTs]]
+    * is instant-preserving only under a UTC session zone; pinning it here
+    * makes every consumer independent of the host default. */
   def configure(builder: SparkSession.Builder): SparkSession.Builder =
-    builder.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    builder
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
 
   // Row-count memo for operators that size themselves from the corpus
   // (LSH bits): one count job per (session, dir, table), not per query.
@@ -208,12 +213,12 @@ object Tables {
     * double-typed division would lose precision; TIMESTAMP_NTZ (native
     * µs parquet) is cast to the instant type under the session's UTC zone,
     * which preserves wall values; an already-TIMESTAMP column passes
-    * through. Every consumer (batch + streaming) reads through here, so
-    * downstream query semantics are encoding-independent. */
-  def events(s: SparkSession, d: String): DataFrame = {
+    * through. Every consumer (batch via [[events]], streaming via
+    * Streams.readEventsStream) applies this dispatch, so downstream query
+    * semantics are encoding-independent. */
+  private[graft] def normalizeEventsTs(t: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val t = table(s, d, "events")
     t.schema("ts").dataType match {
       case LongType         => t.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => t.withColumn("ts", col("ts").cast(TimestampType))
@@ -222,6 +227,9 @@ object Tables {
         s"unsupported events.ts type: $other")
     }
   }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventsTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

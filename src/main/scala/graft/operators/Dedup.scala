@@ -24,6 +24,24 @@ object CcAlgorithm {
     * transient blow-up, and the per-round shuffle carries one edge per
     * input edge instead of a full symmetrized neighborhood. */
   case object TwoPhaseStar extends CcAlgorithm
+
+  /** Size-dispatched hybrid: the canonical edge set is materialized and
+    * counted once either way (both algorithms need it for round-shuffle
+    * sizing), so the dispatch is free — below `threshold` edges run
+    * [[HashToMin]] (fewer fixed per-round stages: one groupBy+join per
+    * round vs two-phase star's two, which dominates when every shuffle is
+    * small), at or above it run [[TwoPhaseStar]] (monotone shrinking edge
+    * multiset — the scale regime; measured 5x faster at a 29M-pair 100x
+    * corpus). Threshold from the round-8 shootout (PROGRESS r8): the
+    * crossover sits between the sf0.1 near-dup graph (~0.5M edges,
+    * hash-to-min ahead) and its 10x copy (~5M edges, two-phase star
+    * ahead). */
+  final case class Auto(threshold: Long = Auto.DefaultThreshold) extends CcAlgorithm
+
+  object Auto {
+    /** Measured crossover scale (rows in the canonical edge set). */
+    val DefaultThreshold: Long = 2L * 1000 * 1000
+  }
 }
 
 /** Deduplication operators — exact family (SURVEY.md §2.7, §2.10; the
@@ -68,8 +86,15 @@ object Dedup {
     * which transiently RE-EXPANDS the working graph on dense components —
     * the very case dedup clustering exists for. Both run O(log n) rounds;
     * both use a cheap monotone fixpoint probe per round instead of a
-    * compare-join. Star centers make the groupBy key skewed by design;
-    * partial aggregation absorbs it (min is map-side combinable).
+    * compare-join. Star centers make the groupBy key skewed by design.
+    * Since the round shuffles are explicit repartitions on the key (the
+    * AQE-coalescing opt-out, see roundPartitions), the exchange runs
+    * BEFORE partial aggregation — raw edge rows shuffle and a giant
+    * component's neighborhood lands in one task. That single-task bound
+    * is accepted: the rows are two longs each, the min-per-key reduce is
+    * streaming (no buffering), and the alternative (groupBy-first with
+    * map-side combine) re-exposes the measured 100x AQE pathology of
+    * packing early-round shuffles into too few fat tasks.
     *
     * `mode` picks where each round's truncated state lives:
     * [[CheckpointMode.Local]] (default, executor blocks — single-node /
@@ -80,9 +105,31 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 20,
       mode: CheckpointMode = CheckpointMode.Local,
-      algo: CcAlgorithm = CcAlgorithm.TwoPhaseStar): DataFrame = algo match {
-    case CcAlgorithm.HashToMin    => hashToMinClusters(pairs, maxIter, mode)
-    case CcAlgorithm.TwoPhaseStar => twoPhaseStarClusters(pairs, maxIter, mode)
+      algo: CcAlgorithm = CcAlgorithm.Auto()): DataFrame = {
+    val lin = new Lineage(pairs.sparkSession, mode)
+    // Canonical edge set shared by every algorithm: (u > v) oriented,
+    // self-loops dropped, deduplicated. Materialized eagerly and counted
+    // ONCE — the count sizes the first round's shuffles for both
+    // algorithms and drives the Auto dispatch, so the hybrid costs
+    // nothing beyond what a fixed choice already paid.
+    val (e, eIds) = lin.tracked(
+      pairs.select(
+          greatest(col("doc_a"), col("doc_b")).as("u"),
+          least(col("doc_a"), col("doc_b")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct(),
+      eager = true)
+    val edges = e.count()
+    val resolved = algo match {
+      case CcAlgorithm.Auto(thr) =>
+        if (edges < thr) CcAlgorithm.HashToMin else CcAlgorithm.TwoPhaseStar
+      case fixed => fixed
+    }
+    resolved match {
+      case CcAlgorithm.HashToMin    => hashToMinClusters(e, edges, eIds, maxIter, lin)
+      case CcAlgorithm.TwoPhaseStar => twoPhaseStarClusters(e, edges, eIds, maxIter, lin)
+      case _: CcAlgorithm.Auto      => throw new IllegalStateException("unreachable")
+    }
   }
 
   /** Partition count for one CC round-shuffle over `rows` two-long edge
@@ -105,34 +152,38 @@ object Dedup {
     math.max(1L, math.min(cap.toLong, rows / RoundRowsPerPartition + 1)).toInt
   }
 
+  /** `e`: the checkpointed canonical edge set from [[duplicateClusters]]
+    * ((u > v) oriented, distinct, no self-loops); `edges` its row count;
+    * `eIds` its pinned blocks (released once the symmetrized graph is
+    * materialized).
+    *
+    * Checkpoint (eager) on the loop-carried frames: truncates the
+    * logical plan each round — without it the plan nests the previous
+    * round's twice per round and analysis alone goes exponential.
+    *
+    * Block hygiene lives in Lineage: superseded round frames are
+    * unpersisted EXPLICITLY once their successor is materialized — at
+    * scale, letting maxIter copies of the edge set accumulate is a
+    * storage-memory leak. */
   private def hashToMinClusters(
-      pairs: DataFrame,
+      e: DataFrame,
+      edges: Long,
+      eIds: Set[Int],
       maxIter: Int,
-      mode: CheckpointMode): DataFrame = {
-    // Checkpoint (eager) on the loop-carried frames: truncates the
-    // logical plan each round — without it the plan nests the previous
-    // round's twice per round and analysis alone goes exponential.
-    //
-    // Block hygiene lives in Lineage: superseded round frames are
-    // unpersisted EXPLICITLY once their successor is materialized — at
-    // scale, letting maxIter copies of the edge set accumulate is a
-    // storage-memory leak.
-    val lin = new Lineage(pairs.sparkSession, mode)
+      lin: Lineage): DataFrame = {
     import lin.{release, tracked}
-    // materialize the (possibly expensive) pair pipeline ONCE — the
-    // symmetric union below references it twice
-    val (p, pIds) = tracked(pairs.select("doc_a", "doc_b"), eager = true)
     var (g, gIds) = tracked(
-      p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
+      e.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e.select(col("v").as("src"), col("u").as("dst"))),
       eager = true)
-    release(pIds) // g is materialized; the pair frame is dead
+    release(eIds) // g is materialized; the canonical edge frame is dead
     // Round-shuffle parallelism is sized from the CURRENT edge count (a
     // cheap count over the just-checkpointed frame), not left to AQE —
     // see roundPartitions. The count tracks the shrinking graph, so late
     // tiny rounds run nearly shuffle-free while early huge rounds never
-    // pack a task beyond the row budget.
-    var gRows = g.count()
+    // pack a task beyond the row budget. The initial graph is exactly the
+    // canonical edges symmetrized: 2x the count already in hand.
+    var gRows = 2 * edges
     def minMap(graph: DataFrame, np: Int): DataFrame =
       graph.repartition(np, col("src")).groupBy("src").agg(min("dst").as("mnd"))
         .select(col("src").as("id"), least(col("src"), col("mnd")).as("root"))
@@ -142,7 +193,7 @@ object Dedup {
     def rootSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("root").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
     var (labels, labelIds) =
-      tracked(minMap(g, roundPartitions(pairs, gRows)), eager = true)
+      tracked(minMap(g, roundPartitions(g, gRows)), eager = true)
     var prevSum = rootSum(labels)
     // empty pair set: sum over zero rows is NULL — nothing to contract
     var converged = prevSum == null
@@ -150,7 +201,7 @@ object Dedup {
     while (!converged && i < maxIter) {
       // hash-to-min re-emits closed neighborhoods both ways, so the next
       // graph can transiently grow ~2x — sized into the budget below
-      val np = roundPartitions(pairs, 2 * gRows)
+      val np = roundPartitions(g, 2 * gRows)
       // hash-to-min round: v's neighborhood moves to m(v); keeping the
       // (m(v), v) self edge is what lets every node keep (and later
       // improve) its current minimum
@@ -167,7 +218,7 @@ object Dedup {
         eager = true)
       gRows = gNext.count() // cheap: gNext is checkpointed
       val (next, nextIds) =
-        tracked(minMap(gNext, roundPartitions(pairs, gRows)), eager = false)
+        tracked(minMap(gNext, roundPartitions(gNext, gRows)), eager = false)
       val s = rootSum(next) // also materializes `next`
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -199,20 +250,20 @@ object Dedup {
     * detected when a round leaves the edge multiset unchanged (count +
     * endpoint sums + 64-bit hash sum — a false fixpoint needs a hash-sum
     * collision at identical counts and endpoint sums, and truncation at
-    * `maxIter` degrades to best-effort labels exactly like hash-to-min). */
+    * `maxIter` degrades to best-effort labels exactly like hash-to-min).
+    *
+    * `e0`: the checkpointed canonical edge set from [[duplicateClusters]];
+    * `edges` its row count (seeds the first round's shuffle sizing);
+    * `e0Ids` its pinned blocks. */
   private def twoPhaseStarClusters(
-      pairs: DataFrame,
+      e0: DataFrame,
+      edges: Long,
+      e0Ids: Set[Int],
       maxIter: Int,
-      mode: CheckpointMode): DataFrame = {
-    val lin = new Lineage(pairs.sparkSession, mode)
+      lin: Lineage): DataFrame = {
     import lin.{release, tracked}
-    var (e, eIds) = tracked(
-      pairs.select(
-          greatest(col("doc_a"), col("doc_b")).as("u"),
-          least(col("doc_a"), col("doc_b")).as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct(),
-      eager = true)
+    var e = e0
+    var eIds = e0Ids
 
     // large-star: symmetrize to see full neighborhoods, hook b > a to m(a).
     // Output keeps the (u > v) orientation: b > a >= m(a). The symmetrized
@@ -255,7 +306,7 @@ object Dedup {
       // round shuffles sized from the probe's edge count (free — it ran
       // anyway); x2 because large-star symmetrizes its input, and the
       // star edge multiset only ever shrinks so the bound stays valid
-      val np = roundPartitions(pairs, 2 * prev.head.asInstanceOf[Long])
+      val np = roundPartitions(e, 2 * prev.head.asInstanceOf[Long])
       // checkpoint BETWEEN the phases: small-star references its input
       // twice (groupBy + join back), so an unmaterialized large-star
       // subtree would execute twice per round

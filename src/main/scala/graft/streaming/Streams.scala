@@ -278,10 +278,14 @@ object Streams {
 
   /** File-source streaming read of an events directory with an explicit
     * schema — checkpointed offsets give the reference's resume semantics
-    * for free. */
+    * for free. `ts` goes through the same encoding dispatch as the batch
+    * reader (Tables.normalizeEventsTs), so streaming consumers see the
+    * same microsecond TIMESTAMP regardless of how the generator encoded
+    * the column. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(s"$dir/events.parquet"))
   }
 
   /** Streaming corpus ingest with near-dup admission control: every

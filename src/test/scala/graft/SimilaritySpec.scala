@@ -178,6 +178,10 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(star == run(CcAlgorithm.HashToMin))
     // the chain really contracted to its minimum
     assert(star.filter(_._1 >= 1000L).forall(_._2 == 1000L))
+    // Auto dispatches by edge count; force BOTH branches over the same
+    // graph and require the fixed-algorithm labeling either way
+    assert(star == run(CcAlgorithm.Auto(threshold = 1L)))        // → TwoPhaseStar
+    assert(star == run(CcAlgorithm.Auto(threshold = Long.MaxValue))) // → HashToMin
   }
 
   test("keepFromPairs drops planted embedding dups, keeps originals and singletons") {

@@ -7,8 +7,10 @@ observation), raw Fx/1x ratio, and per-unit-data ratio (raw/F).
 Queries with per-unit ratio > 1.5 AND a Fx time above the noise floor
 are flagged for explanation.
 
-Usage: scale_ratio.py [--factor F] OUT.json bench_1x_r*.json -- bench_Fx_r*.json
-(factor defaults to 10)
+Usage: scale_ratio.py [--factor F] [--shuffle-1x N] [--shuffle-fx N] \
+       OUT.json bench_1x_r*.json -- bench_Fx_r*.json
+(factor defaults to 10; shuffle args record run provenance — pass what the
+bench runs actually used, else the artifact records null, never a guess)
 """
 import json
 import sys
@@ -29,8 +31,17 @@ def mins(paths):
 def main():
     argv = sys.argv[1:]
     factor = 10
-    if argv[0] == "--factor":
-        factor = int(argv[1])
+    shuffle_1x = None
+    shuffle_fx = None
+    while argv[0].startswith("--"):
+        if argv[0] == "--factor":
+            factor = int(argv[1])
+        elif argv[0] == "--shuffle-1x":
+            shuffle_1x = int(argv[1])
+        elif argv[0] == "--shuffle-fx":
+            shuffle_fx = int(argv[1])
+        else:
+            sys.exit(f"unknown flag {argv[0]}")
         argv = argv[2:]
     out = argv[0]
     sep = argv.index("--")
@@ -52,7 +63,7 @@ def main():
         "metric": f"scale_probe_{factor}x",
         "sf_1x": "/root/testdata/sf0.1",
         f"sf_{factor}x": f"{factor}x of sf0.1 via graft.tools.ScaleUp",
-        "shuffle": {"1x": 32, f"{factor}x": 128 if factor <= 10 else 512},
+        "shuffle": {"1x": shuffle_1x, f"{factor}x": shuffle_fx},
         "runs": {"1x": len(argv[1:sep]), f"{factor}x": len(argv[sep + 1:])},
         "policy": "min across runs per query per scale (shared-host load spikes)",
         "total_1x_s": round(sum(one[k] for k in rows), 1),

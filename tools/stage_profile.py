@@ -21,8 +21,13 @@ def main(path, top=25):
                                              "max_task_ms": 0, "sh_r": 0,
                                              "sh_w": 0, "spill": 0})
                 st["name"] = si["Stage Name"]
-                st["wall_ms"] = (si.get("Completion Time", 0) -
-                                 si.get("Submission Time", 0))
+                # Failed/skipped stages can miss a timestamp; a 0 default
+                # would report the absolute completion epoch as wall time.
+                if "Completion Time" in si and "Submission Time" in si:
+                    st["wall_ms"] = (si["Completion Time"] -
+                                     si["Submission Time"])
+                else:
+                    st["wall_ms"] = 0
                 st["n"] = si["Number of Tasks"]
             elif ev == "SparkListenerTaskEnd":
                 sid = e["Stage ID"]
