@@ -28,19 +28,25 @@ object CcAlgorithm {
   /** Size-dispatched hybrid: the canonical edge set is materialized and
     * counted once either way (both algorithms need it for round-shuffle
     * sizing), so the dispatch is free — below `threshold` edges run
-    * [[HashToMin]] (fewer fixed per-round stages: one groupBy+join per
-    * round vs two-phase star's two, which dominates when every shuffle is
-    * small), at or above it run [[TwoPhaseStar]] (monotone shrinking edge
-    * multiset — the scale regime; measured 5x faster at a 29M-pair 100x
-    * corpus). Threshold from the round-8 shootout (PROGRESS r8): the
-    * crossover sits between the sf0.1 near-dup graph (~0.5M edges,
-    * hash-to-min ahead) and its 10x copy (~5M edges, two-phase star
-    * ahead). */
+    * [[HashToMin]], at or above it [[TwoPhaseStar]].
+    *
+    * The round-8 shootout that motivated this knob also emptied its
+    * default: the round-7 1x hash-to-min advantage (2.7 s vs 3.4 s) was
+    * an artifact of hash-to-min skipping the canonical distinct and
+    * shuffling raw duplicate pairs; with the edge build shared (this
+    * refactor), two-phase star won every measured scale — 5k edges
+    * (2.6 s vs 3.4 s), 0.5M (4.2 s vs 4.8 s), and the 29M-edge 100x
+    * corpus (5x). Hence `DefaultThreshold = 0`: `Auto()` ≡ TwoPhaseStar,
+    * and the threshold remains a user lever for graph shapes unlike
+    * near-dup clique forests (where hash-to-min's single shuffle phase
+    * per round might win back the fixed two-phase stage cost). */
   final case class Auto(threshold: Long = Auto.DefaultThreshold) extends CcAlgorithm
 
   object Auto {
-    /** Measured crossover scale (rows in the canonical edge set). */
-    val DefaultThreshold: Long = 2L * 1000 * 1000
+    /** Round-8 measured outcome: no scale where hash-to-min wins once the
+      * canonical edge build is shared, so the dispatch defaults to
+      * two-phase star everywhere. */
+    val DefaultThreshold: Long = 0L
   }
 }
 
@@ -76,11 +82,14 @@ object Dedup {
     * produce identical labelings (parity-tested on chains, cliques and
     * seeded random graphs — SimilaritySpec).
     *
-    * Default is [[CcAlgorithm.TwoPhaseStar]] (Kiveris et al. 2014): its
-    * edge multiset only ever shrinks, which wins decisively on the dense
-    * clique graphs real near-dup corpora produce — measured on a
-    * 29M-pair 100x corpus, 53 s vs 262 s for hash-to-min on identical
-    * checkpointed inputs (comparable at 1x: 3.4 s vs 2.7 s).
+    * Default is [[CcAlgorithm.Auto]], which resolves to
+    * [[CcAlgorithm.TwoPhaseStar]] (Kiveris et al. 2014) at every scale
+    * (see Auto's scaladoc for the round-8 shootout): its edge multiset
+    * only ever shrinks, which wins decisively on the dense clique graphs
+    * real near-dup corpora produce — measured on a 29M-pair 100x corpus,
+    * 53 s vs 262 s for hash-to-min on identical checkpointed inputs, and
+    * ahead at 5k/0.5M edges too once both algorithms share the canonical
+    * edge build.
     * [[CcAlgorithm.HashToMin]] (Rastogi et al.) stays selectable: each
     * round ships every node's closed neighborhood to its current minimum,
     * which transiently RE-EXPANDS the working graph on dense components —
