@@ -1,0 +1,68 @@
+package graft
+
+import java.util.concurrent.TimeUnit
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CheckpointMode RECOVERY contract (CheckpointModeSpec proves output
+  * parity; this proves behavior under executor LOSS). Each case forks a
+  * real multi-process cluster via graft.tools.FaultTolerance
+  * (`local-cluster[2,1,…]`, separate executor JVMs) and SIGKILLs every
+  * executor mid-CC-loop — after the first round's lineage is truncated,
+  * so the kill provably lands on live loop state (a kill during the
+  * first materialization is survivable from the intact original lineage
+  * and made the naive version flaky). Workers restart replacements, so
+  * what differs between the modes is only where round state lived:
+  *
+  *  - Reliable(dir): round state is re-read from checkpoint files — the
+  *    job completes with the exact expected labeling.
+  *  - Local: the killed executor's blocks are gone and the truncated
+  *    lineage cannot recompute them — the job fails
+  *    (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), which is the documented
+  *    fail-fast contract of localCheckpoint, asserted here so the
+  *    contrast stays demonstrated, not just claimed.
+  *
+  * Subprocess (not the shared test session) because the cluster manager
+  * differs (`local-cluster` vs `local[4]`) and a killed executor must
+  * never destabilize the suite's JVM.
+  */
+class FaultToleranceSpec extends AnyFunSuite {
+
+  private def run(mode: String): String = {
+    val pb = new ProcessBuilder("tools/jrun.sh", "graft.tools.FaultTolerance", mode)
+    pb.directory(new java.io.File(sys.props("user.dir")))
+    val env = pb.environment()
+    env.put("SPARK_HOME", "/opt/spark")
+    env.put("SPARK_SCALA_VERSION", "2.13") // executor launcher probes build dirs without it
+    env.put("SPARK_DRIVER_MEM", "3g")
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new StringBuilder
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(p.getInputStream))
+    val pump = new Thread(() => {
+      var line = reader.readLine()
+      while (line != null) {
+        if (line.contains("[fault]")) out.append(line).append('\n')
+        line = reader.readLine()
+      }
+    })
+    pump.start()
+    assert(p.waitFor(300, TimeUnit.SECONDS), s"FaultTolerance $mode timed out")
+    pump.join(5000)
+    assert(p.exitValue() == 0, s"FaultTolerance $mode exited ${p.exitValue()}\n$out")
+    val log = out.toString
+    assert(log.contains("killed_executor_pid="), s"no executor was killed:\n$log")
+    log
+  }
+
+  test("Reliable checkpoint: job completes with correct labels despite executor SIGKILL") {
+    val log = run("reliable")
+    assert(log.contains("verdict=labels_ok"), log)
+  }
+
+  test("Local checkpoint: executor SIGKILL fails the job (documented fail-fast contrast)") {
+    val log = run("local")
+    assert(log.contains("verdict=failed_as_expected"), log)
+  }
+}
