@@ -390,6 +390,66 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(rows / dt > 5.0, f"throughput collapsed: ${rows / dt}%.1f rows/s")
   }
 
+  // ——— realistic-batch throughput: the 100-400-row cases above pin
+  // SEMANTICS cheaply; these pin PIPELINE cost. At 10k-row batches the
+  // per-batch fixed overhead (micro-batch planning, state-dir listing,
+  // two small parquet commits) amortizes to noise and rows/s reflects
+  // the actual dedup work — the number a capacity plan would use. The
+  // state stores are plain parquet tables (not the Spark state store),
+  // so there is no RocksDB variant to test: provider choice only affects
+  // mapGroupsWithState-style operators, which these sinks don't use.
+
+  test("dedup ingest at 10k-row batches: rows/s reflects pipeline cost, not batch overhead") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-thr-doc-big").toString
+    val nBands = 4
+    val rowsPerBatch = 10000L
+    // group = value % 50000: batches 0-4 are all fresh (consecutive values
+    // can't collide mod 50000 inside 10k rows), batches 5-9 are 100%
+    // cross-batch duplicates probing 200k rows of band state — both halves
+    // of a production ingest (cold corpus growth, steady-state rejection)
+    val docs = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch).option("numPartitions", 4)
+      .load()
+      .select(col("value").as("id"),
+        transform(sequence(lit(0), lit(9)),
+          i => concat(lit("s"), ((col("value") % 50000) * 10 + i).cast("string")))
+          .as("shingles"))
+    val q = Streams.dedupIngestSink(docs, s"$dir/bands", s"$dir/admitted",
+      k = 16, nBands = nBands, checkpointLocation = Some(s"$dir/ckpt"))
+    val (rows, dt) = driveBatches(q, minBatches = 10, rowsPerBatch)
+    info(f"dedupIngestSink big-batch: ${rows / dt}%.0f rows/s over $rows rows in $dt%.1f s")
+    val admitted = spark.read.parquet(s"$dir/admitted").count()
+    assert(admitted == 50000L, s"admitted $admitted")
+    assert(spark.read.parquet(s"$dir/bands").count() == nBands * 50000L)
+    // conservative floor (shared CI host): the published number is the
+    // info line / PROGRESS note, the assertion only guards collapse
+    assert(rows / dt > 500.0, f"throughput collapsed: ${rows / dt}%.1f rows/s")
+  }
+
+  test("embed ingest at 5k-row batches: rows/s reflects pipeline cost, not batch overhead") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-thr-emb-big").toString
+    val rowsPerBatch = 5000L
+    val dim = 16
+    // vector group = value % 25000: batches 0-4 fresh, 5-9 pure duplicates
+    // probing the 25k-vector bucket state
+    val vecs = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch).option("numPartitions", 4)
+      .load()
+      .select(col("value").as("vec_id"),
+        array((0 until dim).map(i =>
+          (pmod(xxhash64(col("value") % 25000, lit(i)), lit(100000L))
+            .cast("double") / lit(100000.0)) - lit(0.5)): _*).as("v"))
+    val q = Streams.embedIngestSink(vecs, s"$dir/buckets", s"$dir/admitted",
+      dim = dim, nBits = 6, minCosine = 0.99,
+      checkpointLocation = Some(s"$dir/ckpt"))
+    val (rows, dt) = driveBatches(q, minBatches = 10, rowsPerBatch)
+    info(f"embedIngestSink big-batch: ${rows / dt}%.0f rows/s over $rows rows in $dt%.1f s")
+    val admitted = spark.read.parquet(s"$dir/admitted").count()
+    assert(admitted == 25000L, s"admitted $admitted")
+    assert(spark.read.parquet(s"$dir/buckets").count() == 25000L)
+    assert(rows / dt > 250.0, f"throughput collapsed: ${rows / dt}%.1f rows/s")
+  }
+
   test("dedup ingest self-dedups a bursty batch: two in-batch near-dups admit one") {
     import spark.implicits._
     import graft.functions.{TextFunctions => T}
