@@ -72,7 +72,17 @@ object Bpe {
     *              sequential BPE; batch=m cuts driver round-trips toward
     *              k/m — the k≈32,000 production-tokenizer lever, where
     *              sequential selection means 32k Spark jobs of scheduler
-    *              overhead regardless of data size.
+    *              overhead regardless of data size. Measured at k=1024 on
+    *              a 100k-word Zipf vocabulary (PROGRESS r8): 441 rounds
+    *              at EVERY width in {8,32,64} (~650 s on local[32]) vs
+    *              1024 sequential — effective batch 2.3, capped by guard
+    *              (2), not by width: on a Zipf head the top-ranked pairs
+    *              genuinely interfere (share hot symbols), and merging
+    *              interfering pairs together is exactly what sequential
+    *              BPE doesn't do. Default batch=8: the full measured
+    *              saving at the smallest look-ahead/fetch cost; widths
+    *              beyond 8 bought zero additional rounds on both the
+    *              Zipf fixture and the real corpus table.
     * @return (step, lhs, rhs, n): the i-th winning pair and its count at
     *         selection time. Ties break on (count DESC, lhs ASC, rhs ASC)
     *         — integer counts and binary string order, so the sequence is
@@ -83,7 +93,7 @@ object Bpe {
       words: DataFrame,
       k: Int,
       mode: CheckpointMode = CheckpointMode.Local,
-      batch: Int = 1): DataFrame = {
+      batch: Int = 8): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(batch >= 1, s"batch must be >= 1, got $batch")
     val spark = words.sparkSession
@@ -150,44 +160,76 @@ object Bpe {
           else { sel += rows(idx); used ++= triple; idx += 1 }
         }
         // Sequential-equivalence trim. Merging p_i = (l_i, r_i) into
-        // s_i = l_i+r_i can GROW exactly the pairs touching s_i:
-        //   post(x, s_i) <= c(x, s_i) + c(x, l_i)          =: h_i(x)
-        //   post(s_i, y) <= c(s_i, y) + c(r_i, y)          =: g_i(y)
+        // s_i = l_i+r_i can GROW exactly the pairs touching s_i. Every
+        // post-merge adjacency touching a MERGED s_i occurrence pre-images
+        // injectively to a triple (the merged pair plus its neighbor);
+        // one touching a pre-existing s_i symbol pre-images to a pair:
+        //   post(x, s_i) <= c(x, s_i) + c3(x, l_i, r_i)    =: h_i(x)
+        //   post(s_i, y) <= c(s_i, y) + c3(l_i, r_i, y)    =: g_i(y)
         //   post(s_i, s_j) <= g_i(s_j) + g_i(l_j) <= 2·G_i
-        // (each post-merge adjacency maps to exactly one pre-merge
-        // adjacency: x→[old s_i] or x→[l_i r_i just merged], etc.).
-        // Every other pair's count is unchanged or shrinks, and rank
-        // order already decides those. So p_j is the sequential pick at
-        // its step iff count(p_j) STRICTLY exceeds the maximum possible
-        // grown count from the merges before it: M_j = max over i<j of
-        // max(H_i, 2·G_i) with H_i = max_x h_i(x), G_i = max_y g_i(y)
+        // where c3 is the weighted CONDITIONAL TRIPLE count over this
+        // round's symbol table. (An earlier version bounded with whole
+        // pair masses — c(x, l_i) / c(r_i, y) — which on a Zipf-headed
+        // vocabulary dwarfs every candidate count and trims each batch
+        // to ~1: measured 916 rounds for k=1024 at EVERY width 8/64 on
+        // a 100k-word Zipf vocab. The triple refinement conditions the
+        // same pre-image on the merged pair actually being adjacent,
+        // shrinking the bound by the head symbol's fanout.) The 2·G_i
+        // composition covers pairs between two new symbols via the LEFT
+        // one's g: post(s_k, s_i) <= g_k(s_i) + g_k(l_i) <= 2·G_k, so
+        // single-new pairs need only H_i/G_i and double-new pairs only
+        // 2·G of the earlier-left candidate. Every other pair's count is
+        // unchanged or shrinks, and rank order already decides those.
+        // So p_j is the sequential pick at its step iff count(p_j)
+        // STRICTLY exceeds the maximum possible grown count from the
+        // merges before it: M_j = max over i<j of max(H_i, 2·G_i)
         // (strict, because a count tie is broken by string order and a
-        // freshly created pair could win it). H_i/G_i come from one
-        // tiny aggregation over this round's pair table; p_1 is the
-        // sequential argmax unconditionally, so progress is guaranteed.
+        // freshly created pair could win it). H_i/G_i come from ONE
+        // aggregation over the pair table unioned with the candidate-
+        // filtered triple explode; p_1 is the sequential argmax
+        // unconditionally, so progress is guaranteed.
         val batchSel: Seq[(String, String, Long)] =
           if (sel.size <= 1) Seq(rows(0))
           else {
             val cand = sel.toSeq
-            val rSide = cand.zipWithIndex.flatMap { case ((l, r, _), i) =>
-              Seq((l + r) -> i, l -> i) }.toMap // x→s_i parents: r ∈ {s_i, l_i}
-            val lSide = cand.zipWithIndex.flatMap { case ((l, r, _), i) =>
-              Seq((l + r) -> i, r -> i) }.toMap // s_i→y parents: l ∈ {s_i, r_i}
-            def mapLit(m: Map[String, Int]): Column =
-              map(m.toSeq.flatMap { case (s, i) => Seq(lit(s), lit(i)) }: _*)
-            val bounds = pt
-              .select(col("l"), col("r"), col("cnt"),
-                element_at(mapLit(rSide), col("r")).as("hi"),
-                element_at(mapLit(lSide), col("l")).as("gi"))
-              .select(
-                when(col("hi").isNotNull,
-                  struct(col("hi").as("i"), lit("h").as("f"), col("l").as("o"),
-                    col("cnt"))).as("h"),
-                when(col("gi").isNotNull,
-                  struct(col("gi").as("i"), lit("g").as("f"), col("r").as("o"),
-                    col("cnt"))).as("g"))
+            // s_i values are pairwise distinct (triple-disjointness), so
+            // keying on the concatenated symbol is unambiguous; the lhs
+            // map re-checks the split since concat alone can't prove
+            // (b,c) == (l_i,r_i)
+            def mapLit(m: Map[String, _]): Column =
+              map(m.toSeq.flatMap { case (s, v) => Seq(lit(s), lit(v)) }: _*)
+            val sIdxM = mapLit(cand.zipWithIndex.map {
+              case ((l, r, _), i) => (l + r) -> i }.toMap)
+            val sLhsM = mapLit(cand.map { case (l, r, _) => (l + r) -> l }.toMap)
+            val pairSide = pt.select(
+              when(element_at(sIdxM, col("r")).isNotNull,
+                struct(element_at(sIdxM, col("r")).as("i"), lit("h").as("f"),
+                  col("l").as("o"), col("cnt"))).as("h"),
+              when(element_at(sIdxM, col("l")).isNotNull,
+                struct(element_at(sIdxM, col("l")).as("i"), lit("g").as("f"),
+                  col("r").as("o"), col("cnt"))).as("g"))
               .select(explode(array(col("h"), col("g"))).as("t"))
               .filter(col("t").isNotNull)
+            val tripleSide = syms
+              .filter(size(col("syms")) >= 3)
+              .select(col("n"), explode(expr(
+                "transform(sequence(1, size(syms) - 2), gi -> struct(" +
+                  "element_at(syms, gi) AS a, element_at(syms, gi + 1) AS b, " +
+                  "element_at(syms, gi + 2) AS c))")).as("t3"))
+              .select(col("n"),
+                col("t3.a").as("a"), col("t3.b").as("b"), col("t3.c").as("c"))
+              .select(
+                when(element_at(sIdxM, concat(col("b"), col("c"))).isNotNull &&
+                  col("b") === element_at(sLhsM, concat(col("b"), col("c"))),
+                  struct(element_at(sIdxM, concat(col("b"), col("c"))).as("i"),
+                    lit("h").as("f"), col("a").as("o"), col("n").as("cnt"))).as("h"),
+                when(element_at(sIdxM, concat(col("a"), col("b"))).isNotNull &&
+                  col("a") === element_at(sLhsM, concat(col("a"), col("b"))),
+                  struct(element_at(sIdxM, concat(col("a"), col("b"))).as("i"),
+                    lit("g").as("f"), col("c").as("o"), col("n").as("cnt"))).as("g"))
+              .select(explode(array(col("h"), col("g"))).as("t"))
+              .filter(col("t").isNotNull)
+            val bounds = pairSide.unionByName(tripleSide)
               .groupBy(col("t.i").as("i"), col("t.f").as("f"), col("t.o").as("o"))
               .agg(sum(col("t.cnt")).as("b"))
               .groupBy("i", "f").agg(max("b").as("mx"))

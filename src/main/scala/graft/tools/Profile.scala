@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.Tables
 import graft.functions.{TextFunctions => T}
-import graft.operators.{CcAlgorithm, Dedup, Similarity}
+import graft.operators.{Bpe, CcAlgorithm, Dedup, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -80,6 +80,44 @@ object Profile {
         order.foreach(a =>
           time(s"CC $a rep$r")(
             Dedup.duplicateClusters(cached, algo = a).count()))
+      }
+    }
+    if (mode == "bpe") {
+      // production-k BPE sweep: rounds + wall per batch width at k from
+      // SPARK_GRAFT_BPE_K (default 1024). Sequential (batch=1) is k
+      // driver round-trips — the exact cost the batching exists to cut —
+      // so it is only run when SPARK_GRAFT_BPE_SEQ=1 (at k=1024 it is
+      // ~k jobs; measure once, not per sweep). Output parity across
+      // batch widths is proven in CorpusSpec, not re-checked here.
+      val k = sys.env.getOrElse("SPARK_GRAFT_BPE_K", "1024").toInt
+      // The synthetic documents corpus draws from a ~31-word pool, so its
+      // word table exhausts at ~89 merges — far short of production k.
+      // SPARK_GRAFT_BPE_VOCAB=N swaps in a deterministic Zipf-ish
+      // vocabulary of N distinct words (5-12 chars, 26-letter alphabet,
+      // count ~ N/(rank+1)) — a profiling fixture sized like a real
+      // corpus's vocabulary, same spirit as the CC chain in
+      // FaultTolerance. Default: the corpus words (honest but tiny).
+      val words = (sys.env.get("SPARK_GRAFT_BPE_VOCAB") match {
+        case Some(n) =>
+          spark.range(n.toLong).select(
+            array_join(transform(
+              sequence(lit(0), pmod(col("id"), lit(8)) + lit(4)),
+              i => chr(pmod(xxhash64(col("id"), i), lit(26)) + lit(97))), "")
+              .as("word"),
+            (lit(n.toLong) / (col("id") + 1) + 1).cast("long").as("n"))
+            .groupBy("word").agg(max("n").as("n")) // hash collisions: keep one row per word
+        case None => Tables.documents(spark, sfDir)
+          .select(explode(T.tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("n"))
+      }).localCheckpoint(true) // sweep times learnMerges, not the build
+      println(s"[profile] bpe vocab words = ${words.count()}, k = $k")
+      val widths =
+        (if (sys.env.get("SPARK_GRAFT_BPE_SEQ").contains("1")) Seq(1) else Nil) ++
+          Seq(8, 32, 64)
+      widths.foreach { b =>
+        val n = time(s"bpe k=$k batch=$b")(
+          Bpe.learnMerges(words, k, batch = b).count())
+        println(s"[profile] bpe batch=$b rounds=${Bpe.lastLearnRounds} merges=$n")
       }
     }
     if (mode == "cc" || mode == "all") {
