@@ -104,9 +104,33 @@ object Bpe {
     val lin = new Lineage(spark, mode)
     def tracked(df: DataFrame): (DataFrame, Set[Int]) = lin.tracked(df)
     def release(ids: Set[Int]): Unit = lin.release(ids)
+    // AQE off for the loop's jobs (restored on exit): every per-round job
+    // here is vocabulary-sized, so AQE's per-stage materialization is pure
+    // added latency in a k-round loop — measured 655 s -> 358 s for the
+    // identical 441 rounds (k=1024, 100k-word Zipf vocab, local[32]).
+    // Runtime re-planning has nothing to offer these jobs: shuffle width
+    // is the session setting, there is no join to re-strategize, and the
+    // loop-carried frames are checkpointed anyway. Session-scoped toggle:
+    // learnMerges is single-threaded per invocation, but a concurrent
+    // query on the SAME session during a learn would also run without AQE
+    // — acceptable for a batch tokenizer-training job, noted here.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeBefore = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    try {
+    // Pin the loop's parallelism at entry: the caller's word table often
+    // arrives through an AQE-planned materialization that coalesced it to
+    // ~1 partition (tiny bytes), and every round's narrow chain — the
+    // pairCounts explode map side, the batch-apply projection, each
+    // checkpoint — would inherit that width for all k rounds. Measured on
+    // a 100k-word vocab at k=128: 123 s with the inherited single
+    // partition vs 62 s repartitioned (identical 69 rounds). One
+    // vocabulary-sized shuffle, paid once.
+    val width = spark.sparkContext.defaultParallelism
     var (syms, symIds) = tracked(
       words.filter(!col("word").contains(Sep)) // encoding invariant — class doc
-        .select(charSyms("word").as("syms"), col("n")))
+        .select(charSyms("word").as("syms"), col("n"))
+        .repartition(width))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -275,6 +299,7 @@ object Bpe {
     import spark.implicits._
     merges.toSeq.toDF("step", "lhs", "rhs", "n")
       .select(col("step").cast("long"), col("lhs"), col("rhs"), col("n"))
+    } finally spark.conf.set(aqeKey, aqeBefore)
   }
 
   /** One corpus pass to the word-frequency table learnMerges consumes. */

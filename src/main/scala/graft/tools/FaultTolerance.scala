@@ -2,30 +2,37 @@ package graft.tools
 
 import scala.jdk.CollectionConverters._
 
-import graft.operators.{CheckpointMode, Dedup}
+import graft.operators.{Bpe, CheckpointMode, Dedup}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Fault-injection harness for [[CheckpointMode]]: runs
-  * Dedup.duplicateClusters on a real multi-process cluster
-  * (`local-cluster[2,1,…]` — separate executor JVMs, exactly the failure
-  * domain `local[_]` cannot model), SIGKILLs every executor JVM mid-loop
-  * (once the first round's lineage is truncated and its state live), and
-  * reports whether the job completed and what the labels hashed to. The
-  * Workers restart replacement executors within seconds — the cluster
-  * heals either way; the verdict is decided solely by WHERE the lost
-  * round state lived (blocks vs files).
+/** Fault-injection harness for [[CheckpointMode]]: runs a loop-carried
+  * operator on a real multi-process cluster (`local-cluster[2,1,…]` —
+  * separate executor JVMs, exactly the failure domain `local[_]` cannot
+  * model), SIGKILLs every executor JVM mid-loop (once the first round's
+  * lineage is truncated and its state live), and reports whether the job
+  * completed with correct output. The Workers restart replacement
+  * executors within seconds — the cluster heals either way; the verdict
+  * is decided solely by WHERE the lost round state lived (blocks vs
+  * files).
   *
-  * Usage: runMain graft.tools.FaultTolerance <local|reliable> [chainLen]
+  * Usage: runMain graft.tools.FaultTolerance <local|reliable> [cc|bpe] [size]
+  *
+  *  - `cc`  (default): Dedup.duplicateClusters on a `size`-long chain —
+  *    every label must come out as the chain head.
+  *  - `bpe`: Bpe.learnMerges on a deterministic `size`-word Zipf
+  *    vocabulary — the faulted merge table must equal a second, unfaulted
+  *    run on the healed cluster (learnMerges is deterministic, so any
+  *    divergence means the fault corrupted round state).
   *
   * Expected behavior (FaultToleranceSpec asserts it from a subprocess):
   *  - `reliable`: the loop's round state lives in checkpoint FILES every
-  *    executor can re-read — the job completes despite the kill, labels
-  *    identical to an unfaulted run (exit 0, line `labels_ok`).
-  *  - `local`: round state lives in the killed executor's blocks and the
+  *    executor can re-read — the job completes despite the kill with
+  *    correct output (exit 0, line `verdict=output_ok`).
+  *  - `local`: round state lives in the killed executors' blocks and the
   *    truncated lineage cannot recompute them — the job fails (exit 0
-  *    with line `failed_as_expected` so the spec can assert the CONTRAST,
-  *    not just a crash).
+  *    with line `verdict=failed_as_expected` so the spec can assert the
+  *    CONTRAST, not just a crash).
   *
   * Output lines are `[fault] key=value`; the last line is the verdict.
   */
@@ -33,7 +40,9 @@ object FaultTolerance {
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("reliable")
-    val chainLen = args.drop(1).headOption.map(_.toInt).getOrElse(120000)
+    val op = args.drop(1).headOption.getOrElse("cc")
+    val size = args.drop(2).headOption.map(_.toInt)
+      .getOrElse(if (op == "bpe") 20000 else 120000)
     val ckDir = java.nio.file.Files.createTempDirectory("graft-ft-ck").toString
 
     val spark = graft.Tables.configure(SparkSession.builder())
@@ -63,13 +72,6 @@ object FaultTolerance {
         Thread.sleep(200) // 2 executors + driver entry
       println(s"[fault] executors=${executors.size - 1}")
 
-      import spark.implicits._
-      // one long chain: diameter chainLen forces multiple contraction
-      // rounds, so the kill lands MID-loop, not after convergence
-      val pairs = spark.range(1, chainLen)
-        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
-
-      val expectRoot = 1L
       val appId = spark.sparkContext.applicationId
 
       /** True once at least one loop round is fully materialized AND a
@@ -124,22 +126,54 @@ object FaultTolerance {
         case "reliable" => CheckpointMode.Reliable(ckDir)
         case _          => CheckpointMode.Local
       }
-      killer.start()
-      val result =
-        try {
+
+      /** The operator body under fault; returns "output_ok"/"output_wrong". */
+      def runOp(): String = op match {
+        case "bpe" =>
+          // deterministic Zipf-ish vocabulary (same generator family as
+          // Profile's bpe fixture): enough words that learnMerges spans
+          // many rounds on the tiny cluster
+          def vocab() = spark.range(size.toLong).select(
+            array_join(transform(
+              sequence(lit(0), pmod(col("id"), lit(8)) + lit(4)),
+              i => chr(pmod(xxhash64(col("id"), i), lit(26)) + lit(97))), "")
+              .as("word"),
+            (lit(size.toLong) / (col("id") + 1) + 1).cast("long").as("n"))
+            .groupBy("word").agg(max("n").as("n"))
+          val k = 24
+          val faulted = Bpe.learnMerges(vocab(), k, mode = ckMode)
+            .orderBy("step").collect().map(_.toSeq).toSeq
+          // healed-cluster reference run (no fault): learnMerges is
+          // deterministic, so equality proves the fault lost nothing
+          val reference = Bpe.learnMerges(vocab(), k, mode = ckMode)
+            .orderBy("step").collect().map(_.toSeq).toSeq
+          println(s"[fault] n_merges=${faulted.size} ref=${reference.size}")
+          if (faulted.nonEmpty && faulted == reference) "output_ok"
+          else "output_wrong"
+        case _ =>
+          import spark.implicits._
+          // one long chain: diameter `size` forces multiple contraction
+          // rounds, so the kill lands MID-loop, not after convergence
+          val pairs = spark.range(1, size.toLong)
+            .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
           val labels = Dedup.duplicateClusters(pairs, maxIter = 30, mode = ckMode)
-          val bad = labels.filter(col("root") =!= lit(expectRoot)).count()
+          val bad = labels.filter(col("root") =!= lit(1L)).count()
           val n = labels.count()
           println(s"[fault] n_labels=$n bad_roots=$bad")
-          if (n == chainLen.toLong && bad == 0) "labels_ok" else "labels_wrong"
-        } catch {
+          if (n == size.toLong && bad == 0) "output_ok" else "output_wrong"
+      }
+
+      killer.start()
+      val result =
+        try runOp()
+        catch {
           case e: Throwable =>
             println(s"[fault] job_failed=${e.getClass.getSimpleName}: " +
               s"${String.valueOf(e.getMessage).take(200)}")
             "failed_as_expected"
         }
       killer.join(15000) // let the kill line flush before the verdict
-      println(s"[fault] mode=$mode verdict=$result")
+      println(s"[fault] mode=$mode op=$op verdict=$result")
     } finally spark.stop()
   }
 }

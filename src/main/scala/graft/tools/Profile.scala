@@ -113,7 +113,8 @@ object Profile {
       println(s"[profile] bpe vocab words = ${words.count()}, k = $k")
       val widths =
         (if (sys.env.get("SPARK_GRAFT_BPE_SEQ").contains("1")) Seq(1) else Nil) ++
-          Seq(8, 32, 64)
+          sys.env.get("SPARK_GRAFT_BPE_WIDTHS").map(_.split(",").toSeq.map(_.trim.toInt))
+            .getOrElse(Seq(8, 32, 64))
       widths.foreach { b =>
         val n = time(s"bpe k=$k batch=$b")(
           Bpe.learnMerges(words, k, batch = b).count())

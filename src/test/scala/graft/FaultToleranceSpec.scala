@@ -8,7 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * parity; this proves behavior under executor LOSS). Each case forks a
   * real multi-process cluster via graft.tools.FaultTolerance
   * (`local-cluster[2,1,…]`, separate executor JVMs) and SIGKILLs every
-  * executor mid-CC-loop — after the first round's lineage is truncated,
+  * executor mid-loop — CC contraction and BPE merge learning, the two
+  * loop-carried operator families — after the first round's lineage is
+  * truncated,
   * so the kill provably lands on live loop state (a kill during the
   * first materialization is survivable from the intact original lineage
   * and made the naive version flaky). Workers restart replacements, so
@@ -28,8 +30,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class FaultToleranceSpec extends AnyFunSuite {
 
-  private def run(mode: String): String = {
-    val pb = new ProcessBuilder("tools/jrun.sh", "graft.tools.FaultTolerance", mode)
+  private def run(mode: String, op: String = "cc"): String = {
+    val pb = new ProcessBuilder(
+      "tools/jrun.sh", "graft.tools.FaultTolerance", mode, op)
     pb.directory(new java.io.File(sys.props("user.dir")))
     val env = pb.environment()
     env.put("SPARK_HOME", "/opt/spark")
@@ -56,13 +59,23 @@ class FaultToleranceSpec extends AnyFunSuite {
     log
   }
 
-  test("Reliable checkpoint: job completes with correct labels despite executor SIGKILL") {
+  test("CC, Reliable: job completes with correct labels despite executor SIGKILL") {
     val log = run("reliable")
-    assert(log.contains("verdict=labels_ok"), log)
+    assert(log.contains("verdict=output_ok"), log)
   }
 
-  test("Local checkpoint: executor SIGKILL fails the job (documented fail-fast contrast)") {
+  test("CC, Local: executor SIGKILL fails the job (documented fail-fast contrast)") {
     val log = run("local")
+    assert(log.contains("verdict=failed_as_expected"), log)
+  }
+
+  test("BPE learn, Reliable: faulted merge table equals the unfaulted reference") {
+    val log = run("reliable", "bpe")
+    assert(log.contains("verdict=output_ok"), log)
+  }
+
+  test("BPE learn, Local: executor SIGKILL fails the job (fail-fast contrast)") {
+    val log = run("local", "bpe")
     assert(log.contains("verdict=failed_as_expected"), log)
   }
 }
