@@ -118,19 +118,32 @@ object Bpe {
     val aqeBefore = spark.conf.get(aqeKey, "true")
     spark.conf.set(aqeKey, "false")
     try {
-    // Pin the loop's parallelism at entry: the caller's word table often
-    // arrives through an AQE-planned materialization that coalesced it to
-    // ~1 partition (tiny bytes), and every round's narrow chain — the
-    // pairCounts explode map side, the batch-apply projection, each
-    // checkpoint — would inherit that width for all k rounds. Measured on
-    // a 100k-word vocab at k=128: 123 s with the inherited single
-    // partition vs 62 s repartitioned (identical 69 rounds). One
-    // vocabulary-sized shuffle, paid once.
-    val width = spark.sparkContext.defaultParallelism
     var (syms, symIds) = tracked(
       words.filter(!col("word").contains(Sep)) // encoding invariant — class doc
-        .select(charSyms("word").as("syms"), col("n"))
-        .repartition(width))
+        .select(charSyms("word").as("syms"), col("n")))
+    // Pin the loop's parallelism at entry, sized from the VOCABULARY, not
+    // the cores: the caller's word table often arrives through an
+    // AQE-planned materialization that coalesced it to ~1 partition (tiny
+    // bytes), and every round's narrow chain — the pairCounts explode map
+    // side, the batch-apply projection, each checkpoint — would inherit
+    // that width for all k rounds (measured 123 s vs 62 s at k=128 on a
+    // 100k-word vocab, identical rounds). But the opposite mistake costs
+    // too: spreading a tiny vocabulary across every core pays per-task
+    // overhead times k rounds (measured +0.9 s on the 31-word corpus
+    // table at k=6). So: ~2k words per partition, capped at the cluster's
+    // parallelism, and reshuffle ONLY when the inherited width is >4x off
+    // — the count and the occasional re-checkpoint read the already-
+    // materialized frame, never the caller's plan.
+    val vocabRows = syms.count()
+    val width = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (vocabRows / 2000L).toInt + 1))
+    val inherited = syms.rdd.getNumPartitions
+    if (inherited * 4 < width || width * 4 < inherited) {
+      val (resized, resizedIds) = tracked(syms.repartition(width))
+      release(symIds)
+      syms = resized
+      symIds = resizedIds
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
