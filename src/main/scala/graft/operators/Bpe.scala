@@ -106,18 +106,21 @@ object Bpe {
     def release(ids: Set[Int]): Unit = lin.release(ids)
     // AQE off for the loop's jobs (restored on exit): every per-round job
     // here is vocabulary-sized, so AQE's per-stage materialization is pure
-    // added latency in a k-round loop — measured 655 s -> 358 s for the
-    // identical 441 rounds (k=1024, 100k-word Zipf vocab, local[32]).
+    // added latency in a k-round loop — measured 655 s -> 332 s for the
+    // identical 441 rounds (k=1024, 100k-word Zipf vocab, local[32]) with
+    // exactly this in-loop toggle, session AQE otherwise on. (A global
+    // AQE-off run of the same rounds measured 358 s — slower than the
+    // scoped toggle because the PRE-loop word-count materialization still
+    // benefits from AQE coalescing.)
     // Runtime re-planning has nothing to offer these jobs: shuffle width
     // is the session setting, there is no join to re-strategize, and the
-    // loop-carried frames are checkpointed anyway. Session-scoped toggle:
-    // learnMerges is single-threaded per invocation, but a concurrent
-    // query on the SAME session during a learn would also run without AQE
-    // — acceptable for a batch tokenizer-training job, noted here.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeBefore = spark.conf.get(aqeKey, "true")
-    spark.conf.set(aqeKey, "false")
-    try {
+    // loop-carried frames are checkpointed anyway. The toggle goes through
+    // AqeGate (refcounted per session) so concurrent or nested learnMerges
+    // calls on one session can't clobber each other's restore value; an
+    // unrelated query on the SAME session during a learn still runs
+    // without AQE — acceptable for a batch tokenizer-training job, see
+    // AqeGate's scaladoc for the isolation escape hatch.
+    AqeGate.withAqeOff(spark) {
     var (syms, symIds) = tracked(
       words.filter(!col("word").contains(Sep)) // encoding invariant — class doc
         .select(charSyms("word").as("syms"), col("n")))
@@ -312,7 +315,7 @@ object Bpe {
     import spark.implicits._
     merges.toSeq.toDF("step", "lhs", "rhs", "n")
       .select(col("step").cast("long"), col("lhs"), col("rhs"), col("n"))
-    } finally spark.conf.set(aqeKey, aqeBefore)
+    }
   }
 
   /** One corpus pass to the word-frequency table learnMerges consumes. */

@@ -82,6 +82,13 @@ object Dedup {
     * produce identical labelings (parity-tested on chains, cliques and
     * seeded random graphs — SimilaritySpec).
     *
+    * Self-pairs (doc_a == doc_b) are dropped with the canonical edge
+    * build, so a node appearing ONLY in self-pairs gets no output row
+    * (it belongs to no multi-node cluster; label it `id` itself if
+    * needed). In practice the case is unreachable from this library's
+    * pair producers — jaccardNearDupPairs, minhashCandidatePairs and
+    * lshBucketJoin all emit strictly `a < b` pairs.
+    *
     * Default is [[CcAlgorithm.Auto]], which resolves to
     * [[CcAlgorithm.TwoPhaseStar]] (Kiveris et al. 2014) at every scale
     * (see Auto's scaladoc for the round-8 shootout): its edge multiset

@@ -28,12 +28,18 @@ def mins(paths):
     return {k: min(v) for k, v in per.items()}
 
 
+USAGE = ("usage: scale_ratio.py [--factor F] [--shuffle-1x N] [--shuffle-fx N]"
+         " OUT.json bench_1x_r*.json -- bench_Fx_r*.json")
+
+
 def main():
     argv = sys.argv[1:]
     factor = 10
     shuffle_1x = None
     shuffle_fx = None
-    while argv[0].startswith("--"):
+    while argv and argv[0].startswith("--") and argv[0] != "--":
+        if len(argv) < 2:
+            sys.exit(f"flag {argv[0]} is missing its value\n{USAGE}")
         if argv[0] == "--factor":
             factor = int(argv[1])
         elif argv[0] == "--shuffle-1x":
@@ -41,10 +47,14 @@ def main():
         elif argv[0] == "--shuffle-fx":
             shuffle_fx = int(argv[1])
         else:
-            sys.exit(f"unknown flag {argv[0]}")
+            sys.exit(f"unknown flag {argv[0]}\n{USAGE}")
         argv = argv[2:]
+    if not argv or "--" not in argv:
+        sys.exit(USAGE)
     out = argv[0]
     sep = argv.index("--")
+    if sep < 2 or sep == len(argv) - 1:
+        sys.exit(f"need at least one bench file on each side of --\n{USAGE}")
     one = mins(argv[1:sep])
     ten = mins(argv[sep + 1:])
     rows = {}
