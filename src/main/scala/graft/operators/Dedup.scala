@@ -117,35 +117,149 @@ object Dedup {
     * fail-fast) or [[CheckpointMode.Reliable]] (fault-tolerant checkpoint
     * dir — an executor lost mid-loop re-reads instead of failing the
     * job). Output is identical either way (CheckpointModeSpec). */
+  /** Residual-edge cap for the driver union-find finish in
+    * [[duplicateClusters]]: 1M two-long edges ≤ 16 MB on the driver — the
+    * same bounded-collect class as the bloom-filter bytes (Joins.scala).
+    * Above the cap the distributed star loop runs exactly as before, so
+    * the fallback is never load-bearing for correctness. */
+  val DriverFinishEdges: Long = 1L << 20
+
   def duplicateClusters(
       pairs: DataFrame,
       maxIter: Int = 20,
       mode: CheckpointMode = CheckpointMode.Local,
-      algo: CcAlgorithm = CcAlgorithm.Auto()): DataFrame = {
+      algo: CcAlgorithm = CcAlgorithm.Auto(),
+      driverFinishEdges: Long = DriverFinishEdges): DataFrame = {
     val lin = new Lineage(pairs.sparkSession, mode)
-    // Canonical edge set shared by every algorithm: (u > v) oriented,
-    // self-loops dropped, deduplicated. Materialized eagerly and counted
-    // ONCE — the count sizes the first round's shuffles for both
-    // algorithms and drives the Auto dispatch, so the hybrid costs
-    // nothing beyond what a fixed choice already paid.
+    // Oriented edge rows, self-loops dropped — NOT deduplicated (round-9):
+    // the min-label pre-contraction below is duplicate-insensitive (min
+    // over a multiset), so the full-volume distinct the canonical build
+    // used to pay is deferred to the post-contraction residual, whose
+    // distinct value count is orders of magnitude smaller on real
+    // near-dup graphs. Materialized eagerly: the frame feeds the
+    // min-label aggregation AND the contraction join, and upstream is
+    // typically the expensive near-dup pair pipeline.
     val (e, eIds) = lin.tracked(
       pairs.select(
           greatest(col("doc_a"), col("doc_b")).as("u"),
           least(col("doc_a"), col("doc_b")).as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct(),
+        .filter(col("u") =!= col("v")),
       eager = true)
-    val edges = e.count()
-    val resolved = algo match {
-      case CcAlgorithm.Auto(thr) =>
-        if (edges < thr) CcAlgorithm.HashToMin else CcAlgorithm.TwoPhaseStar
-      case fixed => fixed
+    val edges = e.count() // raw pair rows — an upper bound, used for sizing
+
+    // PRE-CONTRACTION (round-9): real near-dup graphs are clique forests —
+    // most components are a handful of mutual near-dups whose every node
+    // is directly adjacent to the component minimum, so they close in ONE
+    // min-label hop (measured at sf0.1: 478k pair rows over 4.7k nodes
+    // contract to 1.1k residual edges — 99.8% of the graph never enters
+    // the loop). Paying the star loop's fixed costs (two phases plus a
+    // convergence-confirm round = 4+ full-graph shuffles even on an
+    // already-starred graph) for those was the measured bulk of
+    // q_dedup_clusters. So: one min-label round over the oriented edges
+    // (m(x) = min of x's closed neighborhood), contract every edge to
+    // (m(u), m(v)), and resolve only the RESIDUAL graph. Composition is
+    // exact, not heuristic:
+    //  - m(x) is in x's component, so contraction preserves components;
+    //  - the component minimum r has m(r) = r, so r survives into the
+    //    residual and stays the minimum there;
+    //  - a residual-isolated node w is a fully-closed component's minimum
+    //    (if w's component had another distinct m-image, the contracted
+    //    image of a connected graph is connected, giving w a non-loop
+    //    edge), so falling back to m(v) when the residual has no label
+    //    for m(v) is the true component min.
+    // Final label: root(v) = residualRoot(m(v)), else m(v). The hop does
+    // NOT help high-diameter graphs (a chain contracts to a chain one
+    // edge shorter), which is exactly why the star loop stays as the
+    // big-residual path. Parity with the un-contracted algorithms is
+    // spec-tested on chains, cliques and seeded random graphs
+    // (SimilaritySpec).
+    val np0 = roundPartitions(e, 2 * edges)
+    val (labels0, _) = lin.tracked(
+      e.select(col("u").as("s"), col("v").as("d"))
+        .unionAll(e.select(col("v").as("s"), col("u").as("d")))
+        .repartition(np0, col("s"))
+        .groupBy("s").agg(min("d").as("mn"))
+        .select(col("s").as("id"), least(col("s"), col("mn")).as("root")),
+      eager = true)
+    val lu = labels0.select(col("id").as("u"), col("root").as("ru"))
+    val lv = labels0.select(col("id").as("v"), col("root").as("rv"))
+    val (e1, e1Ids) = lin.tracked(
+      e.repartition(np0, col("u")).join(lu, Seq("u"))
+        .repartition(np0, col("v")).join(lv, Seq("v"))
+        .select(
+          greatest(col("ru"), col("rv")).as("u"),
+          least(col("ru"), col("rv")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .repartition(np0, col("u"), col("v"))
+        .dropDuplicates(),
+      eager = true)
+    val edges1 = e1.count()
+    lin.release(eIds) // labels0 + residual are materialized; e is dead
+    if (edges1 == 0) {
+      // every component closed in one hop (the clique-forest fast path):
+      // labels0 IS the final labeling, no loop rounds at all
+      lin.release(e1Ids)
+      return labels0
     }
-    resolved match {
-      case CcAlgorithm.HashToMin    => hashToMinClusters(e, edges, eIds, maxIter, lin)
-      case CcAlgorithm.TwoPhaseStar => twoPhaseStarClusters(e, edges, eIds, maxIter, lin)
-      case _: CcAlgorithm.Auto      => throw new IllegalStateException("unreachable")
-    }
+
+    // Small residual: finish with driver union-find instead of paying the
+    // loop's per-round job overhead (each distributed round is 4+ jobs —
+    // on a contracted clique forest the residual is thousands of edges
+    // and the rounds are pure fixed cost). Bounded by `driverFinishEdges`
+    // (≤ 16 MB at the default cap); the labels map broadcasts back, so
+    // the compose join is shuffle-free. Set driverFinishEdges = 0 to
+    // force the distributed loop (parity tests, fault injection).
+    val residualLabels: DataFrame =
+      if (edges1 <= driverFinishEdges) {
+        val spark = pairs.sparkSession
+        val es = e1.collect()
+        val nodes = new java.util.HashSet[Long](es.length * 2)
+        es.foreach { r => nodes.add(r.getLong(0)); nodes.add(r.getLong(1)) }
+        // parent holds only non-self links; absent key = root
+        val parent = new java.util.HashMap[Long, Long](es.length * 2)
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.getOrDefault(c, c) != c) {
+            val nxt = parent.get(c); parent.put(c, r); c = nxt
+          }
+          r
+        }
+        es.foreach { row =>
+          val (ru, rv) = (find(row.getLong(0)), find(row.getLong(1)))
+          // union by min — the surviving root is the component minimum
+          if (ru < rv) parent.put(rv, ru)
+          else if (rv < ru) parent.put(ru, rv)
+        }
+        val ids = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodes.size)
+        nodes.forEach(k => ids += ((k, find(k))))
+        lin.release(e1Ids)
+        import spark.implicits._
+        broadcast(ids.toSeq.toDF("id", "root"))
+      } else {
+        val resolved = algo match {
+          case CcAlgorithm.Auto(thr) =>
+            if (edges1 < thr) CcAlgorithm.HashToMin else CcAlgorithm.TwoPhaseStar
+          case fixed => fixed
+        }
+        resolved match {
+          case CcAlgorithm.HashToMin =>
+            hashToMinClusters(e1, edges1, e1Ids, maxIter, lin)
+          case CcAlgorithm.TwoPhaseStar =>
+            twoPhaseStarClusters(e1, edges1, e1Ids, maxIter, lin)
+          case _: CcAlgorithm.Auto =>
+            throw new IllegalStateException("unreachable")
+        }
+      }
+    // Compose: every original node id keeps its labels0 row; the residual
+    // labeling (over m-images only) refines the root. Left join —
+    // residual-isolated m-images keep root0 (proof above). labels0's
+    // blocks stay pinned through the compose and die with the operator's
+    // result consumption.
+    val rm = residualLabels.select(col("id").as("mid"), col("root").as("mroot"))
+    labels0.join(rm, labels0("root") === rm("mid"), "left")
+      .select(labels0("id"), coalesce(col("mroot"), labels0("root")).as("root"))
   }
 
   /** Partition count for one CC round-shuffle over `rows` two-long edge

@@ -156,7 +156,11 @@ object FaultTolerance {
           // rounds, so the kill lands MID-loop, not after convergence
           val pairs = spark.range(1, size.toLong)
             .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
-          val labels = Dedup.duplicateClusters(pairs, maxIter = 30, mode = ckMode)
+          // driverFinishEdges = 0: the fault contract under test is the
+          // DISTRIBUTED loop's round state — the driver union-find finish
+          // would absorb a 120k-edge chain residual and dodge the kill
+          val labels = Dedup.duplicateClusters(pairs, maxIter = 30, mode = ckMode,
+            driverFinishEdges = 0L)
           val bad = labels.filter(col("root") =!= lit(1L)).count()
           val n = labels.count()
           println(s"[fault] n_labels=$n bad_roots=$bad")

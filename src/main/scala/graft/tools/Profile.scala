@@ -78,8 +78,13 @@ object Profile {
           if (r % 2 == 1) Seq(CcAlgorithm.HashToMin, CcAlgorithm.TwoPhaseStar)
           else Seq(CcAlgorithm.TwoPhaseStar, CcAlgorithm.HashToMin)
         order.foreach(a =>
+          // driverFinishEdges = 0: the shootout measures the ALGORITHMS —
+          // the default driver union-find finish would absorb the residual
           time(s"CC $a rep$r")(
-            Dedup.duplicateClusters(cached, algo = a).count()))
+            Dedup.duplicateClusters(cached, algo = a, driverFinishEdges = 0L)
+              .count()))
+        time(s"CC driver-finish rep$r")(
+          Dedup.duplicateClusters(cached).count())
       }
     }
     if (mode == "bpe") {

@@ -33,11 +33,13 @@ class CheckpointModeSpec extends AnyFunSuite with SparkTest {
       (1L to 40L).sliding(2).map(s => (s.head, s.last)).toSeq ++
         Seq((100L, 101L), (100L, 102L), (101L, 102L), (200L, 201L))
       ).toDF("doc_a", "doc_b")
-    val local = Dedup.duplicateClusters(pairs)
+    // driverFinishEdges = 0 keeps the LOOP's reliable round files under
+    // test (the default driver finish would absorb a 39-edge residual)
+    val local = Dedup.duplicateClusters(pairs, driverFinishEdges = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     val dir = reliableDir("cc")
     val reliable = Dedup.duplicateClusters(
-        pairs, mode = CheckpointMode.Reliable(dir))
+        pairs, mode = CheckpointMode.Reliable(dir), driverFinishEdges = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(reliable == local)
     // every chain member contracts to root 1; the reliable path really

@@ -150,10 +150,16 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       (1L, 2L), (2L, 3L), (3L, 4L),
       (10L, 11L), (10L, 12L), (11L, 12L),
       (20L, 21L)).toDF("doc_a", "doc_b")
-    def run(a: CcAlgorithm) = Dedup.duplicateClusters(pairs, algo = a)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // driverFinishEdges = 0 forces the DISTRIBUTED loop (the default
+    // finishes a residual this small with driver union-find)
+    def run(a: CcAlgorithm) =
+      Dedup.duplicateClusters(pairs, algo = a, driverFinishEdges = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val star = run(CcAlgorithm.TwoPhaseStar)
     assert(star == run(CcAlgorithm.HashToMin))
+    // the driver union-find finish (default cap) labels identically
+    assert(star == Dedup.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
     assert(star == Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L,
@@ -172,8 +178,11 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     val pairs = (random ++ chain ++ Seq((5L, 5L), (1000L, 1001L)))
       .toDF("doc_a", "doc_b")
       .filter(col("doc_a") =!= col("doc_b"))
-    def run(a: CcAlgorithm) = Dedup.duplicateClusters(pairs, algo = a)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // force the distributed loop: the pre-contraction's driver finish
+    // would otherwise absorb a graph this small
+    def run(a: CcAlgorithm) =
+      Dedup.duplicateClusters(pairs, algo = a, driverFinishEdges = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     val star = run(CcAlgorithm.TwoPhaseStar)
     assert(star == run(CcAlgorithm.HashToMin))
     // the chain really contracted to its minimum
@@ -182,6 +191,9 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     // graph and require the fixed-algorithm labeling either way
     assert(star == run(CcAlgorithm.Auto(threshold = 1L)))        // → TwoPhaseStar
     assert(star == run(CcAlgorithm.Auto(threshold = Long.MaxValue))) // → HashToMin
+    // and the driver union-find finish (default cap) labels identically
+    assert(star == Dedup.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
   }
 
   test("keepFromPairs drops planted embedding dups, keeps originals and singletons") {
