@@ -122,4 +122,67 @@ class PropertySpec extends AnyFunSuite with SparkTest {
         full.orderBy("id").collect().toSeq)
     }
   }
+
+  // --- Sketch-bracket sweeps over RANDOM day windows (round-9): the
+  // EntrySpec brackets pin the 7-day rollup queries; these prove the
+  // underlying merge algebra holds for arbitrary window placement and
+  // length at sf0.1, so the tolerance bands aren't fixture-shaped.
+
+  private val sweepSf = "/root/testdata/sf0.1"
+
+  test("property: HLL day-sketch union tracks exact distinct over random day windows") {
+    val ev = Tables.events(spark, sweepSf)
+      .select(col("user_id"), to_date(date_trunc("DAY", col("ts"))).as("day"))
+    val days = ev.select("day").distinct().orderBy("day")
+      .collect().map(_.getDate(0))
+    assert(days.length >= 3, s"fixture has only ${days.length} days")
+    // day-sketch table built ONCE; each sampled window re-merges it —
+    // exactly the precompute-once/merge-anywhere contract under test
+    val daily = ev.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .localCheckpoint(true)
+    val windows = Gen.zip(
+      Gen.choose(2, math.min(12, days.length)), Gen.choose(0, days.length - 2))
+    samples(windows, 8).foreach { case (len0, start0) =>
+      val start = math.min(start0, days.length - len0)
+      val (lo, hi) = (days(start), days(start + len0 - 1))
+      val est = daily.filter(col("day").between(lo, hi))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long"))
+        .collect()(0).getLong(0)
+      val exact = ev.filter(col("day").between(lo, hi))
+        .select("user_id").distinct().count()
+      assert(exact > 0, s"empty window $lo..$hi")
+      assert(math.abs(est - exact).toDouble / exact <= 0.1,
+        s"window $lo..$hi (len $len0): sketch $est vs exact $exact")
+    }
+  }
+
+  test("property: merged GK day-sketches respect the rank bound over random windows and percentiles") {
+    import graft.functions.{QuantileMergeAgg, QuantileSketchAgg}
+    val eps = 0.03 // 3x sketch ε: guarantee + discrete-rank slack (EntrySpec)
+    val ev = Tables.events(spark, sweepSf)
+      .select(to_date(date_trunc("DAY", col("ts"))).as("day"), col("value"))
+    val days = ev.select("day").distinct().orderBy("day")
+      .collect().map(_.getDate(0))
+    val daily = ev.groupBy("day")
+      .agg(QuantileSketchAgg.column()(col("value")).as("sk"))
+      .localCheckpoint(true)
+    val cases = Gen.zip(
+      Gen.choose(2, math.min(12, days.length)),
+      Gen.choose(0, days.length - 2),
+      Gen.choose(0.10, 0.95))
+    samples(cases, 8).foreach { case (len0, start0, p) =>
+      val start = math.min(start0, days.length - len0)
+      val (lo, hi) = (days(start), days(start + len0 - 1))
+      val est = daily.filter(col("day").between(lo, hi))
+        .agg(QuantileMergeAgg.column(Seq(p))(col("sk")).as("qs"))
+        .collect()(0).getSeq[Double](0).head
+      // exact VALUE bracket at ranks p ± 3ε over the same window
+      val bounds = ev.filter(col("day").between(lo, hi))
+        .agg(expr(s"percentile(value, array(${math.max(0, p - eps)}, " +
+          s"${math.min(1, p + eps)}))").as("b"))
+        .collect()(0).getSeq[Double](0)
+      assert(est >= bounds(0) && est <= bounds(1),
+        s"window $lo..$hi p=$p: sketch $est outside [${bounds(0)}, ${bounds(1)}]")
+    }
+  }
 }
