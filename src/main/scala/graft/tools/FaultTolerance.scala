@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * is decided solely by WHERE the lost round state lived (blocks vs
   * files).
   *
-  * Usage: runMain graft.tools.FaultTolerance <local|reliable> [cc|bpe] [size]
+  * Usage: runMain graft.tools.FaultTolerance <local|reliable> [cc|bpe|stream] [size]
   *
   *  - `cc`  (default): Dedup.duplicateClusters on a `size`-long chain —
   *    every label must come out as the chain head.
@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   *    vocabulary — the faulted merge table must equal a second, unfaulted
   *    run on the healed cluster (learnMerges is deterministic, so any
   *    divergence means the fault corrupted round state).
+  *  - `stream`: Streams.dedupIngestSink over a file-source stream of
+  *    duplicate-laden documents, killed mid-micro-batch — the faulted
+  *    run's admitted set (after stage retry on replacement executors, or
+  *    one query restart from its checkpoint if the kill took the query
+  *    down) must equal an unfaulted reference run. `mode` is ignored:
+  *    the sink's state is parquet files + streaming checkpoint by
+  *    design, so the case proves the replay-idempotence contract
+  *    (per-batch `batch=<id>` overwrite) rather than a Local/Reliable
+  *    contrast.
   *
   * Expected behavior (FaultToleranceSpec asserts it from a subprocess):
   *  - `reliable`: the loop's round state lives in checkpoint FILES every
@@ -59,6 +68,11 @@ object FaultTolerance {
         Seq("java.lang", "java.lang.invoke", "java.nio", "java.util",
           "java.util.concurrent", "sun.nio.ch")
           .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED").mkString(" "))
+      // executors are forked JVMs with only the Spark jars: graft's own
+      // classes (custom codegen expressions like Tokenize resolve them
+      // DURING executor-side janino compilation) must ride along
+      .config("spark.executor.extraClassPath",
+        new java.io.File("target/scala-2.13/classes").getAbsolutePath)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -74,6 +88,11 @@ object FaultTolerance {
 
       val appId = spark.sparkContext.applicationId
 
+      // stream-op fixture dirs, created up front so the kill trigger can
+      // watch the faulted run's admit dir (cheap no-ops for cc/bpe)
+      val streamAdmitF =
+        java.nio.file.Files.createTempDirectory("graft-ft-admitF").toString
+
       /** True once at least one loop round is fully materialized AND a
         * successor round has started — i.e. the first round's lineage has
         * been truncated and its state is being READ. Killing any earlier
@@ -83,7 +102,20 @@ object FaultTolerance {
         * flaky. Mode-aware because the two modes keep round state in
         * different places: Local = executor blocks, Reliable = files.
         */
-      def roundStateLive(): Boolean = mode match {
+      def roundStateLive(): Boolean = if (op == "stream") {
+        // first admitted batch committed to the faulted run's admit dir —
+        // the kill then lands while later micro-batches are in flight
+        val root = java.nio.file.Paths.get(streamAdmitF)
+        java.nio.file.Files.exists(root) && {
+          val s = java.nio.file.Files.walk(root)
+          // COMMITTED part files only (in-flight writes live under
+          // _temporary) — so the kill lands while batch 1+ is in flight
+          try s.iterator().asScala
+            .exists(p => p.getFileName.toString.startsWith("part-") &&
+              !p.toString.contains("_temporary"))
+          finally s.close()
+        }
+      } else mode match {
         case "reliable" =>
           // two distinct rdd-N checkpoint dirs with data files on disk
           val root = java.nio.file.Paths.get(ckDir)
@@ -114,8 +146,11 @@ object FaultTolerance {
         // seconds, so the cluster heals either way; what decides the
         // outcome is solely WHERE the round state lived.
         val killed =
+          // [C]oarse…: the bracket keeps pgrep -f from matching THIS bash
+          // process (its own cmdline contains the pattern text), which
+          // would SIGKILL the pipeline mid-run and lose the pid echo
           try scala.sys.process.Process(Seq("bash", "-c",
-            s"pgrep -f 'CoarseGrainedExecutorBackend.*$appId' " +
+            s"pgrep -f '[C]oarseGrainedExecutorBackend.*$appId' " +
               "| xargs -r -I{} sh -c 'kill -9 {}; echo {}' | paste -sd, -")).!!.trim
           catch { case e: Throwable => s"ERROR:${e.getMessage}" }
         println(s"[fault] killed_executor_pid=$killed")
@@ -129,6 +164,71 @@ object FaultTolerance {
 
       /** The operator body under fault; returns "output_ok"/"output_wrong". */
       def runOp(): String = op match {
+        case "stream" =>
+          // Streaming dedup-ingest under executor SIGKILL mid-micro-batch.
+          // The sink's crash contract is replay idempotence (per-batch
+          // `batch=<id>` overwrite + state reads excluding >= batchId), so
+          // the verdict is: faulted admitted set == unfaulted reference —
+          // whether the faulted query survives via stage retry on the
+          // replacement executors or dies and is RESTARTED once from its
+          // checkpoint (both paths are legitimate recoveries; which one
+          // occurs depends on where the kill lands).
+          import graft.functions.{TextFunctions => T}
+          val nFiles = 6
+          val perFile = 60
+          val nUnique = 90 // each text recurs ~4x across the batch stream
+          def textOf(t: Int): String =
+            (0 until 20).map(j => f"w${(t * 31 + j * 7) % 997}%03d").mkString(" ")
+          val srcDir = java.nio.file.Files.createTempDirectory("graft-ft-src")
+          (0 until nFiles).foreach { f =>
+            val lines = (0 until perFile).map { r =>
+              val id = f * perFile + r
+              s"""{"id":$id,"text":"${textOf(id % nUnique)}"}"""
+            }
+            java.nio.file.Files.write(srcDir.resolve(f"part$f%02d.json"),
+              lines.mkString("\n").getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+          }
+          def startSink(ck: String, bands: String, admit: String) = {
+            val docs = spark.readStream.schema("id LONG, text STRING")
+              .option("maxFilesPerTrigger", 1).json(srcDir.toString)
+              .select(col("id"),
+                T.ngrams(T.tokens(col("text")), 3).as("shingles"))
+            graft.streaming.Streams.dedupIngestSink(
+              docs, bands, admit, k = 16, nBands = 4,
+              checkpointLocation = Some(ck))
+          }
+          def tmp(tag: String): String =
+            java.nio.file.Files.createTempDirectory(s"graft-ft-$tag").toString
+          val (ckF, bandsF) = (tmp("ckF"), tmp("bandsF"))
+          val q1 = startSink(ckF, bandsF, streamAdmitF)
+          val survived =
+            try { q1.processAllAvailable(); q1.stop(); true }
+            catch {
+              case e: Throwable =>
+                println(s"[fault] stream_query_failed=${e.getClass.getSimpleName}")
+                try q1.stop() catch { case _: Throwable => () }
+                false
+            }
+          if (!survived) {
+            // restart ONCE from the same checkpoint: offsets replay the
+            // failed batch over its own batch=<id> dirs
+            val q2 = startSink(ckF, bandsF, streamAdmitF)
+            q2.processAllAvailable(); q2.stop()
+          }
+          println(s"[fault] stream_survived_kill=$survived")
+          val admittedF = spark.read.parquet(streamAdmitF)
+            .select("id").collect().map(_.getLong(0)).toSet
+          // unfaulted reference on the healed cluster (kill already fired)
+          killer.join(150000)
+          val (ckR, bandsR, admitR) = (tmp("ckR"), tmp("bandsR"), tmp("admitR"))
+          val q3 = startSink(ckR, bandsR, admitR)
+          q3.processAllAvailable(); q3.stop()
+          val admittedR = spark.read.parquet(admitR)
+            .select("id").collect().map(_.getLong(0)).toSet
+          println(s"[fault] n_admitted=${admittedF.size} ref=${admittedR.size}")
+          if (admittedF.nonEmpty && admittedF == admittedR) "output_ok"
+          else "output_wrong"
         case "bpe" =>
           // deterministic Zipf-ish vocabulary (same generator family as
           // Profile's bpe fixture): enough words that learnMerges spans

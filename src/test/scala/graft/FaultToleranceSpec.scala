@@ -78,4 +78,11 @@ class FaultToleranceSpec extends AnyFunSuite {
     val log = run("local", "bpe")
     assert(log.contains("verdict=failed_as_expected"), log)
   }
+
+  test("streaming dedup-ingest: admitted set survives executor SIGKILL mid-micro-batch") {
+    // mode is ignored for the stream op (state = parquet + checkpoint by
+    // design); the verdict is admitted-set equality with an unfaulted run
+    val log = run("reliable", "stream")
+    assert(log.contains("verdict=output_ok"), log)
+  }
 }
