@@ -428,11 +428,24 @@ object Similarity {
     // single action lets AQE overlap the checkpoint-materializing stages,
     // and the dominant cost is the candidate join+dedup stage (~70%), not
     // recomputation. Profile `pairs` mode times build vs count if revisiting.
+    // Token-HASH pipeline (round-9): every stage from here — the token
+    // explode, the frequency table, the candidate join key and the verify
+    // arrays — works on xxhash64(token) longs, not strings. The hash is
+    // applied ONCE per document; `hs` is the sorted distinct hash array,
+    // so the quadratic-ish candidate stage shuffles 8-byte longs (~40%
+    // narrower rows than UTF8 tokens plus offsets) and the verify is a
+    // primitive merge-intersection (JaccardSortedLongs) instead of a
+    // per-pair UTF8 hash set. Exactness: Jaccard over the hash SETS
+    // equals Jaccard over the token sets unless two distinct tokens of
+    // one compared pair collide in 64 bits (~7e-17 per pair — accepted
+    // risk class, see JaccardSortedLongs). The global frequency order
+    // used for prefixes changes (ties order by hash, not lexicographs) —
+    // irrelevant to losslessness, which only needs SOME consistent
+    // global order.
     val base = docs
-      .withColumn("toks", array_distinct(col("toks")))
-      .select(col("doc_id"), col("lang"),
-        band(col("n_chars")).as("band"), col("toks"))
-      .withColumn("n_toks", size(col("toks")))
+      .select(col("doc_id"), col("lang"), band(col("n_chars")).as("band"),
+        sort_array(array_distinct(transform(col("toks"), xxhash64(_)))).as("hs"))
+      .withColumn("n_toks", size(col("hs")))
       .transform(df => lin.tracked(df, eager = false)._1)
 
     // PPJoin prefix filter (Bayardo/Chaudhuri): under a global token order
@@ -444,7 +457,7 @@ object Similarity {
     // of growing quadratically with band population (the band-only join
     // measured 20x time at 10x corpus; this is the 100 TB shape).
     val toksExp = base.select(col("doc_id"), col("lang"), col("band"),
-      col("n_toks"), explode(col("toks")).as("token"))
+      col("n_toks"), explode(col("hs")).as("token"))
     val freq = toksExp.groupBy("token").agg(count(lit(1)).as("tf"))
     val wDoc = Window.partitionBy("doc_id").orderBy(col("tf"), col("token"))
     // FP slack (here and in the candidate prunes below): the thresholds are
@@ -542,12 +555,18 @@ object Similarity {
       .filter(lit(1) + least(col("n_a") - col("fa"), col("n_b") - col("fb")) >= alpha)
       .select("doc_a", "doc_b")
 
-    val jac = MinHash.exactJaccard(col("toks_a"), col("toks_b"))
+    // merge-intersection over the sorted hash arrays — see the base-build
+    // comment for why this is value-identical to string-set Jaccard
+    val jac = {
+      import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+      column(graft.expressions.JaccardSortedLongs(
+        expression(col("hs_a")), expression(col("hs_b"))))
+    }
     cand
       .repartition(p, col("doc_a"))
-      .join(base.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
       .repartition(p, col("doc_b"))
-      .join(base.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
+      .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= minJaccard)
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),

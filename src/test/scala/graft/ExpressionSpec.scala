@@ -338,6 +338,29 @@ class ExpressionSpec extends AnyFunSuite with SparkTest {
     assert(viaSql == "한")
   }
 
+  test("JaccardSortedLongs == string-set Jaccard on random token multisets") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    // random multisets with shared vocabulary (dups + overlaps + empties);
+    // the hashed path must agree exactly (64-bit collisions are ~7e-17
+    // per pair — a deterministic fixture never hits one)
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"tok$i")
+    def toks() = Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+    val cases = (1 to 60).map(_ => (toks(), toks())) :+
+      ((Seq.empty[String], Seq.empty[String])) :+ ((Seq("a"), Seq.empty[String]))
+    val hs = (c: org.apache.spark.sql.Column) =>
+      sort_array(array_distinct(transform(c, xxhash64(_))))
+    val rows = cases.toDF("a", "b").select(
+      graft.functions.MinHash.exactJaccard(col("a"), col("b")).as("s"),
+      column(graft.expressions.JaccardSortedLongs(
+        expression(hs(col("a"))), expression(hs(col("b"))))).as("h")).collect()
+    rows.foreach { r =>
+      val (s, h) = (r.getDouble(0), r.getDouble(1))
+      assert(s == h || (s.isNaN && h.isNaN), s"string $s vs hashed $h")
+    }
+  }
+
   test("salted aggregation equals the plain aggregation") {
     import spark.implicits._
     val df = ((1 to 500).map(_ => ("hot", 1.0)) ++
