@@ -24,13 +24,16 @@ object JaccardProbe {
     val bandWidth = 0.1
     def band(c: org.apache.spark.sql.Column) =
       floor(log1p(c) / bandWidth).cast("long")
+    // mirrors Similarity.jaccardNearDupPairs' hashed-token pipeline
+    // (round-9): stages run on xxhash64 longs, cardinalities identical
     val base = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), band(col("n_chars")).as("band"),
-        array_distinct(T.tokens(col("text"))).as("toks"))
-      .withColumn("n_toks", size(col("toks")))
+        sort_array(array_distinct(
+          transform(T.tokens(col("text")), xxhash64(_)))).as("hs"))
+      .withColumn("n_toks", size(col("hs")))
       .localCheckpoint(false)
     val toksExp = base.select(col("doc_id"), col("lang"), col("band"),
-      col("n_toks"), explode(col("toks")).as("token"))
+      col("n_toks"), explode(col("hs")).as("token"))
     val freq = toksExp.groupBy("token").agg(count(lit(1)).as("tf"))
     val wDoc = Window.partitionBy("doc_id").orderBy(col("tf"), col("token"))
     val prefix = toksExp.join(freq, Seq("token"))
