@@ -35,6 +35,35 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** ColBERT-style late-interaction retrieval (Khattab & Zaharia, "ColBERT:
+    * Efficient and Effective Passage Search via Contextualized Late
+    * Interaction over BERT", SIGIR 2020): documents are BAGS of vectors and
+    * score(q, d) = Σ over q's vectors of the max cosine against d's vectors
+    * — finer-grained than single-vector cosine, the reranker shape of
+    * retrieval-augmented training-data pipelines.
+    *
+    * `queries` must be small (broadcast, like [[bruteForceTopK]]); the
+    * corpus scan stays distributed. The MaxSim reduction is two keyed
+    * aggregations with map-side partials — the shuffle after the broadcast
+    * join carries at most (corpus docs × query vectors) partial maxes per
+    * partition, never the raw corpus×query cosine matrix — and the final
+    * ranking is a partitioned window, never a global sort. */
+  def maxSimTopK(
+      queries: DataFrame, // (q_doc, qv_id, qv: array<double>) — SMALL
+      corpus: DataFrame,  // (c_doc, cv: array<double>)
+      k: Int): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(queries))
+      .withColumn("cos", V.cosineNative(col("qv"), col("cv")))
+      .groupBy("q_doc", "c_doc", "qv_id")
+      .agg(max("cos").as("mx"))
+      .groupBy("q_doc", "c_doc")
+      .agg(sum("mx").as("maxsim"))
+    val w = Window.partitionBy("q_doc")
+      .orderBy(round(col("maxsim"), 6).desc, col("c_doc"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Deterministic ±1 random-hyperplane entry for (plane j, dimension i) —
     * a fixed integer mix, no RNG state, so every executor and every round
     * derives the same planes. */

@@ -47,6 +47,47 @@ object SimilarityQueries {
         .orderBy("q_id", "rn")
     },
 
+    // ColBERT-style late-interaction MaxSim retrieval (Similarity
+    // .maxSimTopK): multi-vector documents (8 vectors per synthetic doc =
+    // vec_id/8), score = Σ per query vector of the max cosine against the
+    // candidate's vectors, top-5 per query doc. Cross-engine float notes
+    // as q_sim_topk: per-pair cosine agrees to well under the rounding
+    // tolerance, ranking ties break on round6 + c_doc, output rounds to 2.
+    QueryDef(
+      "q_sim_maxsim",
+      Some("""WITH v AS (SELECT vec_id, vec_id // 8 AS doc,
+                                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+                         FROM embeddings),
+                   q AS (SELECT doc AS q_doc, vec_id AS qv_id, vv AS qv
+                         FROM v WHERE doc < 2),
+                   c AS (SELECT doc AS c_doc, vv AS cv FROM v WHERE doc >= 2),
+                   p AS (SELECT q_doc, c_doc, qv_id,
+                                max(list_sum(list_transform(generate_series(1, len(qv)),
+                                                            i -> qv[i] * cv[i])) /
+                                    (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+                                     sqrt(list_sum(list_transform(cv, x -> x * x))))) AS mx
+                         FROM c, q GROUP BY 1, 2, 3),
+                   s AS (SELECT q_doc, c_doc, sum(mx) AS maxsim FROM p GROUP BY 1, 2)
+              SELECT q_doc, c_doc,
+                     CAST(round(CAST(maxsim AS DECIMAL(28,6)), 2) AS DOUBLE) AS maxsim,
+                     CAST(rn AS BIGINT) AS rn
+              FROM (SELECT *, row_number() OVER (PARTITION BY q_doc
+                      ORDER BY round(maxsim, 6) DESC, c_doc) AS rn FROM s)
+              WHERE rn <= 5 ORDER BY q_doc, rn""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), (col("vec_id") / lit(8)).cast("long").as("doc"),
+          V.asDouble(col("embedding")).as("vv"))
+      val queries = emb.filter(col("doc") < 2)
+        .select(col("doc").as("q_doc"), col("vec_id").as("qv_id"),
+          col("vv").as("qv"))
+      val corpus = emb.filter(col("doc") >= 2)
+        .select(col("doc").as("c_doc"), col("vv").as("cv"))
+      Similarity.maxSimTopK(queries, corpus, 5)
+        .select(col("q_doc"), col("c_doc"),
+          Num.round2(col("maxsim")).as("maxsim"), col("rn").cast("long"))
+        .orderBy("q_doc", "rn")
+    },
+
     // LSH-bucketed near-dup over embeddings — the scale path (equi-join on
     // SRP buckets instead of corpus², then exact cosine re-check).
     // The synthetic embeddings are random (max pairwise cosine ≈ 0.48), so

@@ -126,6 +126,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(candidates < 60L * 59L / 2 / 4) // ≥4× pruning on random data
   }
 
+  test("maxSimTopK: identical doc scores |q| (perfect self-similarity), ranks first") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    def vec(seed: Int) = (0 until 8).map(j => math.sin(seed * 13 + j))
+    // query doc 0 = {v0, v1, v2}; corpus doc 10 = same bag (score 3.0),
+    // doc 11 = unrelated vectors
+    val q = Seq((0L, 0L, vec(0)), (0L, 1L, vec(1)), (0L, 2L, vec(2)))
+      .toDF("q_doc", "qv_id", "qv")
+    val c = (Seq((10L, vec(0)), (10L, vec(1)), (10L, vec(2))) ++
+      Seq((11L, vec(7)), (11L, vec(8)), (11L, vec(9))))
+      .toDF("c_doc", "cv")
+    val got = Similarity.maxSimTopK(q, c, 2)
+      .select("c_doc", "maxsim", "rn").orderBy("rn").collect()
+    assert(got(0).getLong(0) == 10L && math.abs(got(0).getDouble(1) - 3.0) < 1e-9)
+    assert(got(0).getInt(2) == 1 || got(0).getLong(2) == 1L)
+    assert(got(1).getLong(0) == 11L && got(1).getDouble(1) < 3.0)
+  }
+
   test("duplicateClusters resolves chains and cliques to min-root components") {
     import spark.implicits._
     import graft.operators.Dedup
