@@ -144,6 +144,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(got(1).getLong(0) == 11L && got(1).getDouble(1) < 3.0)
   }
 
+  test("duplicateClusters: empty and self-pair-only inputs yield no labels") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.duplicateClusters(empty).count() == 0)
+    // self-pairs are dropped with the oriented edge build (documented):
+    // a node appearing ONLY in self-pairs gets no output row
+    val selfOnly = Seq((5L, 5L), (9L, 9L)).toDF("doc_a", "doc_b")
+    assert(Dedup.duplicateClusters(selfOnly).count() == 0)
+  }
+
   test("duplicateClusters resolves chains and cliques to min-root components") {
     import spark.implicits._
     import graft.operators.Dedup
