@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver benches via `sbt runMain graft.Bench` and parses the LAST
+// stdout line; sbt's own "[success] Total time …" trailer otherwise lands
+// after Bench's compact JSON summary line and the parse records null
+// (BENCH_r08/r09 "parsed": null). Suppressing the success banner makes the
+// bench's summary the process-final line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// Forked run output goes straight to this process's stdout/stderr instead
+// of through sbt's logger — no "[info] " prefix on Bench's JSON lines, so
+// the driver's last-line parse sees bare JSON regardless of tty detection.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

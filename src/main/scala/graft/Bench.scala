@@ -51,7 +51,7 @@ object Bench {
     // 0). Failures are collected by name, reported in BOTH output lines,
     // and fail the process — the artifact can under-report nothing.
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = runs.map { case (name, fn) =>
+    val results = runs.flatMap { case (name, fn) =>
       // q_layout_compact_exec MUTATES its fixture to the converged state;
       // under REPEAT>1 every later repeat would time a no-op audit instead
       // of the rewrite. Restore the fragmentation between repeats, outside
@@ -59,11 +59,13 @@ object Bench {
       if (name.startsWith("q_layout_compact_exec#"))
         Tables.refragmentCompactable(spark, sfDir)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          failed += name
-          System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            failed += name
+            System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // Drop blocks the query pinned (localCheckpoint lineage truncation
       // persists RDD blocks until GC): in production each query runs in its
@@ -81,7 +83,11 @@ object Bench {
       // predecessors' cleanup (measured: removes 2-5x tail inflation on
       // queries that follow global sorts / large broadcasts)
       System.gc()
-      name -> dt
+      // A failed query's partial elapsed time is NOT a measurement of
+      // anything — including it would mix successful and aborted timings
+      // in the per-query map and inflate/deflate the total arbitrarily
+      // (r9 ADVICE). Failures are reported solely via `failed` + rc 1.
+      if (ok) Some(name -> dt) else None
     }
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")

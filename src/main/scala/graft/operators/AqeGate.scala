@@ -43,7 +43,12 @@ private[graft] object AqeGate {
       state.get(spark) match {
         case (1, before) =>
           state.remove(spark)
-          spark.conf.set(Key, before)
+          // A stopped session can throw from conf.set; swallowing keeps
+          // the body's own exception (the interesting one) propagating
+          // instead of being masked by the restore (r9 ADVICE). The map
+          // entry is already removed, so gate state stays consistent.
+          try spark.conf.set(Key, before)
+          catch { case _: Throwable => () }
         case (depth, before) =>
           state.put(spark, (depth - 1, before))
       }

@@ -182,7 +182,7 @@ object Dedup {
     // spec-tested on chains, cliques and seeded random graphs
     // (SimilaritySpec).
     val np0 = roundPartitions(e, 2 * edges)
-    val (labels0, _) = lin.tracked(
+    val (labels0, l0Ids) = lin.tracked(
       e.select(col("u").as("s"), col("v").as("d"))
         .unionAll(e.select(col("v").as("s"), col("u").as("d")))
         .repartition(np0, col("s"))
@@ -276,12 +276,21 @@ object Dedup {
       }
     // Compose: every original node id keeps its labels0 row; the residual
     // labeling (over m-images only) refines the root. Left join —
-    // residual-isolated m-images keep root0 (proof above). labels0's
-    // blocks stay pinned through the compose and die with the operator's
-    // result consumption.
+    // residual-isolated m-images keep root0 (proof above). The composed
+    // result is materialized eagerly (node-sized — one narrow row per
+    // node, cheap relative to the operator) so labels0's blocks can be
+    // RELEASED here instead of surviving until GC: a long-lived session
+    // calling duplicateClusters repeatedly no longer accumulates the
+    // per-invocation node map in executor storage (r9 ADVICE). The
+    // returned frame's own blocks die with result consumption, like the
+    // edges1 == 0 fast path's labels0.
     val rm = residualLabels.select(col("id").as("mid"), col("root").as("mroot"))
-    labels0.join(rm, labels0("root") === rm("mid"), "left")
-      .select(labels0("id"), coalesce(col("mroot"), labels0("root")).as("root"))
+    val (out, _) = lin.tracked(
+      labels0.join(rm, labels0("root") === rm("mid"), "left")
+        .select(labels0("id"), coalesce(col("mroot"), labels0("root")).as("root")),
+      eager = true)
+    lin.release(l0Ids)
+    out
   }
 
   /** Partition count for one CC round-shuffle over `rows` two-long edge

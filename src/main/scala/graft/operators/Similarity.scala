@@ -471,9 +471,16 @@ object Similarity {
     // used for prefixes changes (ties order by hash, not lexicographs) —
     // irrelevant to losslessness, which only needs SOME consistent
     // global order.
+    // Null tokens are dropped BEFORE hashing: xxhash64 maps a null input
+    // to its seed constant (42), so a tokenizer emitting null elements
+    // would otherwise count one phantom token shared by all such docs
+    // (r9 ADVICE). The library tokenizers never emit null, so this filter
+    // is a no-op in practice; it pins the semantics (Jaccard over the
+    // non-null token set) rather than inheriting a hash artifact.
     val base = docs
       .select(col("doc_id"), col("lang"), band(col("n_chars")).as("band"),
-        sort_array(array_distinct(transform(col("toks"), xxhash64(_)))).as("hs"))
+        sort_array(array_distinct(transform(
+          filter(col("toks"), _.isNotNull), xxhash64(_)))).as("hs"))
       .withColumn("n_toks", size(col("hs")))
       .transform(df => lin.tracked(df, eager = false)._1)
 
@@ -591,15 +598,160 @@ object Similarity {
       column(graft.expressions.JaccardSortedLongs(
         expression(col("hs_a")), expression(col("hs_b"))))
     }
+    // Verify-stage shuffle discipline (round-10; the r9 VERDICT's top
+    // lever — both arrays used to ride through two repartition+join
+    // shuffles). Two changes, both pure plan reshapes:
+    //  - ONE corpus-array exchange, reused: `baseArr` is repartitioned by
+    //    doc_id below the per-join alias projections, so both joins see
+    //    the required HashPartitioning through the alias
+    //    (PartitioningPreservingUnaryExecNode) and the physical planner's
+    //    ReuseExchange collapses the two identical exchange subtrees —
+    //    the corpus arrays shuffle once, not twice.
+    //  - the SMALL side's array is the only pair-expanded payload to
+    //    cross an exchange: hs_b (candidates orient b as the smaller doc,
+    //    n_b <= n_a) is fetched first and travels through the doc_a
+    //    re-key; hs_a joins in last and is consumed by the jaccard
+    //    projection inside the same stage, never entering an exchange.
+    //    At minJaccard = 0.5 the b-side prefix bound gives
+    //    sum(n_b) <= sum(n_a), typically ~25% fewer payload bytes, on
+    //    top of the corpus-exchange halving.
+    val baseArr = base.select(col("doc_id"), col("hs"))
+      .repartition(p, col("doc_id"))
     cand
-      .repartition(p, col("doc_a"))
-      .join(base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
       .repartition(p, col("doc_b"))
-      .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .join(baseArr.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .repartition(p, col("doc_a"))
+      .join(baseArr.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= minJaccard)
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
+  }
+
+  /** Asymmetric CONTAINMENT near-dup pairs: ordered (doc_a, doc_b) with
+    * |A ∩ B| / |A| >= minContainment over the docs' DISTINCT token sets —
+    * doc_a is the (mostly) CONTAINED document. This is the relation
+    * symmetric Jaccard structurally misses: a doc wholly embedded in a
+    * larger one (boilerplate supersets, quote-and-extend pages — the
+    * Lee et al. 2022 §4 case, cf. the span-level q_dedup_substring
+    * family) scores J = |A|/|B| ≈ 0 while containment = 1.
+    *
+    * Recall design — containment admits NO length banding (|B| is
+    * unbounded above relative to |A|), so the PPJoin length-band frame of
+    * [[jaccardNearDupPairs]] does not apply. What still holds is the
+    * prefix-filter pigeonhole on the CONTAINED side only:
+    *
+    *  - required overlap: a qualifying pair needs
+    *    |A ∩ B| >= need(A) = ceil(t·|A|).
+    *  - probe prefix (A): under any global token order, if every common
+    *    token sat beyond A's first |A| − need(A) + 1 tokens, overlap
+    *    <= need(A) − 1 — contradiction. So joining A's prefix tokens
+    *    against B's FULL token list loses no qualifying ordered pair
+    *    (the asymmetric one-side-prefixed variant of Xiao et al.'s
+    *    prefix filter: the index side cannot be prefixed because its
+    *    bound would need |A|, unknown at index time).
+    *  - the global order is rarest-first (tf, then token hash), so probe
+    *    prefixes hold each document's globally rarest tokens and the
+    *    candidate volume is Σ over prefix tokens of tf — bounded by true
+    *    co-occurrence, not corpus². Same shape that keeps the Jaccard
+    *    candidate stream linear per decade (tools/JaccardProbe).
+    *  - prunes inside the join, both conservatively slack (1e-9, cf. the
+    *    FP-slack note in [[jaccardNearDupPairs]]) and therefore lossless:
+    *    |B| >= need(A) (overlap can't exceed |B|), and the positional
+    *    bound 1 + min(|A|−r_a, |B|−r_b) >= need(A) tested on the pair's
+    *    FIRST common token (recovered exactly by min/min_by over matched
+    *    rows — both sides sort by the same global order, so the first
+    *    common token minimizes both ranks; the proof in
+    *    [[jaccardNearDupPairs]] carries over verbatim).
+    *
+    * Verify is exact: |A ∩ B| by primitive merge-intersection over the
+    * sorted xxhash64 token arrays ([[graft.expressions.IntersectSortedLongs]]
+    * — the count directly, never reconstructed from a ratio), then
+    * containment = inter / |A| compared as a double exactly like the
+    * brute-force oracle. Same 64-bit collision risk class as the Jaccard
+    * pipeline (~7e-17/pair). Verify shuffle discipline matches the
+    * round-10 Jaccard shape: ONE corpus-array exchange reused by both
+    * joins, and the only pair-expanded array to cross an exchange is
+    * hs_a — the CONTAINED side, which the |A| <= |B|/t bound keeps the
+    * smaller side in the regime this operator exists for; hs_b joins in
+    * last and is consumed by the containment projection in-stage.
+    *
+    * Output: (doc_a, doc_b, containment), ordered pairs, a ≠ b, same
+    * lang; mutually-contained pairs appear in both directions. Empty
+    * token sets are excluded (containment undefined). */
+  def containmentNearDupPairs(
+      docs: DataFrame, // (doc_id, lang, toks: array<string>)
+      minContainment: Double,
+      mode: CheckpointMode = CheckpointMode.Local,
+      corpusRows: Option[Long] = None): DataFrame = {
+    val lin = new Lineage(docs.sparkSession, mode)
+    // sorted distinct hash array — one hash pass per doc, shared by the
+    // token explode and both verify joins (lazy checkpoint, cf. the
+    // jaccard base-build note). Null tokens dropped before hashing.
+    val base = docs
+      .select(col("doc_id"), col("lang"),
+        sort_array(array_distinct(transform(
+          filter(col("toks"), _.isNotNull), xxhash64(_)))).as("hs"))
+      .withColumn("n_toks", size(col("hs")))
+      .filter(col("n_toks") > 0)
+      .transform(df => lin.tracked(df, eager = false)._1)
+
+    val toksExp = base.select(col("doc_id"), col("lang"), col("n_toks"),
+      explode(col("hs")).as("token"))
+    val freq = toksExp.groupBy("token").agg(count(lit(1)).as("tf"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("tf"), col("token"))
+    // full per-doc ranks under the global rarest-first order: the probe
+    // side filters to its prefix; the index side needs every token (no
+    // index prefix exists under containment — recall argument above)
+    val ranked = toksExp.join(freq, Seq("token"))
+      .withColumn("r", row_number().over(wDoc))
+      .select("doc_id", "lang", "token", "n_toks", "r")
+      .transform(df => lin.tracked(df, eager = false)._1)
+
+    def need(nA: Column): Column = ceil(lit(minContainment) * nA - lit(1e-9))
+    val a = ranked
+      .filter(col("r") <=
+        col("n_toks") - need(col("n_toks")) + 1)
+      .select(col("doc_id").as("doc_a"), col("lang"), col("token"),
+        col("n_toks").as("n_a"), col("r").as("r_a"))
+    val b = ranked.select(col("doc_id").as("doc_b"), col("lang"), col("token"),
+      col("n_toks").as("n_b"), col("r").as("r_b"))
+
+    // expansion-join partitioning: same AQE-coalescing opt-out and
+    // corpus-derived sizing as the jaccard candidate join
+    val cap = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val p = corpusRows
+      .map(n => math.max(1L, math.min(cap.toLong, n / 1000 + 1)).toInt)
+      .getOrElse(cap)
+    val cand = a.repartition(p, col("lang"), col("token"))
+      .join(b, Seq("lang", "token"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(col("n_b") >= need(col("n_a")))
+      .filter(lit(1) + least(col("n_a") - col("r_a"), col("n_b") - col("r_b")) >=
+        need(col("n_a")))
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        min(col("r_a")).as("fa"), min_by(col("r_b"), col("r_a")).as("fb"))
+      .filter(lit(1) + least(col("n_a") - col("fa"), col("n_b") - col("fb")) >=
+        need(col("n_a")))
+      .select("doc_a", "doc_b", "n_a")
+
+    val inter = {
+      import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+      column(graft.expressions.IntersectSortedLongs(
+        expression(col("hs_a")), expression(col("hs_b"))))
+    }
+    val baseArr = base.select(col("doc_id"), col("hs"))
+      .repartition(p, col("doc_id"))
+    cand
+      .repartition(p, col("doc_a"))
+      .join(baseArr.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .repartition(p, col("doc_b"))
+      .join(baseArr.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .withColumn("containment", inter.cast("double") / col("n_a"))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
   }
 
   /** Persistable band table of a shingled corpus: (id, band_idx,
