@@ -604,9 +604,19 @@ object Similarity {
     //  - ONE corpus-array exchange, reused: `baseArr` is repartitioned by
     //    doc_id below the per-join alias projections, so both joins see
     //    the required HashPartitioning through the alias
-    //    (PartitioningPreservingUnaryExecNode) and the physical planner's
-    //    ReuseExchange collapses the two identical exchange subtrees —
-    //    the corpus arrays shuffle once, not twice.
+    //    (PartitioningPreservingUnaryExecNode) and the two exchange
+    //    subtrees are canonically EQUAL (aliases and expr ids normalize
+    //    away). Mechanism, measured not assumed: under AQE the reuse is
+    //    invisible in the initial plan — it happens at stage
+    //    materialization, when the second branch hits the runtime stage
+    //    cache and the FINAL adaptive plan carries a ReusedExchange over
+    //    the corpus branch (ExchangeReuseSpec executes this operator and
+    //    asserts exactly that; r10 wrongly credited the static
+    //    ReuseExchange rule, which never runs under AQE). With AQE off
+    //    the static ReuseExchangeAndSubquery rule applies the same
+    //    canonicalized-subtree match, which is why the PLANS.md digest
+    //    (taken AQE-off) shows reuse>=1 here. Either way the corpus
+    //    arrays shuffle once, not twice.
     //  - the SMALL side's array is the only pair-expanded payload to
     //    cross an exchange: hs_b (candidates orient b as the smaller doc,
     //    n_b <= n_a) is fetched first and travels through the doc_a

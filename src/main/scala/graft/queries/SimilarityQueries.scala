@@ -354,6 +354,46 @@ object SimilarityQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Asymmetric CONTAINMENT near-dup (|A∩B|/|A| — doc_a the contained
+    // side): the subset relation symmetric Jaccard structurally misses
+    // (Lee et al. 2022 §4; a doc embedded in a 10x larger one scores
+    // J≈0.1 but containment 1.0). Over word-3-gram shingles, not
+    // unigrams: the synthetic corpus draws from a ~31-word pool, so
+    // unigram token SETS are near-universally mutually contained
+    // (measured: 21k unigram pairs at t=0.9 vs 12 shingle pairs at
+    // t=0.8 on sf0.01) — shingles make containment mean "shares actual
+    // phrasing", the LLM-dedup semantics. Ordered pairs, both
+    // directions for mutual containment; brute-force DuckDB oracle
+    // within lang.
+    QueryDef(
+      "q_dedup_containment",
+      Some("""WITH w AS (SELECT doc_id, lang,
+                                list_filter(string_split_regex(lower(text), '\s+'),
+                                            x -> x <> '') AS ws
+                         FROM documents),
+                   t AS (SELECT doc_id, lang,
+                                list_distinct(list_transform(
+                                  generate_series(1, len(ws) - 2),
+                                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS toks
+                         FROM w)
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(round(CAST(
+                       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(a.toks)
+                     AS DECIMAL(28,6)), 2) AS DOUBLE) AS containment
+              FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+              WHERE len(a.toks) > 0
+                AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(a.toks) >= 0.8
+              ORDER BY doc_a, doc_b""")) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          T.ngrams(T.tokens(col("text")), 3).as("toks"))
+      Similarity.containmentNearDupPairs(t, minContainment = 0.8,
+        corpusRows = Some(Tables.rowCount(s, d, "documents")))
+        .select(col("doc_a"), col("doc_b"),
+          Num.round2(col("containment")).as("containment"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Per-group embedding centroid: the mean vector per language (long
     // format: one row per (lang, dimension)) — the IVF/k-means training
     // audit and the "does each source cluster where it should" embedding

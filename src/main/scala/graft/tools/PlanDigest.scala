@@ -16,6 +16,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * tokens; expression ids and literals are never matched), which also
   * sees through AdaptiveSparkPlanExec — its toString renders the full
   * initial plan even though its `children` is empty.
+  *
+  * Digests are taken with AQE OFF (AqeGate around the sweep). Under AQE
+  * the static ReuseExchangeAndSubquery rule never runs — exchange reuse
+  * happens at stage-materialization time against the runtime stage cache,
+  * so an adaptive initial plan renders duplicate canonical subtrees as if
+  * they shuffled twice (round-10's q_dedup_jaccard digest counted exch=5
+  * where the EXECUTED plan reused the corpus-array branch). The
+  * non-adaptive executedPlan applies the same canonicalized-subtree
+  * matching statically, so `reuse` in these digests reflects what AQE's
+  * stage cache does at runtime; ExchangeReuseSpec pins the runtime side
+  * (a real ReusedExchange in the final adaptive plan) for the operators
+  * whose scale story depends on it.
   */
 object PlanDigest {
 
@@ -44,9 +56,11 @@ object PlanDigest {
   /** Digest every registered query at `sfDir`. Queries whose construction
     * fails digest as ERROR:<exception> instead of aborting the sweep. */
   def digestAll(spark: SparkSession, sfDir: String): Seq[(String, String)] =
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, f) =>
-      name -> (try digest(f(spark, sfDir))
-      catch { case e: Throwable => s"ERROR:${e.getClass.getSimpleName}" })
+    graft.operators.AqeGate.withAqeOff(spark) {
+      graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, f) =>
+        name -> (try digest(f(spark, sfDir))
+        catch { case e: Throwable => s"ERROR:${e.getClass.getSimpleName}" })
+      }
     }
 
   def render(rows: Seq[(String, String)]): String =
@@ -54,7 +68,8 @@ object PlanDigest {
       "Per query: parquet scans / scans with non-empty PushedFilters /\n" +
       "shuffle Exchanges / BroadcastExchanges / ReusedExchanges / join\n" +
       "strategy node counts, from the sf0.001 physical plan at shuffle\n" +
-      "partitions 4 (the test session). PlanDigestSpec diffs the current\n" +
+      "partitions 4 with AQE off (static ReuseExchange mirrors AQE's\n" +
+      "runtime stage-cache reuse; see PlanDigest). PlanDigestSpec diffs\n" +
       "plans against this file; regenerate after an INTENDED plan change\n" +
       "with: SPARK_GRAFT_REGEN_PLANS=1 sbt \"testOnly graft.PlanDigestSpec\"\n\n" +
       rows.map { case (n, d) => s"$n $d" }.mkString("\n") + "\n")

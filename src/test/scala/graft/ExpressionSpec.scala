@@ -361,6 +361,30 @@ class ExpressionSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("IntersectSortedLongs == distinct-string intersection size") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    // same fixture family as the JaccardSortedLongs case, plus the edges
+    // the containment verify leans on: subsets, identical sets, empties
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 40).map(i => s"tok$i")
+    def toks() = Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+    val base = (1 to 60).map(_ => (toks(), toks()))
+    val sub = base.take(10).map { case (a, _) => (a, a.take(a.size / 2)) }
+    val cases = base ++ sub ++ Seq(
+      (Seq.empty[String], Seq.empty[String]), (Seq("a"), Seq.empty[String]),
+      (Seq("a", "b"), Seq("a", "b")))
+    val hs = (c: org.apache.spark.sql.Column) =>
+      sort_array(array_distinct(transform(c, xxhash64(_))))
+    val rows = cases.toDF("a", "b").select(
+      size(array_intersect(array_distinct(col("a")), array_distinct(col("b"))))
+        .cast("long").as("s"),
+      column(graft.expressions.IntersectSortedLongs(
+        expression(hs(col("a"))), expression(hs(col("b"))))).as("h")).collect()
+    rows.foreach(r =>
+      assert(r.getLong(0) == r.getLong(1), s"string ${r.getLong(0)} vs hashed ${r.getLong(1)}"))
+  }
+
   test("salted aggregation equals the plain aggregation") {
     import spark.implicits._
     val df = ((1 to 500).map(_ => ("hot", 1.0)) ++

@@ -400,6 +400,67 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(got == brute)
   }
 
+  test("containment prunes are lossless vs brute force (subsets, chains, mutual)") {
+    import spark.implicits._
+    // seeded corpus exercising exactly the structures the operator exists
+    // for: containment CHAINS (full doc ⊃ 2/3 slice ⊃ 1/3 slice), MUTUAL
+    // containment (exact copy — both ordered directions must appear),
+    // near-misses (half shared, half fresh — below t on the fresh side),
+    // an empty-token doc (excluded: containment undefined), and two langs
+    val rnd = new scala.util.Random(13)
+    val vocab = (1 to 80).map(i => s"w$i")
+    val docs = ((1 to 30).flatMap { i =>
+      val n = 9 + rnd.nextInt(12)
+      val toks = rnd.shuffle(vocab).take(n)
+      // lang per FAMILY so the planted in-family structure is same-lang;
+      // cross-family near-misses still span both languages
+      val lang = if (i % 3 == 0) "ko" else "en"
+      Seq(
+        (i * 10L, lang, toks),
+        (i * 10L + 1, lang, toks.take(2 * n / 3)),
+        (i * 10L + 2, lang, toks.take(n / 3)),
+        (i * 10L + 3, lang, toks),
+        (i * 10L + 4, lang,
+          toks.take(n / 2) ++ (1 to (n - n / 2)).map(k => s"fresh${i}_$k")))
+    } :+ ((9999L, "en", Seq.empty[String])))
+      .toDF("doc_id", "lang", "toks")
+    val got = Similarity.containmentNearDupPairs(docs, minContainment = 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: ordered pairs, same lang, distinct-set overlap / |A|
+    val t = docs
+      .select(col("doc_id"), col("lang"), array_distinct(col("toks")).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val brute = t.as("x").join(t.as("y"),
+        col("x.lang") === col("y.lang") && col("x.doc_id") =!= col("y.doc_id"))
+      .filter(size(array_intersect(col("x.ts"), col("y.ts"))).cast("double") /
+        size(col("x.ts")) >= 0.8)
+      .select(col("x.doc_id"), col("y.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture produced no qualifying pairs")
+    assert(got == brute)
+    // the planted structures really are in the result: chain links (slice
+    // contained in full) and BOTH directions of the exact-copy pair
+    assert(got.contains((11L, 10L)) && got.contains((12L, 10L)))
+    assert(got.contains((10L, 13L)) && got.contains((13L, 10L)))
+    // the empty-token doc pairs with nothing in either direction
+    assert(!got.exists(p => p._1 == 9999L || p._2 == 9999L))
+  }
+
+  test("containment catches a doc embedded in a 10x larger one (jaccard ~0.1)") {
+    import spark.implicits._
+    // the Lee et al. 2022 §4 structural gap: J = 10/100 = 0.1 (any
+    // symmetric threshold misses it), containment(small→big) = 1.0
+    val small = (1 to 10).map(i => s"s$i")
+    val big = small ++ (1 to 90).map(i => s"b$i")
+    val docs = Seq((1L, "en", small), (2L, "en", big))
+      .toDF("doc_id", "lang", "toks")
+    val rows = Similarity.containmentNearDupPairs(docs, minContainment = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows.keySet == Set((1L, 2L))) // small contained in big, not reverse
+    assert(rows((1L, 2L)) == 1.0)
+  }
+
   test("wider jaccard bands catch larger length gaps (recall dial)") {
     import spark.implicits._
     import graft.functions.{TextFunctions => T}
