@@ -47,8 +47,16 @@ private[graft] object AqeGate {
           // the body's own exception (the interesting one) propagating
           // instead of being masked by the restore (r9 ADVICE). The map
           // entry is already removed, so gate state stays consistent.
+          // Narrowed (r10 ADVICE): only the stopped-session case is
+          // silent — a restore failure on a LIVE session would leave AQE
+          // off for the rest of the session, so it is at least loud.
           try spark.conf.set(Key, before)
-          catch { case _: Throwable => () }
+          catch {
+            case _: Throwable if spark.sparkContext.isStopped => ()
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[graft] AqeGate: failed to restore $Key=$before on a live session: $e")
+          }
         case (depth, before) =>
           state.put(spark, (depth - 1, before))
       }

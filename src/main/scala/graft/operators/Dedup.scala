@@ -231,7 +231,7 @@ object Dedup {
     // (≤ 16 MB at the default cap); the labels map broadcasts back, so
     // the compose join is shuffle-free. Set driverFinishEdges = 0 to
     // force the distributed loop (parity tests, fault injection).
-    val residualLabels: DataFrame =
+    val (residualLabels: DataFrame, residIds: Set[Int]) =
       if (edges1 <= driverFinishEdges) {
         val spark = pairs.sparkSession
         val es = e1.collect()
@@ -258,7 +258,8 @@ object Dedup {
         nodes.forEach(k => ids += ((k, find(k))))
         lin.release(e1Ids)
         import spark.implicits._
-        broadcast(ids.toSeq.toDF("id", "root"))
+        // driver-local frame: nothing pinned in executor storage
+        (broadcast(ids.toSeq.toDF("id", "root")), Set.empty[Int])
       } else {
         val resolved = algo match {
           case CcAlgorithm.Auto(thr) =>
@@ -278,10 +279,12 @@ object Dedup {
     // labeling (over m-images only) refines the root. Left join —
     // residual-isolated m-images keep root0 (proof above). The composed
     // result is materialized eagerly (node-sized — one narrow row per
-    // node, cheap relative to the operator) so labels0's blocks can be
-    // RELEASED here instead of surviving until GC: a long-lived session
-    // calling duplicateClusters repeatedly no longer accumulates the
-    // per-invocation node map in executor storage (r9 ADVICE). The
+    // node, cheap relative to the operator) so labels0's blocks AND the
+    // distributed residual path's final-round blocks (the helpers return
+    // the ids they left pinned — r10 ADVICE) can be RELEASED here instead
+    // of surviving until GC: a long-lived session calling
+    // duplicateClusters repeatedly no longer accumulates per-invocation
+    // node maps or final residual frames in executor storage. The
     // returned frame's own blocks die with result consumption, like the
     // edges1 == 0 fast path's labels0.
     val rm = residualLabels.select(col("id").as("mid"), col("root").as("mroot"))
@@ -289,7 +292,7 @@ object Dedup {
       labels0.join(rm, labels0("root") === rm("mid"), "left")
         .select(labels0("id"), coalesce(col("mroot"), labels0("root")).as("root")),
       eager = true)
-    lin.release(l0Ids)
+    lin.release(l0Ids ++ residIds)
     out
   }
 
@@ -326,12 +329,15 @@ object Dedup {
     * unpersisted EXPLICITLY once their successor is materialized — at
     * scale, letting maxIter copies of the edge set accumulate is a
     * storage-memory leak. */
+  /** Returns the label frame plus the block ids its checkpoint pins —
+    * the CALLER releases them once it has materialized whatever it
+    * derives from the labels (r10 ADVICE: these used to leak until GC). */
   private def hashToMinClusters(
       e: DataFrame,
       edges: Long,
       eIds: Set[Int],
       maxIter: Int,
-      lin: Lineage): DataFrame = {
+      lin: Lineage): (DataFrame, Set[Int]) = {
     import lin.{release, tracked}
     var (g, gIds) = tracked(
       e.select(col("u").as("src"), col("v").as("dst"))
@@ -389,7 +395,7 @@ object Dedup {
       i += 1
     }
     release(gIds) // the returned labels frame is checkpointed data
-    labels
+    (labels, labelIds)
   }
 
   /** Two-phase star contraction (Kiveris et al. 2014). The working set is
@@ -415,13 +421,16 @@ object Dedup {
     *
     * `e0`: the checkpointed canonical edge set from [[duplicateClusters]];
     * `edges` its row count (seeds the first round's shuffle sizing);
-    * `e0Ids` its pinned blocks. */
+    * `e0Ids` its pinned blocks. Returns the label frame plus the final
+    * star frame's pinned block ids (the labels READ from those blocks
+    * lazily — the caller must materialize its derivation first, then
+    * release; r10 ADVICE). */
   private def twoPhaseStarClusters(
       e0: DataFrame,
       edges: Long,
       e0Ids: Set[Int],
       maxIter: Int,
-      lin: Lineage): DataFrame = {
+      lin: Lineage): (DataFrame, Set[Int]) = {
     import lin.{release, tracked}
     var e = e0
     var eIds = e0Ids
@@ -482,9 +491,10 @@ object Dedup {
     }
     // Stars to labels: children are the u side, roots the v side; the
     // groupBy(min) also degrades gracefully if maxIter truncated the loop.
-    e.select(col("u").as("id"), col("v").as("root"))
+    (e.select(col("u").as("id"), col("v").as("root"))
       .unionAll(e.select(col("v").as("id"), col("v").as("root")))
-      .groupBy("id").agg(min("root").as("root"))
+      .groupBy("id").agg(min("root").as("root")),
+      eIds)
   }
 
   /** Greedy keeper set from near-dup pairs: every id that appears only as
