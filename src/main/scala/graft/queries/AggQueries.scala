@@ -325,6 +325,22 @@ object AggQueries {
       // comparable bytes, 1 exchange instead of 7. A whale user's events
       // buffer in one window group (spillable); funnel events per human
       // user are bounded in practice.
+      // 100 TB whale-user guard (r9 advisory): the unbounded-unordered
+      // window buffers ONE GROUP at a time, so the failure mode is not
+      // correctness but a straggler task when a single user_id carries
+      // millions of rows — at warehouse scale that is a BOT or a null/
+      // sentinel id (user_id = 0 / -1 / "unknown" sinks from upstream
+      // fixups), never a human funnel. Deployments should pre-filter
+      // known sentinel ids and cap per-user event counts upstream
+      // (e.g. `filter(user_id is not null)` + a per-user count gate à la
+      // q_text_quality's length gates) BEFORE this operator; the
+      // synthetic events table has no sentinel convention to encode, so
+      // the guard stays a documented deployment contract rather than a
+      // hard-coded id list that would silently drop real data elsewhere.
+      // If a residual whale slips through, the window spills (sort-based
+      // WindowExec) and the task completes slow rather than OOMing; AQE
+      // cannot split a single key, so the fix belongs before the
+      // exchange, not after.
       val e = Tables.events(s, d)
         .select(col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("t"))
