@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * is decided solely by WHERE the lost round state lived (blocks vs
   * files).
   *
-  * Usage: runMain graft.tools.FaultTolerance <local|reliable> [cc|bpe|stream] [size]
+  * Usage: runMain graft.tools.FaultTolerance <local|reliable> [cc|bpe|stream|embed] [size]
   *
   *  - `cc`  (default): Dedup.duplicateClusters on a `size`-long chain —
   *    every label must come out as the chain head.
@@ -33,6 +33,13 @@ import org.apache.spark.sql.functions._
   *    design, so the case proves the replay-idempotence contract
   *    (per-batch `batch=<id>` overwrite) rather than a Local/Reliable
   *    contrast.
+  *  - `embed`: Streams.embedIngestSink over a file-source stream of
+  *    duplicate-laden vectors, killed mid-micro-batch — same recovery
+  *    contract as `stream` (stage retry or one checkpoint restart), with
+  *    TWO equality gates: the faulted admitted vec_id set must equal an
+  *    unfaulted reference run's, and the SRP bucket-state table must be
+  *    CONSISTENT with the admitted store (exactly one bucket row per
+  *    admitted vector — a half-written batch would break either side).
   *
   * Expected behavior (FaultToleranceSpec asserts it from a subprocess):
   *  - `reliable`: the loop's round state lives in checkpoint FILES every
@@ -102,7 +109,7 @@ object FaultTolerance {
         * flaky. Mode-aware because the two modes keep round state in
         * different places: Local = executor blocks, Reliable = files.
         */
-      def roundStateLive(): Boolean = if (op == "stream") {
+      def roundStateLive(): Boolean = if (op == "stream" || op == "embed") {
         // first admitted batch committed to the faulted run's admit dir —
         // the kill then lands while later micro-batches are in flight
         val root = java.nio.file.Paths.get(streamAdmitF)
@@ -228,6 +235,77 @@ object FaultTolerance {
             .select("id").collect().map(_.getLong(0)).toSet
           println(s"[fault] n_admitted=${admittedF.size} ref=${admittedR.size}")
           if (admittedF.nonEmpty && admittedF == admittedR) "output_ok"
+          else "output_wrong"
+        case "embed" =>
+          // Streaming embedding-ingest under executor SIGKILL: the vector
+          // twin of the stream case (r9 VERDICT task 5). Fixture: each of
+          // nUnique deterministic base vectors recurs ~4x across the file
+          // stream under fresh vec_ids — exact dups (cosine 1), so the
+          // admission decisions are bucket-exact and both runs must agree.
+          val nFiles = 6
+          val perFile = 40
+          val nUnique = 60
+          val dim = 8
+          // never the zero vector: components are k/97 - 0.5 with k
+          // integer, and 97/2 is not an integer
+          def vecOf(t: Int): Seq[Double] =
+            (0 until dim).map(j => ((t * 31 + j * 7) % 97) / 97.0 - 0.5)
+          val srcDir = java.nio.file.Files.createTempDirectory("graft-ft-esrc")
+          (0 until nFiles).foreach { f =>
+            val lines = (0 until perFile).map { r =>
+              val id = f * perFile + r
+              s"""{"vec_id":$id,"v":[${vecOf(id % nUnique).mkString(",")}]}"""
+            }
+            java.nio.file.Files.write(srcDir.resolve(f"part$f%02d.json"),
+              lines.mkString("\n").getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+          }
+          def startEmbedSink(ck: String, buckets: String, admit: String) = {
+            val vecs = spark.readStream.schema("vec_id LONG, v ARRAY<DOUBLE>")
+              .option("maxFilesPerTrigger", 1).json(srcDir.toString)
+            graft.streaming.Streams.embedIngestSink(
+              vecs, buckets, admit, dim = dim, nBits = 8, minCosine = 0.95,
+              checkpointLocation = Some(ck))
+          }
+          def tmpE(tag: String): String =
+            java.nio.file.Files.createTempDirectory(s"graft-ft-$tag").toString
+          val (ckF, bucketsF) = (tmpE("eckF"), tmpE("ebkF"))
+          val q1 = startEmbedSink(ckF, bucketsF, streamAdmitF)
+          val survived =
+            try { q1.processAllAvailable(); q1.stop(); true }
+            catch {
+              case e: Throwable =>
+                println(s"[fault] stream_query_failed=${e.getClass.getSimpleName}")
+                try q1.stop() catch { case _: Throwable => () }
+                false
+            }
+          if (!survived) {
+            // restart ONCE from the same checkpoint: offsets replay the
+            // failed batch over its own batch=<id> dirs
+            val q2 = startEmbedSink(ckF, bucketsF, streamAdmitF)
+            q2.processAllAvailable(); q2.stop()
+          }
+          println(s"[fault] stream_survived_kill=$survived")
+          val admittedF = spark.read.parquet(streamAdmitF)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          // SRP bucket-state consistency: exactly one bucket row per
+          // admitted vector (replayed batches overwrite their own dirs,
+          // so a recovered run can leave neither orphans nor gaps)
+          val stateIds = spark.read.parquet(bucketsF)
+            .select("vec_id").collect().map(_.getLong(0)).toSeq
+          val stateConsistent =
+            stateIds.size == stateIds.toSet.size && stateIds.toSet == admittedF
+          println(s"[fault] bucket_state_consistent=$stateConsistent")
+          // unfaulted reference on the healed cluster (kill already fired)
+          killer.join(150000)
+          val (ckR, bucketsR, admitR) = (tmpE("eckR"), tmpE("ebkR"), tmpE("eadR"))
+          val q3 = startEmbedSink(ckR, bucketsR, admitR)
+          q3.processAllAvailable(); q3.stop()
+          val admittedR = spark.read.parquet(admitR)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          println(s"[fault] n_admitted=${admittedF.size} ref=${admittedR.size}")
+          if (admittedF.nonEmpty && admittedF == admittedR && stateConsistent)
+            "output_ok"
           else "output_wrong"
         case "bpe" =>
           // deterministic Zipf-ish vocabulary (same generator family as

@@ -85,4 +85,12 @@ class FaultToleranceSpec extends AnyFunSuite {
     val log = run("reliable", "stream")
     assert(log.contains("verdict=output_ok"), log)
   }
+
+  test("streaming embed-ingest: admitted vectors + SRP bucket state survive executor SIGKILL") {
+    // verdict folds in BOTH gates: admitted-vec_id equality with an
+    // unfaulted run AND bucket-state/admitted-store consistency
+    val log = run("reliable", "embed")
+    assert(log.contains("verdict=output_ok"), log)
+    assert(log.contains("bucket_state_consistent=true"), log)
+  }
 }
