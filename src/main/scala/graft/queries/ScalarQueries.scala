@@ -350,6 +350,36 @@ object ScalarQueries {
         .agg(count(lit(1)).as("n_frames"),
           sum(col("frame_bytes")).cast("long").as("sum_bytes"))
         .orderBy("media_id")
+    },
+
+    // Multimodal resize: every payload reduced to a fixed 8x4 byte grid by
+    // strided selection (Multimodal.resize — the stub resampler with the
+    // real pipeline shape: typed mapPartitions, bounded output per row
+    // regardless of input size). Payloads here are the documents' UTF-8
+    // bytes (pure ASCII in the synthetic corpus, verified — so byte index
+    // == char index) and the oracle replays the exact stride arithmetic
+    // payload[(i*n)/cells] character by character; the output sample is
+    // compared as a STRING, byte-exact.
+    QueryDef(
+      "q_mm_resize",
+      Some("""SELECT doc_id AS media_id, CAST(8 AS INT) AS width,
+                     CAST(4 AS INT) AS height,
+                     CASE WHEN length(text) = 0 THEN ''
+                          ELSE array_to_string(list_transform(
+                                 generate_series(0, 31),
+                                 i -> substring(text,
+                                        CAST((i * length(text)) // 32 AS BIGINT) + 1,
+                                        1)), '')
+                     END AS sample
+              FROM documents ORDER BY media_id""")) { (s, d) =>
+      import s.implicits._
+      val media = graft.multimodal.Multimodal
+        .fromDocuments(Tables.documents(s, d))
+        .as[graft.multimodal.Multimodal.MediaRecord]
+      graft.multimodal.Multimodal.resize(media, targetW = 8, targetH = 4)
+        .select(col("media_id"), col("width"), col("height"),
+          decode(col("payload"), "UTF-8").as("sample"))
+        .orderBy("media_id")
     }
   )
 }

@@ -79,6 +79,23 @@ class CheckpointModeSpec extends AnyFunSuite with SparkTest {
     assert(checkpointFilesUnder(dir) > 0, "no reliable checkpoint files written")
   }
 
+  test("containmentNearDupPairs: reliable checkpoint pairs == localCheckpoint pairs") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.ngrams(
+          graft.functions.TextFunctions.tokens(col("text")), 3).as("toks"))
+    def run(mode: CheckpointMode) =
+      Similarity.containmentNearDupPairs(docs, minContainment = 0.8, mode = mode)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dir = reliableDir("cont")
+    val (local, reliable) = (run(CheckpointMode.Local),
+      run(CheckpointMode.Reliable(dir)))
+    assert(reliable == local)
+    assert(local.nonEmpty)
+    assert(checkpointFilesUnder(dir) > 0, "no reliable checkpoint files written")
+  }
+
   test("compactExecute: reliable checkpoint audit and layout == local") {
     import spark.implicits._
     def build(): String = {
