@@ -552,8 +552,8 @@ object Similarity {
     // filter: for a qualifying pair the globally-first shared token t0 is
     // inside both prefixes (proof above) and — both documents being sorted
     // by the same (tf, token) order — t0 has the minimum r_a AND the
-    // minimum r_b among matched rows. So min/min_by recover t0's exact
-    // positions and the positional bound is tested on t0 itself, not on
+    // minimum r_b among matched rows. So the packed per-side mins recover
+    // t0's exact positions and the positional bound is tested on t0, not on
     // "some row" (the per-row variant keeps a pair if ANY matched row
     // passes; this kills every pair whose true first common token sits too
     // deep — strictly tighter, still lossless).
@@ -584,10 +584,33 @@ object Similarity {
         (col("n_b") === col("n_a") && col("doc_b") < col("doc_a")))
       .filter(col("n_b") >= lit(minJaccard) * col("n_a") - lit(1e-9))
       .filter(lit(1) + least(col("n_a") - col("r_a"), col("n_b") - col("r_b")) >= alpha)
+      // PACKED pair dedup (round-11): this agg's exchange is the
+      // pipeline's largest by far (ShuffleProbe at a 10x corpus: 1.2 GB /
+      // 57M rows — vs ~4 MB for the corpus arrays), so its ROW WIDTH is
+      // the lever. Two facts let each side collapse to ONE long:
+      //  - n is CONSTANT per (pair, side), so first(n) == min(n);
+      //  - the matched ranks are ORDER-ISOMORPHIC across sides (both
+      //    docs sort by the same global (tf, token) order, so a matched
+      //    token preceding another in A precedes it in B too) — min(r_a)
+      //    and min(r_b) are attained by the SAME row, the first common
+      //    token t0 (the previous min_by(r_b, r_a) was therefore just
+      //    min(r_b), extremum buffer wasted).
+      // Pack (n << 32 | r): n constant per group makes the packed min
+      // order BY r, so min(packed) == (n << 32 | r(t0)) exactly — two
+      // plain 8-byte min buffers instead of two firsts (value+seen flag)
+      // + a min + a min_by (value+ordering), roughly halving the
+      // dominant shuffle's row width. Unpack is a narrow projection.
+      // No overflow: n <= 2^31-1 so n<<32 < 2^63; 1 <= r <= n < 2^32.
+      .select(col("doc_a"), col("doc_b"),
+        (shiftleft(col("n_a").cast("long"), 32) + col("r_a")).as("pka"),
+        (shiftleft(col("n_b").cast("long"), 32) + col("r_b")).as("pkb"))
       .groupBy("doc_a", "doc_b")
-      .agg(
-        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
-        min(col("r_a")).as("fa"), min_by(col("r_b"), col("r_a")).as("fb"))
+      .agg(min(col("pka")).as("pka"), min(col("pkb")).as("pkb"))
+      .select(col("doc_a"), col("doc_b"),
+        shiftright(col("pka"), 32).as("n_a"),
+        col("pka").bitwiseAND(lit(0xFFFFFFFFL)).as("fa"),
+        shiftright(col("pkb"), 32).as("n_b"),
+        col("pkb").bitwiseAND(lit(0xFFFFFFFFL)).as("fb"))
       .filter(lit(1) + least(col("n_a") - col("fa"), col("n_b") - col("fb")) >= alpha)
       .select("doc_a", "doc_b")
 
@@ -616,7 +639,14 @@ object Similarity {
     //    the static ReuseExchangeAndSubquery rule applies the same
     //    canonicalized-subtree match, which is why the PLANS.md digest
     //    (taken AQE-off) shows reuse>=1 here. Either way the corpus
-    //    arrays shuffle once, not twice.
+    //    arrays shuffle once, not twice. Measured magnitude
+    //    (ShuffleProbe A/B, spark.sql.exchange.reuse on/off, 10x corpus):
+    //    identical wall, 1216 vs 1220 MB shuffle write — the SYNTHETIC
+    //    corpus's ~30-token docs make the hs arrays ~4 MB total, while
+    //    the candidate stream carries 56.8M rows / 1.2 GB. The discipline
+    //    is sized for real corpora, where hs is hundreds-to-thousands of
+    //    hashes per doc (100x the synthetic width) and the duplicated
+    //    corpus exchange would be a material fraction of verify bytes.
     //  - the SMALL side's array is the only pair-expanded payload to
     //    cross an exchange: hs_b (candidates orient b as the smaller doc,
     //    n_b <= n_a) is fetched first and travels through the doc_a
@@ -739,10 +769,23 @@ object Similarity {
       .filter(col("n_b") >= need(col("n_a")))
       .filter(lit(1) + least(col("n_a") - col("r_a"), col("n_b") - col("r_b")) >=
         need(col("n_a")))
+      // packed pair dedup — same two facts and the same (n << 32 | r)
+      // packing as the jaccard agg (see the proof there): n constant per
+      // (pair, side) and rank order isomorphic across sides, so two plain
+      // packed mins recover the first common token's exact positions at
+      // half the row width of the first/min/min_by form. This agg's
+      // exchange carries the full candidate stream (the index side is
+      // UNPREFIXED under containment), so width matters even more here.
+      .select(col("doc_a"), col("doc_b"),
+        (shiftleft(col("n_a").cast("long"), 32) + col("r_a")).as("pka"),
+        (shiftleft(col("n_b").cast("long"), 32) + col("r_b")).as("pkb"))
       .groupBy("doc_a", "doc_b")
-      .agg(
-        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
-        min(col("r_a")).as("fa"), min_by(col("r_b"), col("r_a")).as("fb"))
+      .agg(min(col("pka")).as("pka"), min(col("pkb")).as("pkb"))
+      .select(col("doc_a"), col("doc_b"),
+        shiftright(col("pka"), 32).as("n_a"),
+        col("pka").bitwiseAND(lit(0xFFFFFFFFL)).as("fa"),
+        shiftright(col("pkb"), 32).as("n_b"),
+        col("pkb").bitwiseAND(lit(0xFFFFFFFFL)).as("fb"))
       .filter(lit(1) + least(col("n_a") - col("fa"), col("n_b") - col("fb")) >=
         need(col("n_a")))
       .select("doc_a", "doc_b", "n_a")

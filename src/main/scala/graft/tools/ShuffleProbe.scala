@@ -22,10 +22,14 @@ object ShuffleProbe {
     val name = args.drop(1).headOption.getOrElse("q_dedup_jaccard")
     val reps = args.drop(2).headOption.map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_NOREUSE=1 disables AQE stage-cache exchange reuse — the
+    // A/B that measures what reuse actually saves on identical code
+    val reuse = if (sys.env.get("SPARK_GRAFT_NOREUSE").contains("1")) "false" else "true"
     val spark = graft.Tables.configure(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.exchange.reuse", reuse)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -50,7 +54,9 @@ object ShuffleProbe {
       writeBytes.set(0); writeRecords.set(0); shuffleStages.set(0)
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val t0 = System.nanoTime()
-      val n = df.count()
+      // collect() executes df's OWN QueryExecution (count() would build a
+      // separate one whose final adaptive plan we could not inspect)
+      val n = df.collect().length
       val sec = (System.nanoTime() - t0) / 1e9
       // listener events are posted asynchronously; give the bus a moment
       // to drain (listenerBus.waitUntilEmpty is private[spark])
