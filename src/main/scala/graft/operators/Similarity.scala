@@ -718,12 +718,30 @@ object Similarity {
     *
     * Output: (doc_a, doc_b, containment), ordered pairs, a ≠ b, same
     * lang; mutually-contained pairs appear in both directions. Empty
-    * token sets are excluded (containment undefined). */
+    * token sets are excluded (containment undefined).
+    *
+    * `minDocTokens` (default 1 = off): a CALLER CONTRACT that every doc
+    * in `docs` has at least m distinct tokens, in exchange for an INDEX
+    * prefix — the structural cost containment otherwise can't avoid.
+    * With the floor, any qualifying pair needs overlap >= need(A) =
+    * ceil(t·|A| − eps) >= ceil(t·m − eps) =: g, so if every common token
+    * sat beyond B's first |B| − g + 1 (rarest-first) tokens, overlap <=
+    * g − 1 — contradiction; keeping only that index prefix loses no
+    * qualifying pair. The first common token t0 also remains inside BOTH
+    * prefixes (it is the first, so "t0 beyond the g-prefix" puts every
+    * common token beyond it — same contradiction), so the packed-min
+    * positional recovery is untouched. At t = 0.8 and a 100-token floor
+    * the index side drops 79 rows per doc from the candidate join's
+    * build input. Docs violating the floor (n_toks < m) may lose recall
+    * as CONTAINED sides — that is the contract, not a bug; the default
+    * m = 1 makes the filter a no-op (SimilaritySpec proves m > 1 output
+    * == m = 1 output on a floor-respecting corpus). */
   def containmentNearDupPairs(
       docs: DataFrame, // (doc_id, lang, toks: array<string>)
       minContainment: Double,
       mode: CheckpointMode = CheckpointMode.Local,
-      corpusRows: Option[Long] = None): DataFrame = {
+      corpusRows: Option[Long] = None,
+      minDocTokens: Long = 1L): DataFrame = {
     val lin = new Lineage(docs.sparkSession, mode)
     // sorted distinct hash array — one hash pass per doc, shared by the
     // token explode and both verify joins (lazy checkpoint, cf. the
@@ -741,8 +759,8 @@ object Similarity {
     val freq = toksExp.groupBy("token").agg(count(lit(1)).as("tf"))
     val wDoc = Window.partitionBy("doc_id").orderBy(col("tf"), col("token"))
     // full per-doc ranks under the global rarest-first order: the probe
-    // side filters to its prefix; the index side needs every token (no
-    // index prefix exists under containment — recall argument above)
+    // side filters to its prefix; the index side keeps every token unless
+    // the caller asserts a size floor (minDocTokens — scaladoc proof)
     val ranked = toksExp.join(freq, Seq("token"))
       .withColumn("r", row_number().over(wDoc))
       .select("doc_id", "lang", "token", "n_toks", "r")
@@ -754,8 +772,14 @@ object Similarity {
         col("n_toks") - need(col("n_toks")) + 1)
       .select(col("doc_id").as("doc_a"), col("lang"), col("token"),
         col("n_toks").as("n_a"), col("r").as("r_a"))
-    val b = ranked.select(col("doc_id").as("doc_b"), col("lang"), col("token"),
-      col("n_toks").as("n_b"), col("r").as("r_b"))
+    // index prefix under the caller's size floor (no-op at the default
+    // m = 1: g = ceil(t − eps) = 1 keeps every rank r <= n_toks) —
+    // losslessness proof in the scaladoc
+    val g = math.ceil(minContainment * minDocTokens - 1e-9).toLong
+    val b = ranked
+      .filter(col("r") <= col("n_toks") - lit(g) + 1)
+      .select(col("doc_id").as("doc_b"), col("lang"), col("token"),
+        col("n_toks").as("n_b"), col("r").as("r_b"))
 
     // expansion-join partitioning: same AQE-coalescing opt-out and
     // corpus-derived sizing as the jaccard candidate join
@@ -775,7 +799,8 @@ object Similarity {
       // packed mins recover the first common token's exact positions at
       // half the row width of the first/min/min_by form. This agg's
       // exchange carries the full candidate stream (the index side is
-      // UNPREFIXED under containment), so width matters even more here.
+      // unprefixed absent a minDocTokens floor), so width matters even
+      // more here.
       .select(col("doc_a"), col("doc_b"),
         (shiftleft(col("n_a").cast("long"), 32) + col("r_a")).as("pka"),
         (shiftleft(col("n_b").cast("long"), 32) + col("r_b")).as("pkb"))

@@ -445,6 +445,16 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(got.contains((10L, 13L)) && got.contains((13L, 10L)))
     // the empty-token doc pairs with nothing in either direction
     assert(!got.exists(p => p._1 == 9999L || p._2 == 9999L))
+    // index-prefix knob: every fixture doc (bar the excluded empty one)
+    // has >= 3 distinct tokens (families slice to n/3 with n >= 9), so
+    // minDocTokens = 3 satisfies the caller contract and must be a pure
+    // optimization — identical pair set, index prefix g = ceil(0.8*3) = 3
+    // rows shorter per doc
+    val gotFloor = Similarity.containmentNearDupPairs(
+        docs, minContainment = 0.8, minDocTokens = 3L)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotFloor == got)
   }
 
   test("containment catches a doc embedded in a 10x larger one (jaccard ~0.1)") {
