@@ -181,17 +181,45 @@ object Dedup {
     // big-residual path. Parity with the un-contracted algorithms is
     // spec-tested on chains, cliques and seeded random graphs
     // (SimilaritySpec).
-    val np0 = roundPartitions(e, 2 * edges)
+    //
+    // Shuffle shape (round-11): the agg runs over the ORIENTED edges only,
+    // not the symmetrization. Under u > v, a neighbor LARGER than x can
+    // never lower m(x) = min(N(x) ∪ {x}), so every (v → u) row the old
+    // symmetrized shape shuffled was provably dead weight for the min —
+    // m(u) over the oriented rows alone is min(v : v < u, (u,v) ∈ E),
+    // already the closed-neighborhood minimum (and < u, so the least()
+    // with the node id is redundant). HALF the pre-contraction shuffle
+    // rows, the single biggest shuffle of the operator. What the v-side
+    // rows did buy was node PRESENCE: a "local minimum" (a node smaller
+    // than all its neighbors — component minima, mostly) never appears as
+    // a u, so it gets no agg row. Those are recovered below with m(x) = x
+    // by a broadcast anti-join over the v column — narrow over the edges,
+    // and the surviving rows (edges whose smaller endpoint is a local
+    // minimum) number ~degree(component minimum) per component on clique
+    // forests, so the distinct that follows is node-sized, not edge-sized.
+    val np0 = roundPartitions(e, edges)
     val (labels0, l0Ids) = lin.tracked(
-      e.select(col("u").as("s"), col("v").as("d"))
-        .unionAll(e.select(col("v").as("s"), col("u").as("d")))
-        .repartition(np0, col("s"))
-        .groupBy("s").agg(min("d").as("mn"))
-        .select(col("s").as("id"), least(col("s"), col("mn")).as("root")),
+      e.repartition(np0, col("u"))
+        .groupBy("u").agg(min("v").as("mn"))
+        .select(col("u").as("id"), col("mn").as("root")),
       eager = true)
-    val lu = labels0.select(col("id").as("u"), col("root").as("ru"))
-    val lv = labels0.select(col("id").as("v"), col("root").as("rv"))
-    // Contraction join strategy: labels0 has one row per NODE — orders of
+    val aggNodes = labels0.count() // cheap: labels0 is checkpointed
+    val uKeys = labels0.select(col("id"))
+    val vSide = e.select(col("v"))
+    val minima =
+      (if (aggNodes <= BroadcastContractNodes)
+         vSide.join(broadcast(uKeys), vSide("v") === uKeys("id"), "left_anti")
+       else vSide.join(uKeys, vSide("v") === uKeys("id"), "left_anti"))
+        .distinct()
+        .select(col("v").as("id"), col("v").as("root"))
+    // Full node map = agg rows ∪ local minima (root = self). Node-sized;
+    // materialized eagerly so labels0's blocks can be dropped at once and
+    // the fast path / compose below read one stable frame.
+    val (labelsAll, laIds) = lin.tracked(labels0.unionAll(minima), eager = true)
+    lin.release(l0Ids)
+    val lu = labelsAll.select(col("id").as("u"), col("root").as("ru"))
+    val lv = labelsAll.select(col("id").as("v"), col("root").as("rv"))
+    // Contraction join strategy: labelsAll has one row per NODE — orders of
     // magnitude smaller than the edge set on dense near-dup graphs (4.7k
     // nodes vs 478k edges at sf0.1; 349k vs 29.2M at the 100x probe). Up
     // to BroadcastContractNodes the node map is broadcast to both ends of
@@ -199,7 +227,7 @@ object Dedup {
     // checkpointed edges — the edge set is never shuffled for the joins,
     // only for the residual dedup. Above the cap, fall back to two hash
     // shuffles of the edges sized by the row budget.
-    val nodes = labels0.count() // cheap: labels0 is checkpointed
+    val nodes = labelsAll.count() // cheap: labelsAll is checkpointed
     val contracted =
       if (nodes <= BroadcastContractNodes)
         e.join(broadcast(lu), Seq("u")).join(broadcast(lv), Seq("v"))
@@ -216,12 +244,12 @@ object Dedup {
         .dropDuplicates(),
       eager = true)
     val edges1 = e1.count()
-    lin.release(eIds) // labels0 + residual are materialized; e is dead
+    lin.release(eIds) // labelsAll + residual are materialized; e is dead
     if (edges1 == 0) {
       // every component closed in one hop (the clique-forest fast path):
-      // labels0 IS the final labeling, no loop rounds at all
+      // labelsAll IS the final labeling, no loop rounds at all
       lin.release(e1Ids)
-      return labels0
+      return labelsAll
     }
 
     // Small residual: finish with driver union-find instead of paying the
@@ -275,24 +303,24 @@ object Dedup {
             throw new IllegalStateException("unreachable")
         }
       }
-    // Compose: every original node id keeps its labels0 row; the residual
-    // labeling (over m-images only) refines the root. Left join —
+    // Compose: every original node id keeps its labelsAll row; the
+    // residual labeling (over m-images only) refines the root. Left join —
     // residual-isolated m-images keep root0 (proof above). The composed
     // result is materialized eagerly (node-sized — one narrow row per
-    // node, cheap relative to the operator) so labels0's blocks AND the
+    // node, cheap relative to the operator) so labelsAll's blocks AND the
     // distributed residual path's final-round blocks (the helpers return
     // the ids they left pinned — r10 ADVICE) can be RELEASED here instead
     // of surviving until GC: a long-lived session calling
     // duplicateClusters repeatedly no longer accumulates per-invocation
     // node maps or final residual frames in executor storage. The
     // returned frame's own blocks die with result consumption, like the
-    // edges1 == 0 fast path's labels0.
+    // edges1 == 0 fast path's labelsAll.
     val rm = residualLabels.select(col("id").as("mid"), col("root").as("mroot"))
     val (out, _) = lin.tracked(
-      labels0.join(rm, labels0("root") === rm("mid"), "left")
-        .select(labels0("id"), coalesce(col("mroot"), labels0("root")).as("root")),
+      labelsAll.join(rm, labelsAll("root") === rm("mid"), "left")
+        .select(labelsAll("id"), coalesce(col("mroot"), labelsAll("root")).as("root")),
       eager = true)
-    lin.release(l0Ids ++ residIds)
+    lin.release(laIds ++ residIds)
     out
   }
 
