@@ -204,6 +204,41 @@ object Dedup {
         .select(col("u").as("id"), col("mn").as("root")),
       eager = true)
     val aggNodes = labels0.count() // cheap: labels0 is checkpointed
+    val lu = labels0.select(col("id").as("u"), col("root").as("ru"))
+    val lv = labels0.select(col("id").as("v"), col("root").as("rv"))
+    // Contraction join strategy: labels0 has one row per labeled NODE —
+    // orders of magnitude smaller than the edge set on dense near-dup
+    // graphs (4.7k nodes vs 478k edges at sf0.1; 349k vs 29.2M at the
+    // 100x probe). Up to BroadcastContractNodes the node map is broadcast
+    // to both ends of the contraction, turning it into a NARROW double map
+    // over the checkpointed edges — the edge set is never shuffled for the
+    // joins, only for the residual dedup. Above the cap, fall back to two
+    // hash shuffles of the edges sized by the row budget. The v side is a
+    // LEFT join: a local minimum has no agg row, and coalesce(rv, v) is
+    // exactly its m(v) = v — so the contraction never needs the recovered
+    // minima map at all, only the compose below does.
+    val contracted =
+      if (aggNodes <= BroadcastContractNodes)
+        e.join(broadcast(lu), Seq("u")).join(broadcast(lv), Seq("v"), "left")
+      else
+        e.repartition(np0, col("u")).join(lu, Seq("u"))
+          .repartition(np0, col("v")).join(lv, Seq("v"), "left")
+    val rvc = coalesce(col("rv"), col("v"))
+    val (e1, e1Ids) = lin.tracked(
+      contracted
+        .select(
+          greatest(col("ru"), rvc).as("cu"),
+          least(col("ru"), rvc).as("cv"))
+        .select(col("cu").as("u"), col("cv").as("v"))
+        .filter(col("u") =!= col("v"))
+        .repartition(np0, col("u"), col("v"))
+        .dropDuplicates(),
+      eager = true)
+    val edges1 = e1.count()
+    // Full node map = agg rows ∪ recovered local minima (root = self), the
+    // ONE extra narrow pass over e this shape pays — before e's blocks are
+    // released. Node-sized; materialized eagerly so labels0 and e can be
+    // dropped at once and the fast path / compose read one stable frame.
     val uKeys = labels0.select(col("id"))
     val vSide = e.select(col("v"))
     val minima =
@@ -212,39 +247,8 @@ object Dedup {
        else vSide.join(uKeys, vSide("v") === uKeys("id"), "left_anti"))
         .distinct()
         .select(col("v").as("id"), col("v").as("root"))
-    // Full node map = agg rows ∪ local minima (root = self). Node-sized;
-    // materialized eagerly so labels0's blocks can be dropped at once and
-    // the fast path / compose below read one stable frame.
     val (labelsAll, laIds) = lin.tracked(labels0.unionAll(minima), eager = true)
-    lin.release(l0Ids)
-    val lu = labelsAll.select(col("id").as("u"), col("root").as("ru"))
-    val lv = labelsAll.select(col("id").as("v"), col("root").as("rv"))
-    // Contraction join strategy: labelsAll has one row per NODE — orders of
-    // magnitude smaller than the edge set on dense near-dup graphs (4.7k
-    // nodes vs 478k edges at sf0.1; 349k vs 29.2M at the 100x probe). Up
-    // to BroadcastContractNodes the node map is broadcast to both ends of
-    // the contraction, turning it into a NARROW double map over the
-    // checkpointed edges — the edge set is never shuffled for the joins,
-    // only for the residual dedup. Above the cap, fall back to two hash
-    // shuffles of the edges sized by the row budget.
-    val nodes = labelsAll.count() // cheap: labelsAll is checkpointed
-    val contracted =
-      if (nodes <= BroadcastContractNodes)
-        e.join(broadcast(lu), Seq("u")).join(broadcast(lv), Seq("v"))
-      else
-        e.repartition(np0, col("u")).join(lu, Seq("u"))
-          .repartition(np0, col("v")).join(lv, Seq("v"))
-    val (e1, e1Ids) = lin.tracked(
-      contracted
-        .select(
-          greatest(col("ru"), col("rv")).as("u"),
-          least(col("ru"), col("rv")).as("v"))
-        .filter(col("u") =!= col("v"))
-        .repartition(np0, col("u"), col("v"))
-        .dropDuplicates(),
-      eager = true)
-    val edges1 = e1.count()
-    lin.release(eIds) // labelsAll + residual are materialized; e is dead
+    lin.release(eIds ++ l0Ids) // labelsAll + residual are materialized
     if (edges1 == 0) {
       // every component closed in one hop (the clique-forest fast path):
       // labelsAll IS the final labeling, no loop rounds at all

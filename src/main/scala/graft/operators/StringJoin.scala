@@ -47,6 +47,17 @@ object StringJoin {
     def segStart(lp: String, i: String) = s"($lp div $m) * $i + least($i, $lp % $m)"
     def segLen(lp: String, i: String) = s"($lp div $m) + (case when $i < $lp % $m then 1 else 0 end)"
 
+    // The (lp, i, seg) candidate key is packed into ONE xxhash64 long on
+    // both sides before the equi-join — the segment string (the bulk of
+    // the key's width) never crosses the candidate shuffle. Lossless by a
+    // one-sided argument: hashing is deterministic, so every genuine
+    // (lp, i, seg) match still collides to the same long (no candidate is
+    // lost), and a hash COLLISION only adds a spurious candidate pair
+    // that the exact levenshtein filter below rejects — unless the pair
+    // is genuinely within maxDist, in which case PassJoin completeness
+    // guarantees it also matches on a true segment key and was in the
+    // result anyway. Output is provably identical; only the shuffled
+    // row narrows to (string, long).
     val index = strings.select(
       col("s"),
       explode(expr(
@@ -54,7 +65,7 @@ object StringJoin {
               length(s) AS lp, i AS i,
               substring(s, ${segStart("length(s)", "i")} + 1, ${segLen("length(s)", "i")}) AS seg))"""))
         .as("k"))
-      .select(col("s"), col("k.lp"), col("k.i"), col("k.seg"))
+      .select(col("s"), xxhash64(col("k.lp"), col("k.i"), col("k.seg")).as("kh"))
 
     // probe: for each candidate shorter length lp, each segment slot i, each
     // shift in [-d, d], the substring of s occupying that (shifted) slot
@@ -69,9 +80,9 @@ object StringJoin {
                   st -> struct(lp AS lp, i AS i,
                                substring(s, st + 1, ${segLen("lp", "i")}) AS seg))))))"""))
         .as("k"))
-      .select(col("t"), col("k.lp"), col("k.i"), col("k.seg"))
+      .select(col("t"), xxhash64(col("k.lp"), col("k.i"), col("k.seg")).as("kh"))
 
-    index.join(probe, Seq("lp", "i", "seg"))
+    index.join(probe, Seq("kh"))
       .filter(col("s") =!= col("t"))
       // canonical pair order: shorter first (index side is the shorter by
       // construction); equal lengths appear in both roles — least/greatest

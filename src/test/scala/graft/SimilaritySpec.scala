@@ -155,6 +155,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(Dedup.duplicateClusters(selfOnly).count() == 0)
   }
 
+  test("duplicateClusters labels every local minimum (star centered at the max)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // Star whose CENTER is the component maximum: every leaf is a "local
+    // minimum" (smaller than its only neighbor), so under the oriented
+    // min-label agg none of the leaves appears on the u side — all their
+    // label rows come from the anti-join recovery path. Descending-pair
+    // orientation (center first) exercises the greatest/least canonical
+    // build too. Expected: all nodes root at the smallest leaf.
+    val star = Seq((100L, 7L), (100L, 3L), (100L, 9L), (100L, 51L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(star).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(100L -> 3L, 7L -> 3L, 3L -> 3L, 9L -> 3L, 51L -> 3L))
+    // isolated pair alongside the star: its smaller end is ALSO recovered
+    // (two disjoint local minima in one run)
+    val two = star.unionAll(Seq((60L, 55L)).toDF("doc_a", "doc_b"))
+    val got2 = Dedup.duplicateClusters(two).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2(55L) == 55L && got2(60L) == 55L && got2(3L) == 3L)
+  }
+
   test("duplicateClusters resolves chains and cliques to min-root components") {
     import spark.implicits._
     import graft.operators.Dedup
