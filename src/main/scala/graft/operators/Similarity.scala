@@ -355,28 +355,32 @@ object Similarity {
     * web-scale through semantic deduplication"): cluster the embedding
     * space, then compare pairs ONLY within a cluster and drop every vector
     * whose cosine to a smaller-id cluster-mate is >= tau. The economy is
-    * the cluster gate: O(Σ cell²) candidate pairs instead of O(n²) — at
-    * 100 TB, nCentroids grows with the corpus so the expected cell size
-    * (and the per-cell quadratic term) stays constant. Keeper policy is
-    * min-id per near-dup group (deterministic; the paper keeps the vector
-    * farthest from the centroid — swap the keeper ordering to get that).
+    * the cluster gate: O(Σ cell²) candidate pairs instead of O(n²). Keeper
+    * policy is min-id per near-dup group (deterministic; the paper keeps
+    * the vector farthest from the centroid — swap the keeper ordering to
+    * get that). Two entry points share the pair/keeper tail
+    * ([[inCellDedup]]):
     *
-    * Centroids: deterministic sample (first nCentroids by id), same
-    * convention as [[ivfTopK]]; [[kmeansCentroids]] refinement composes by
-    * passing refineIters > 0. Assignment is a narrow map (NearestCells
-    * codegen expression over the bounded C×dim table); the in-cell
-    * self-join is an equi-join on the cell id, co-partitioned by the
-    * repartition so only one exchange feeds both sides.
+    *  - [[semanticDedup]] — caller-FIXED centroid count, flat argmin
+    *    assignment (narrow map over plan-constant centroids), optional
+    *    k-means refinement.
+    *  - [[semanticDedupScaled]] — corpus-SCALED cell count (cells stay
+    *    ~cellStride rows as the corpus grows, keeping the in-cell
+    *    quadratic term bounded) with two-level routing, so neither driver
+    *    state nor per-row assignment cost grows linearly with the corpus.
+    *    This is the 100 TB entry point.
     *
     * Input: (vec_id, cv: array<double>); output: (vec_id, c_id) survivors.
     */
-  /** Corpus-derived centroid count for [[semanticDedup]]: expected cell
-    * ~64 rows, floor 8 — cells stay constant-size as the corpus grows, so
-    * the in-cell quadratic term stays bounded (the SQL mirror is inlined in
-    * PortableSql.semanticDedupOracle). */
-  def semanticCells(corpusRows: Long): Int =
-    math.max(8L, math.ceil(corpusRows / 64.0).toLong).toInt
-
+  /** Caller-FIXED-C variant: assignment is a narrow map over a NearestCells
+    * expression holding all C centroids as plan constants, so driver state
+    * is O(C·dim) and per-row cost O(C·dim) — the caller's contract is that
+    * C is a constant of the deployment (like ivfTopK's nCentroids), NOT
+    * derived from the corpus size. For corpus-scaled cell counts use
+    * [[semanticDedupScaled]]: sizing C ~ N/cell through THIS entry point
+    * makes assignment O(N²·dim) and grows the driver collect linearly —
+    * the round-11 scale audit's one red flag.
+    */
   def semanticDedup(
       corpus: DataFrame,
       nCentroids: Int,
@@ -391,10 +395,7 @@ object Similarity {
         .select(col("vec_id").as("c_id"), col("cv").as("centroid"))
     // bounded driver state: C×dim, the same category as ivfTopK's collect
     val cents = centroids.collect()
-    if (cents.isEmpty)
-      return corpus.select(col("vec_id")).limit(0)
-        .withColumn("c_id", lit(0L))
-        .select("vec_id", "c_id")
+    if (cents.isEmpty) return emptySurvivors(corpus)
     val centArr = cents.map(_.getSeq[Double](1).toArray)
     val idArr = cents.map(_.getLong(0))
     val assigned = corpus
@@ -402,6 +403,120 @@ object Similarity {
         column(graft.expressions.NearestCells(
           expression(col("cv")), centArr, idArr, 1)).getItem(0))
       .repartition(col("c_id"))
+    inCellDedup(assigned, tau)
+  }
+
+  /** Corpus-SCALED SemDeDup: cell count grows with the corpus (expected
+    * cell size ~`cellStride`) while driver state and per-row assignment
+    * cost stay sublinear. The round-11 audit showed the flat path cannot
+    * do this — argmin over C = N/64 plan-constant centroids is O(N²·dim)
+    * compute with an O(N·dim/64) driver collect — so this variant changes
+    * the assignment STRUCTURE, not just its constants:
+    *
+    *  - Fine cells are seeded by the stride-grid sample `vec_id %
+    *    cellStride == 0` (plus the min id, so a nonempty corpus always has
+    *    >= 1 seed) — a distributed filter, replacing the flat path's
+    *    orderBy().limit(C) whose single-partition GlobalLimit is itself a
+    *    linear bottleneck when C scales with N. On the dense ids of the
+    *    fixtures this yields the same ceil(N/stride) cell count as the old
+    *    first-C rule, with an unbiased spread instead of an id-prefix.
+    *  - Routing is two-level (the IVF-style hierarchy of Johnson et al.
+    *    2017, "Billion-scale similarity search with GPUs"): the first
+    *    ceil(sqrt(F)) fine seeds also serve as COARSE routers — only this
+    *    sqrt-sized table is collected to the driver and baked into the
+    *    NearestCells narrow map. Every fine centroid is owned by its
+    *    nearest router (tie: smaller router id); rows route to their
+    *    nearest ACTIVE router (one that owns >= 1 fine — ownership can
+    *    miss a router only when duplicate vectors make another router
+    *    equidistant) and take the exact argmin within that router's
+    *    fine bundle via the [[graft.expressions.NearestInBundle]] codegen
+    *    expression. Per-row cost: O(sqrt(F)·dim) routing + O(E[bundle]·dim)
+    *    ≈ O(sqrt(F)·dim) argmin. The bundle table is DISTRIBUTED (an
+    *    equi-join on the router id — broadcast while it fits, shuffled SMJ
+    *    beyond), never driver state.
+    *
+    * The cell MAP differs from the flat argmin when a row's globally
+    * nearest fine is owned by a different router than the row — the
+    * standard IVF routing approximation; SemDeDup's cluster gate is itself
+    * a recall heuristic, so any deterministic partition of the space is a
+    * valid gate (Abbas et al. 2023 accept exactly this trade in their
+    * k-means). On separated clusters the two agree exactly (SimilaritySpec
+    * proves parity on seeded blob corpora); the DuckDB oracle replays this
+    * rule stage by stage (PortableSql.semanticDedupOracle), so the
+    * correctness gate covers the two-level path itself.
+    *
+    * Centroid refinement (kmeansCentroids) deliberately does NOT compose
+    * here: its per-iteration broadcast-assign is O(C·dim) per row — the
+    * very cost this variant removes. Refinement stays a caller-fixed-C
+    * feature of [[semanticDedup]].
+    *
+    * Input: (vec_id, cv: array<double>); output: (vec_id, c_id) survivors.
+    */
+  def semanticDedupScaled(
+      corpus: DataFrame,
+      tau: Double,
+      cellStride: Int = 64): DataFrame = {
+    require(cellStride >= 1, s"cellStride must be >= 1, got $cellStride")
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    if (corpus.isEmpty) return emptySurvivors(corpus)
+    inCellDedup(semanticAssignScaled(corpus, cellStride), tau)
+  }
+
+  /** The two-level assignment of [[semanticDedupScaled]], exposed for the
+    * spec-level differential against a brute-force replay of the same rule.
+    * Returns (vec_id, cv, c_id), repartitioned by cell for the in-cell
+    * join. Caller guarantees a nonempty corpus. */
+  private[graft] def semanticAssignScaled(
+      corpus: DataFrame,
+      cellStride: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    // stride-grid fine seeds; the min id joins unconditionally so sparse /
+    // offset id spaces still seed (idempotent when min % stride == 0)
+    val minId = corpus.agg(min(col("vec_id"))).head.getLong(0)
+    val fines = corpus
+      .filter(col("vec_id") % cellStride === 0 || col("vec_id") === minId)
+      .select(col("vec_id").as("c_id"), col("cv").as("centroid"))
+    val fineCount = fines.count()
+    val nCoarse = math.max(1, math.ceil(math.sqrt(fineCount.toDouble)).toInt)
+    // coarse routers: first sqrt(F) fine seeds by id. limit(k) with small k
+    // is a distributed TakeOrdered (per-partition top-k, driver merge) —
+    // unlike limit(C), safe at scale. The ONLY linearly-derived driver
+    // state in this path is this sqrt-sized array.
+    val gRows = fines.orderBy("c_id").limit(nCoarse)
+      .select(col("c_id").as("g_id"), col("centroid").as("gv")).collect()
+    val gArrAll = gRows.map(_.getSeq[Double](1).toArray)
+    val gIdsAll = gRows.map(_.getLong(0))
+    def route(v: Column, cs: Array[Array[Double]], ids: Array[Long]): Column =
+      column(graft.expressions.NearestCells(expression(v), cs, ids, 1))
+        .getItem(0)
+    // each fine centroid is owned by its nearest router; bundles are the
+    // distributed second-level lookup (one row per ACTIVE router,
+    // ~sqrt(F)·dim wide)
+    val owned = fines.withColumn("g_id",
+      route(col("centroid"), gArrAll, gIdsAll))
+    val bundles = owned.groupBy("g_id")
+      .agg(collect_list(struct(col("c_id"), col("centroid"))).as("cell_fines"))
+    // rows must route only to routers that own >= 1 fine, or the bundle
+    // join would silently drop them; inactive routers exist only when a
+    // duplicate vector ties a router's self-distance 0 toward a smaller id
+    val active =
+      owned.select("g_id").distinct().collect().map(_.getLong(0)).toSet
+    val keep = gIdsAll.indices.filter(i => active(gIdsAll(i)))
+    val gArr = keep.map(gArrAll).toArray
+    val gIds = keep.map(gIdsAll).toArray
+    corpus
+      .withColumn("g_id", route(col("cv"), gArr, gIds))
+      .join(bundles, Seq("g_id"))
+      .withColumn("c_id", column(graft.expressions.NearestInBundle(
+        expression(col("cv")), expression(col("cell_fines")))))
+      .select(col("vec_id"), col("cv"), col("c_id"))
+      .repartition(col("c_id"))
+  }
+
+  /** Shared SemDeDup tail: in-cell pair generation (equi-join on the cell
+    * id over the pre-partitioned assignment — one exchange feeds both
+    * sides) + min-id keeper. `assigned`: (vec_id, cv, c_id). */
+  private def inCellDedup(assigned: DataFrame, tau: Double): DataFrame = {
     val dropped = assigned
       .select(col("c_id"), col("vec_id").as("id_a"), col("cv").as("v_a"))
       .join(assigned.select(col("c_id"), col("vec_id").as("id_b"), col("cv").as("v_b")),
@@ -411,6 +526,11 @@ object Similarity {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     Dedup.keepFromPairs(assigned.select("vec_id", "c_id"), "vec_id", dropped)
   }
+
+  private def emptySurvivors(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id")).limit(0)
+      .withColumn("c_id", lit(0L))
+      .select("vec_id", "c_id")
 
   /** Exact-Jaccard near-dup pairs with log-length-band blocking.
     *

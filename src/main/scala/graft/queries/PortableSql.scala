@@ -323,26 +323,42 @@ object PortableSql {
           AND ${cosine("i.v", "e.v")} >= $minCosine
         ORDER BY id, matched_id"""
 
-  /** q_dedup_semantic: SemDeDup — corpus-sized deterministic-sample
-    * centroids (mirrors Similarity.semanticCells: expected cell ~64 rows,
-    * floor 8), argmin cell assignment, in-cell pairs with cosine >= tau,
-    * min-id keeper — mirrors Similarity.semanticDedup(refineIters = 0)
-    * stage by stage. */
-  def semanticDedupOracle(tau: Double): String =
-    s"""WITH nc AS (SELECT GREATEST(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS c
-                    FROM embeddings),
-        e AS (SELECT vec_id,
+  /** q_dedup_semantic: corpus-scaled SemDeDup — mirrors
+    * Similarity.semanticDedupScaled stage by stage: stride-grid fine seeds
+    * (vec_id % stride == 0, plus the min id), coarse routers = first
+    * ceil(sqrt(F)) seeds, fine→router ownership and row→ACTIVE-router
+    * routing both by (squared-L2 asc, id asc) argmin, then the exact
+    * argmin within the routed router's fine set; in-cell pairs with
+    * cosine >= tau, min-id keeper. */
+  def semanticDedupOracle(tau: Double, stride: Int): String =
+    s"""WITH e AS (SELECT vec_id,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
               FROM embeddings),
-        cent AS (SELECT vec_id AS c_id, v AS centroid FROM (
-                   SELECT vec_id, v,
-                          row_number() OVER (ORDER BY vec_id) AS crn FROM e)
-                 WHERE crn <= (SELECT c FROM nc)),
+        cent AS (SELECT vec_id AS c_id, v AS centroid FROM e
+                 WHERE vec_id % $stride = 0
+                    OR vec_id = (SELECT min(vec_id) FROM e)),
+        ng AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n FROM cent),
+        g AS (SELECT c_id AS g_id, centroid AS gv FROM (
+                SELECT c_id, centroid,
+                       row_number() OVER (ORDER BY c_id) AS grn FROM cent)
+              WHERE grn <= (SELECT n FROM ng)),
+        fown AS (SELECT c_id, centroid, g_id FROM (
+                   SELECT cent.c_id, cent.centroid, g.g_id,
+                          row_number() OVER (PARTITION BY cent.c_id
+                            ORDER BY ${l2Sq("cent.centroid", "g.gv")}, g.g_id) AS orn
+                   FROM cent, g) WHERE orn = 1),
+        ga AS (SELECT g_id, gv FROM g
+               WHERE g_id IN (SELECT DISTINCT g_id FROM fown)),
+        rt AS (SELECT vec_id, v, g_id FROM (
+                 SELECT e.vec_id, e.v, ga.g_id,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY ${l2Sq("e.v", "ga.gv")}, ga.g_id) AS rrn
+                 FROM e, ga) WHERE rrn = 1),
         asg AS (SELECT vec_id, v, c_id FROM (
-                  SELECT e.vec_id, e.v, cent.c_id,
-                         row_number() OVER (PARTITION BY e.vec_id
-                           ORDER BY ${l2Sq("e.v", "cent.centroid")}, cent.c_id) AS arn
-                  FROM e, cent) WHERE arn = 1),
+                  SELECT rt.vec_id, rt.v, f.c_id,
+                         row_number() OVER (PARTITION BY rt.vec_id
+                           ORDER BY ${l2Sq("rt.v", "f.centroid")}, f.c_id) AS arn
+                  FROM rt JOIN fown f ON rt.g_id = f.g_id) WHERE arn = 1),
         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
               FROM asg a JOIN asg b
                 ON a.c_id = b.c_id AND a.vec_id < b.vec_id

@@ -223,22 +223,25 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
-    // SemDeDup (Abbas et al. 2023): cluster the embedding space
-    // (deterministic-sample centroids + NearestCells argmin), compare pairs
-    // only WITHIN a cluster, drop everything with an in-cell cosine >= tau
-    // to a smaller id. tau = 0.3 surfaces the top of the random-vector
-    // cosine distribution (max pairwise ~0.48); real corpora use ~0.9+.
-    // Centroid count is corpus-derived (expected cell ~64 rows, like
-    // q_sim_lsh's bit count) so the in-cell quadratic term stays bounded
-    // as the data grows. The oracle replays centroid sizing, assignment,
-    // pair set and keeper arithmetic exactly
-    // (PortableSql.semanticDedupOracle).
+    // SemDeDup (Abbas et al. 2023): cluster the embedding space, compare
+    // pairs only WITHIN a cluster, drop everything with an in-cell cosine
+    // >= tau to a smaller id. tau = 0.3 surfaces the top of the
+    // random-vector cosine distribution (max pairwise ~0.48); real corpora
+    // use ~0.9+. Cell count is corpus-derived (expected cell ~stride rows,
+    // like q_sim_lsh's bit count) so the in-cell quadratic term stays
+    // bounded as the data grows — which is why this registers the SCALED
+    // two-level variant (stride-grid fine seeds, sqrt-F coarse routers,
+    // distributed fine bundles): the flat argmin would be O(N²·dim)
+    // assignment compute with a linearly-growing driver collect at that
+    // sizing. The oracle replays seed selection, both routing levels, the
+    // pair set and the keeper arithmetic exactly
+    // (PortableSql.semanticDedupOracle), so the correctness gate exercises
+    // the 100 TB code path itself.
     QueryDef("q_dedup_semantic",
-        Some(PortableSql.semanticDedupOracle(0.3))) { (s, d) =>
+        Some(PortableSql.semanticDedupOracle(0.3, 64))) { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), V.asDouble(col("embedding")).as("cv"))
-      val cells = Similarity.semanticCells(Tables.rowCount(s, d, "embeddings"))
-      Similarity.semanticDedup(emb, nCentroids = cells, tau = 0.3)
+      Similarity.semanticDedupScaled(emb, tau = 0.3, cellStride = 64)
         .select(col("vec_id"), col("c_id").cast("long").as("c_id"))
         .orderBy("vec_id")
     },

@@ -385,6 +385,25 @@ class ExpressionSpec extends AnyFunSuite with SparkTest {
       assert(r.getLong(0) == r.getLong(1), s"string ${r.getLong(0)} vs hashed ${r.getLong(1)}"))
   }
 
+  test("NearestInBundle: (dist, id) tie-break and dim clamp match NearestCells") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    // ids 5 and 3 both at distance 0 -> smaller id wins; the 1-element
+    // vector against 2-element centroids exercises the min(n) clamp the
+    // flat NearestCells loop also applies
+    val rows = Seq(
+      (Seq(1.0, 0.0), Seq((5L, Seq(1.0, 0.0)), (3L, Seq(1.0, 0.0)), (7L, Seq(0.0, 1.0))), 3L),
+      (Seq(0.1, 0.9), Seq((5L, Seq(1.0, 0.0)), (3L, Seq(1.0, 0.0)), (7L, Seq(0.0, 1.0))), 7L),
+      (Seq(2.0), Seq((1L, Seq(2.0, 9.0)), (2L, Seq(3.0, 9.0))), 1L))
+    val got = rows.toDF("v", "bundle", "want").select(
+      column(graft.expressions.NearestInBundle(
+        expression(col("v")),
+        expression(transform(col("bundle"),
+          e => struct(e.getField("_1").as("c_id"), e.getField("_2").as("centroid")))))).as("got"),
+      col("want")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
   test("salted aggregation equals the plain aggregation") {
     import spark.implicits._
     val df = ((1 to 500).map(_ => ("hot", 1.0)) ++

@@ -290,6 +290,102 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(out.count() == 0)
   }
 
+  // ---- the corpus-scaled two-level variant ----------------------------
+
+  private def sqL2(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** In-memory replay of semanticAssignScaled's exact rule: stride-grid
+    * fine seeds + min id, first-sqrt(F) coarse routers, (sqL2, id)-argmin
+    * ownership and routing over ACTIVE routers, bundle argmin. */
+  private def replayTwoLevel(
+      rows: Seq[(Long, Seq[Double])], stride: Int): Map[Long, Long] = {
+    def argmin(v: Seq[Double], cands: Seq[(Long, Seq[Double])]): Long =
+      cands.map { case (id, c) => (sqL2(v, c), id) }.min._2
+    val minId = rows.map(_._1).min
+    val fines = rows
+      .filter { case (id, _) => id % stride == 0 || id == minId }
+      .sortBy(_._1)
+    val nCoarse = math.max(1, math.ceil(math.sqrt(fines.length.toDouble)).toInt)
+    val coarse = fines.take(nCoarse)
+    val owner = fines.map { case (id, c) => id -> argmin(c, coarse) }.toMap
+    val activeCoarse = coarse.filter { case (gid, _) => owner.values.exists(_ == gid) }
+    rows.map { case (id, v) =>
+      val g = argmin(v, activeCoarse)
+      id -> argmin(v, fines.filter(f => owner(f._1) == g))
+    }.toMap
+  }
+
+  test("semanticAssignScaled equals the FLAT argmin on separated blob corpora") {
+    import spark.implicits._
+    // 3 orthogonal anchors at distance ~70, jitter ~0.1: every blob gets a
+    // coarse router (ids 0,8,16 fall in blobs 0,2,1), every fine is owned
+    // in-blob, so two-level routing and the flat argmin provably coincide
+    def anchor(k: Int): Seq[Double] = (0 until 8).map(j => if (j == k) 50.0 else 0.0)
+    val rows = (0L until 72L).map { i =>
+      val j = vec(i.toInt, 8).map(_ * 0.2)
+      (i, anchor((i % 3).toInt).zip(j).map { case (a, x) => a + x })
+    }
+    val got = Similarity.semanticAssignScaled(rows.toDF("vec_id", "cv"), 8)
+      .select("vec_id", "c_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val minId = rows.map(_._1).min
+    val fines = rows.filter { case (id, _) => id % 8 == 0 || id == minId }
+    val flat = rows.map { case (id, v) =>
+      id -> fines.map { case (fid, c) => (sqL2(v, c), fid) }.min._2
+    }.toMap
+    assert(got == flat)
+    assert(got == replayTwoLevel(rows, 8))
+  }
+
+  test("semanticAssignScaled matches the brute-force two-level replay on random vectors") {
+    import spark.implicits._
+    // unclustered random data — the routing-approximation worst case; the
+    // differential pins the Spark plan to the exact deterministic rule
+    val rows = (0L until 80L).map(i => (i, vec(i.toInt * 7 + 1, 16)))
+    val got = Similarity.semanticAssignScaled(rows.toDF("vec_id", "cv"), 8)
+      .select("vec_id", "c_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == replayTwoLevel(rows, 8))
+  }
+
+  test("semanticAssignScaled survives an inactive coarse router (duplicate vectors)") {
+    import spark.implicits._
+    // vec(4) == vec(0) exactly: fine 4 ties to router 0 (smaller id), so
+    // router 4 owns nothing and must be dropped from the row-routing set
+    // rather than black-holing rows in the bundle join
+    val rows = (0L until 16L).map {
+      case 4L => (4L, vec(0, 8))
+      case i  => (i, vec(i.toInt, 8))
+    }
+    val got = Similarity.semanticAssignScaled(rows.toDF("vec_id", "cv"), 4)
+      .select("vec_id", "c_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 16)
+    assert(got == replayTwoLevel(rows, 4))
+  }
+
+  test("semanticDedupScaled drops planted near-dups, keeps originals") {
+    import spark.implicits._
+    val originals = (0L until 20L).map(i => (i, vec(i.toInt + 50, 32)))
+    // tiny perturbations keep the copies in their originals' cells (fine
+    // seeds are ~unit apart; the perturbation moves the vector ~0.01)
+    val copies = Seq((103L, nearDup(vec(53, 32))), (107L, nearDup(vec(57, 32))))
+    val emb = (originals ++ copies).toDF("vec_id", "cv")
+    val kept = Similarity.semanticDedupScaled(emb, tau = 0.999, cellStride = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(103L) && !kept.contains(107L), kept.toString)
+    (0L until 20L).foreach(i => assert(kept.contains(i), s"original $i dropped"))
+  }
+
+  test("semanticDedupScaled on an empty corpus returns an empty (vec_id, c_id) frame") {
+    import spark.implicits._
+    val emb = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "cv")
+    val out = Similarity.semanticDedupScaled(emb, tau = 0.9)
+    assert(out.columns.toSeq == Seq("vec_id", "c_id"))
+    assert(out.count() == 0)
+  }
+
   test("incremental near-dup flags arrivals colliding with the persisted band table") {
     import spark.implicits._
     import graft.functions.{TextFunctions => T}
