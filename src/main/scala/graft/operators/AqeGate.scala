@@ -50,6 +50,10 @@ private[graft] object AqeGate {
           // Narrowed (r10 ADVICE): only the stopped-session case is
           // silent — a restore failure on a LIVE session would leave AQE
           // off for the rest of the session, so it is at least loud.
+          // Deliberate (r11 ADVICE): a FATAL throwable (OOM, thread
+          // death) on the live path still propagates and can mask the
+          // body's exception — the conventional trade; fatal errors mean
+          // the JVM is past caring which exception wins.
           try spark.conf.set(Key, before)
           catch {
             case _: Throwable if spark.sparkContext.isStopped => ()

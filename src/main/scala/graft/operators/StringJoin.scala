@@ -56,8 +56,14 @@ object StringJoin {
     // that the exact levenshtein filter below rejects — unless the pair
     // is genuinely within maxDist, in which case PassJoin completeness
     // guarantees it also matches on a true segment key and was in the
-    // result anyway. Output is provably identical; only the shuffled
-    // row narrows to (string, long).
+    // result anyway. One residual orientation hazard: a collision between
+    // an index key of a LONGER string and a probe key of a shorter one
+    // would emit a genuine pair with the roles reversed (left = longer),
+    // which the levenshtein filter and distinct would both keep — the
+    // length guard after the join closes it (genuine matches always have
+    // length(s) = lp <= length(t) by the probe's lp range), making the
+    // output provably identical; only the shuffled row narrows to
+    // (string, long).
     val index = strings.select(
       col("s"),
       explode(expr(
@@ -84,6 +90,10 @@ object StringJoin {
 
     index.join(probe, Seq("kh"))
       .filter(col("s") =!= col("t"))
+      // orientation guard (see the losslessness note above): genuine
+      // matches satisfy this by construction, so it only drops
+      // hash-collision artifacts that would flip the canonical order
+      .filter(length(col("s")) <= length(col("t")))
       // canonical pair order: shorter first (index side is the shorter by
       // construction); equal lengths appear in both roles — least/greatest
       // collapses them for the distinct

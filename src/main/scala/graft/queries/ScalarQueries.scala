@@ -373,8 +373,18 @@ object ScalarQueries {
                      END AS sample
               FROM documents ORDER BY media_id""")) { (s, d) =>
       import s.implicits._
+      // fixture-contract gate: the byte-exact string compare above relies
+      // on byte index == char index, i.e. pure-ASCII text. A future
+      // corpus-generator change introducing multi-byte chars should fail
+      // HERE with a named contract error, not as a look-alike operator
+      // bug in the hash compare. assert_true returns NULL on pass, so the
+      // isNull predicate keeps the guard in the plan.
+      val docs = Tables.documents(s, d).where(
+        assert_true(octet_length(col("text")) === length(col("text")),
+          lit("q_mm_resize contract: documents.text must be pure ASCII " +
+            "(byte index == char index)")).isNull)
       val media = graft.multimodal.Multimodal
-        .fromDocuments(Tables.documents(s, d))
+        .fromDocuments(docs)
         .as[graft.multimodal.Multimodal.MediaRecord]
       graft.multimodal.Multimodal.resize(media, targetW = 8, targetH = 4)
         .select(col("media_id"), col("width"), col("height"),
