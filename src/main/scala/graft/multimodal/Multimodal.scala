@@ -160,6 +160,76 @@ object Multimodal {
       h.array() ++ new Array[Byte](dataSize)
     }
 
+    /** Deterministic per-pixel arithmetic pattern in IMAGE coordinates
+      * (top-down y, channels c = 0/1/2 for R/G/B): the planted-fixture
+      * pixel content whose resampled averages a SQL oracle can predict
+      * exactly. All terms nonnegative, result in [0, 255]. */
+    def patternValue(id: Long, x: Int, y: Int, c: Int): Int =
+      (((id % 251) + x * 3 + y * 5 + c * 11) % 256).toInt
+
+    /** Valid 24-bit BMP carrying [[patternValue]] pixels — same header as
+      * [[encodeBmp]], but the pixel data exercises the REAL layout rules a
+      * decoder must invert: rows stored bottom-up, channels stored BGR,
+      * rows padded to 4-byte boundaries. */
+    def encodeBmpPattern(id: Long, width: Int, height: Int): Array[Byte] = {
+      val black = encodeBmp(width, height)
+      val rowSize = ((width * 3 + 3) / 4) * 4
+      var y = 0
+      while (y < height) {
+        // image row y lands at file row (height-1-y); file bytes are B,G,R
+        val rowOff = 54 + (height - 1 - y) * rowSize
+        var x = 0
+        while (x < width) {
+          val off = rowOff + x * 3
+          black(off) = patternValue(id, x, y, 2).toByte
+          black(off + 1) = patternValue(id, x, y, 1).toByte
+          black(off + 2) = patternValue(id, x, y, 0).toByte
+          x += 1
+        }
+        y += 1
+      }
+      black
+    }
+
+    /** Decoded BMP pixel grid: top-down rows, RGB triplets (image order —
+      * the bottom-up/BGR/padded file layout already inverted). */
+    case class BmpPixels(width: Int, height: Int, rgb: Array[Byte])
+
+    /** Real 24-bit BMP decode: BITMAPINFOHEADER, uncompressed, positive
+      * (bottom-up) height — the exact shape [[encodeBmp]] emits. Returns
+      * None for anything else (other containers, top-down or compressed
+      * BMPs), never throws on foreign bytes. */
+    def decodeBmpPixels(b: Array[Byte]): Option[BmpPixels] = {
+      if (b.length < 54 || !ascii(b, 0, "BM")) return None
+      val dataOff = le32(b, 10).toInt
+      val hdrSize = le32(b, 14)
+      val width = le32(b, 18).toInt
+      val height = le32(b, 22).toInt
+      val bpp = le16(b, 28)
+      val compression = le32(b, 30)
+      if (hdrSize != 40 || bpp != 24 || compression != 0L) return None
+      if (width <= 0 || height <= 0) return None
+      val rowSize = ((width * 3 + 3) / 4) * 4
+      if (dataOff < 54 || dataOff.toLong + rowSize.toLong * height > b.length)
+        return None
+      val rgb = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        val rowOff = dataOff + (height - 1 - y) * rowSize
+        var x = 0
+        while (x < width) {
+          val src = rowOff + x * 3
+          val dst = (y * width + x) * 3
+          rgb(dst) = b(src + 2)     // R
+          rgb(dst + 1) = b(src + 1) // G
+          rgb(dst + 2) = b(src)     // B
+          x += 1
+        }
+        y += 1
+      }
+      Some(BmpPixels(width, height, rgb))
+    }
+
     /** Valid 16-bit PCM WAV of silence. */
     def encodeWav(sampleRate: Int, channels: Int, nSamples: Long): Array[Byte] = {
       val blockAlign = channels * 2
@@ -233,6 +303,78 @@ object Multimodal {
         ResizedMedia(r.media_id, r.kind, targetW, targetH, out)
       }
     }
+  }
+
+  /** REAL resample: decode the BMP pixel grid ([[HeaderCodec.decodeBmpPixels]]
+    * — bottom-up rows, BGR, padding all inverted) and box-filter
+    * (area-average) it to `targetW x targetH` RGB, the standard mipmap
+    * downsample. Target cell (i, j) averages the source box
+    * `[i*w/tw, max(i*w/tw+1, (i+1)*w/tw)) x [j*h/th, max(.., (j+1)*h/th))`
+    * — integer arithmetic throughout (Long sums, truncating division), so
+    * a SQL oracle replays it bit-exactly; the max() keeps every box
+    * nonempty when upsampling (cells then repeat source pixels). Payload:
+    * `tw*th*3` bytes, top-down RGB — bounded output per row regardless of
+    * input dims, the property that keeps the downstream shuffle
+    * predictable at 100 TB. Non-BMP payloads are dropped (the codec
+    * registry shape: each decoder claims its container; this one claims
+    * BMP). Runs as one typed mapPartitions — per-partition decoder
+    * amortization, rows streamed. */
+  def resizeBmpArea(media: Dataset[MediaRecord], targetW: Int, targetH: Int)
+      : Dataset[ResizedMedia] = {
+    require(targetW >= 1 && targetH >= 1)
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        HeaderCodec.decodeBmpPixels(r.payload).map { p =>
+          val out = new Array[Byte](targetW * targetH * 3)
+          var j = 0
+          while (j < targetH) {
+            val y0 = j * p.height / targetH
+            val y1 = math.max(y0 + 1, (j + 1) * p.height / targetH)
+            var i = 0
+            while (i < targetW) {
+              val x0 = i * p.width / targetW
+              val x1 = math.max(x0 + 1, (i + 1) * p.width / targetW)
+              var c = 0
+              while (c < 3) {
+                var sum = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    sum += p.rgb((y * p.width + x) * 3 + c) & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                out((j * targetW + i) * 3 + c) =
+                  (sum / ((x1 - x0).toLong * (y1 - y0))).toByte
+                c += 1
+              }
+              i += 1
+            }
+            j += 1
+          }
+          ResizedMedia(r.media_id, r.kind, targetW, targetH, out)
+        }
+      }
+    }
+  }
+
+  /** Fixture for [[resizeBmpArea]]: every document becomes one patterned
+    * BMP (dims arithmetic in (doc_id, n_chars) like [[plantedMedia]],
+    * pixels arithmetic in (doc_id, x, y, c) via
+    * [[HeaderCodec.patternValue]]) so a DuckDB oracle predicts the decoded
+    * AND resampled bytes while the engine round-trips real BMP layout. */
+  def plantedPatternBmp(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nc) =>
+        MediaRecord(id, "image",
+          HeaderCodec.encodeBmpPattern(id,
+            (id % 64 + 1).toInt, (nc % 64 + 1).toInt))
+      }
   }
 
   /** Wrap a text table as media records (UTF-8 bytes) — the fixture path

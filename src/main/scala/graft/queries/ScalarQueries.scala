@@ -11,6 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object ScalarQueries {
 
+  /** Channel-c area-average of the planted BMP pattern over one resample
+    * box — the DuckDB replay of Multimodal.resizeBmpArea's integer
+    * arithmetic (Long sums, truncating division) on
+    * HeaderCodec.patternValue pixels. */
+  private def bmpChan(c: Int): String =
+    s"""list_sum(flatten(list_transform(generate_series(y0, y1 - 1), y ->
+          list_transform(generate_series(x0, x1 - 1), x ->
+            ((id % 251) + x * 3 + y * 5 + $c * 11) % 256))))
+        // ((x1 - x0) * (y1 - y0))"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // Whitespace cleanup (cf. .replace("\t","").replace("\n","") + .strip(),
@@ -390,6 +400,54 @@ object ScalarQueries {
         .select(col("media_id"), col("width"), col("height"),
           decode(col("payload"), "UTF-8").as("sample"))
         .orderBy("media_id")
+    },
+
+    // REAL multimodal resize (closes the r11 "stub resampler" gap): every
+    // document becomes a spec-conformant 24-bit BMP with arithmetic
+    // pattern pixels, the engine DECODES the actual byte layout
+    // (bottom-up rows, BGR channels, 4-byte row padding) and box-filters
+    // the pixel grid to 8x4 RGB with pure integer arithmetic. The oracle
+    // never sees the bytes — it re-derives every resampled channel value
+    // from (doc_id, n_chars) arithmetic, so a pass proves the
+    // decode+resample round-trip byte-exactly. Output is one row per
+    // target cell (scalar columns hash-compare robustly across engines).
+    QueryDef(
+      "q_mm_resize_real",
+      Some(s"""WITH d AS (SELECT doc_id AS id,
+                       CAST(doc_id % 64 + 1 AS BIGINT) AS w,
+                       CAST(n_chars % 64 + 1 AS BIGINT) AS h
+                FROM documents),
+          cells AS (SELECT id, w, h, cx, cy
+                    FROM d,
+                         (SELECT unnest(generate_series(0, 7)) AS cx),
+                         (SELECT unnest(generate_series(0, 3)) AS cy)),
+          box AS (SELECT id, cx, cy,
+                         (cx * w) // 8 AS x0,
+                         GREATEST((cx * w) // 8 + 1, ((cx + 1) * w) // 8) AS x1,
+                         (cy * h) // 4 AS y0,
+                         GREATEST((cy * h) // 4 + 1, ((cy + 1) * h) // 4) AS y1
+                  FROM cells)
+          SELECT id AS media_id,
+                 CAST(cx AS INT) AS cell_x, CAST(cy AS INT) AS cell_y,
+                 CAST(${bmpChan(0)} AS INT) AS r,
+                 CAST(${bmpChan(1)} AS INT) AS g,
+                 CAST(${bmpChan(2)} AS INT) AS b
+          FROM box ORDER BY media_id, cell_y, cell_x""")) { (s, d) =>
+      import s.implicits._
+      val media = graft.multimodal.Multimodal
+        .plantedPatternBmp(Tables.documents(s, d))
+      graft.multimodal.Multimodal.resizeBmpArea(media, targetW = 8, targetH = 4)
+        .flatMap { rm =>
+          for (cy <- 0 until 4; cx <- 0 until 8) yield {
+            val base = (cy * 8 + cx) * 3
+            (rm.media_id, cx, cy,
+              rm.payload(base) & 0xff,
+              rm.payload(base + 1) & 0xff,
+              rm.payload(base + 2) & 0xff)
+          }
+        }
+        .toDF("media_id", "cell_x", "cell_y", "r", "g", "b")
+        .orderBy("media_id", "cell_y", "cell_x")
     }
   )
 }

@@ -145,4 +145,63 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     val again = Multimodal.resize(media, 8, 4).collect().sortBy(_.media_id)
     assert(r.zip(again).forall { case (a, b) => a.payload.sameElements(b.payload) })
   }
+
+  test("patterned BMP decode inverts bottom-up rows, BGR order and padding exactly") {
+    // 5x3 needs row padding (15 bytes -> 16); pattern is defined in IMAGE
+    // coordinates, so equality here proves the decoder inverted the file
+    // layout rather than echoing it
+    val p = Multimodal.HeaderCodec
+      .decodeBmpPixels(Multimodal.HeaderCodec.encodeBmpPattern(7L, 5, 3)).get
+    assert(p.width == 5 && p.height == 3)
+    for (y <- 0 until 3; x <- 0 until 5; c <- 0 until 3)
+      assert((p.rgb((y * 5 + x) * 3 + c) & 0xff) ==
+        Multimodal.HeaderCodec.patternValue(7L, x, y, c), s"($x,$y,$c)")
+    // foreign bytes and non-24bpp refuse rather than throw
+    assert(Multimodal.HeaderCodec.decodeBmpPixels("not a bmp".getBytes).isEmpty)
+    assert(Multimodal.HeaderCodec
+      .decodeBmpPixels(Multimodal.HeaderCodec.encodePng(4, 4)).isEmpty)
+  }
+
+  test("resizeBmpArea golden bytes: 2x2 box-average, 1x1 upsample repeat, non-BMP dropped") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(0L, "image", Multimodal.HeaderCodec.encodeBmpPattern(0L, 2, 2)),
+      Multimodal.MediaRecord(1L, "image", Multimodal.HeaderCodec.encodeBmpPattern(9L, 1, 1)),
+      Multimodal.MediaRecord(2L, "image", Multimodal.HeaderCodec.encodeWav(8000, 1, 4))).toDS()
+    // id 0 to 1x1: one box over all 4 pixels. pattern(0, x, y, c) =
+    // (3x + 5y + 11c) % 256 -> R: (0+3+5+8)/4 = 4; G: +11 each -> 15; B: 26
+    val one = Multimodal.resizeBmpArea(media.filter(_.media_id == 0L), 1, 1).collect()(0)
+    assert(one.payload.toSeq == Seq[Byte](4, 15, 26), one.payload.toSeq.toString)
+    // exact hand-computed 8x4 golden bytes for the 1x1 source: every box
+    // clamps to the single pixel, so all 32 cells repeat pattern(9, 0, 0, c)
+    val up = Multimodal.resizeBmpArea(media.filter(_.media_id == 1L), 8, 4).collect()(0)
+    val cell = (0 until 3).map(c => Multimodal.HeaderCodec.patternValue(9L, 0, 0, c).toByte)
+    assert(up.payload.toSeq == Seq.fill(32)(cell).flatten, up.payload.toSeq.toString)
+    // the WAV record is dropped, not zero-filled
+    assert(Multimodal.resizeBmpArea(media, 8, 4).collect().map(_.media_id).sorted.toSeq
+      == Seq(0L, 1L))
+  }
+
+  test("resizeBmpArea matches a per-pixel brute-force replay on awkward dims") {
+    import spark.implicits._
+    // dims around the 8x4 target: smaller, equal, larger, padded widths
+    val dims = Seq((3, 2), (8, 4), (13, 9), (5, 17), (64, 64), (1, 7))
+    val media = dims.zipWithIndex.map { case ((w, h), i) =>
+      Multimodal.MediaRecord(i.toLong, "image",
+        Multimodal.HeaderCodec.encodeBmpPattern(i.toLong, w, h))
+    }.toDS()
+    val got = Multimodal.resizeBmpArea(media, 8, 4).collect()
+      .map(r => r.media_id -> r.payload).toMap
+    dims.zipWithIndex.foreach { case ((w, h), i) =>
+      val id = i.toLong
+      for (cy <- 0 until 4; cx <- 0 until 8; c <- 0 until 3) {
+        val x0 = cx * w / 8; val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
+        val y0 = cy * h / 4; val y1 = math.max(y0 + 1, (cy + 1) * h / 4)
+        val vals = for (y <- y0 until y1; x <- x0 until x1)
+          yield Multimodal.HeaderCodec.patternValue(id, x, y, c).toLong
+        val want = (vals.sum / vals.size).toByte
+        assert(got(id)((cy * 8 + cx) * 3 + c) == want, s"id=$id cell=($cx,$cy,$c)")
+      }
+    }
+  }
 }
