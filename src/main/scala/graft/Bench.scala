@@ -23,6 +23,12 @@ object Bench {
     // every recurring join, so timing it per-query misstates the operator
     if (args.isEmpty || args.contains("q_join_colocated"))
       Tables.bucketedOrdersCustomer(spark, sfDir)
+    // the incremental-dedup PERSISTED STATE (bucketed band / SRP tables)
+    // is the same category: written once, probed by every arrival batch
+    if (args.isEmpty || args.contains("q_dedup_incremental"))
+      Tables.bucketedBandTable(spark, sfDir)
+    if (args.isEmpty || args.contains("q_dedup_embed_incremental"))
+      Tables.bucketedEmbedTables(spark, sfDir)
     // same policy for the partitioned-layout tables backing q_part_prune /
     // q_part_overwrite: the layout build is one-time table prep
     if (args.isEmpty || args.contains("q_part_prune"))

@@ -103,6 +103,70 @@ object Tables {
       (ordsT, custT)
     })
 
+  // Incremental-dedup PERSISTED STATE, bucketed by its probe-join keys —
+  // the 100 TB shape: the corpus-side band/bucket tables are written once
+  // (bucketBy = the arrival join's keys), so every arrival batch joins
+  // with ZERO corpus-side exchange; only the (small) batch shuffles to the
+  // bucket layout. Without this, each batch re-shuffles the entire
+  // persisted state — corpus-sized work per arrival. Bucket count 8 at
+  // test scale (a deployment dial; thousands at 100 TB). Same warmup
+  // policy as bucketedOrdersCustomer: Bench pre-builds so the timed body
+  // measures the probe join, not the state write.
+  private val bandTableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Band table of the EXISTING corpus split (doc_id % 5 != 0, k=16,
+    * nBands=4, portable hash family — the q_dedup_incremental contract),
+    * bucketed on (band_idx, band_hash). */
+  def bucketedBandTable(s: SparkSession, d: String): String =
+    bandTableCache.computeIfAbsent((s, d), { _ =>
+      import org.apache.spark.sql.functions._
+      val t = s"graft_bands_bkt_${dirTag(d)}"
+      if (!s.catalog.tableExists(t)) {
+        val T = graft.functions.TextFunctions
+        val existing = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id").as("id"),
+            T.ngrams(T.tokens(col("text")), 3).as("shingles"))
+          .filter(size(col("shingles")) > 0)
+          .filter(col("id") % 5 =!= 0)
+        val bands = graft.operators.Similarity
+          .bandTable(existing, k = 16, nBands = 4, portable = true)
+        graft.sources.Warehouse.writeBucketedMulti(
+          bands, t, Seq("band_idx", "band_hash"), 8)
+      }
+      t
+    })
+
+  private val embedTableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
+  /** SRP bucket table + vector table of the EXISTING embedding split
+    * (vec_id % 5 != 0, corpus-sized nBits, portable — the
+    * q_dedup_embed_incremental contract): buckets bucketed on `bucket`
+    * (the multi-probe join key), vectors on `vec_id` (the candidate-fetch
+    * key), so BOTH corpus-side joins of an arrival batch are
+    * exchange-free. */
+  def bucketedEmbedTables(s: SparkSession, d: String): (String, String) =
+    embedTableCache.computeIfAbsent((s, d), { _ =>
+      import org.apache.spark.sql.functions._
+      val tag = dirTag(d)
+      val (bktT, vecT) = (s"graft_srp_bkt_$tag", s"graft_vec_bkt_$tag")
+      if (!s.catalog.tableExists(bktT) || !s.catalog.tableExists(vecT)) {
+        val nBits = graft.operators.Similarity
+          .lshNBits(rowCount(s, d, "embeddings"))
+        val existing = embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .filter(col("vec_id") % 5 =!= 0)
+        graft.sources.Warehouse.writeBucketed(
+          graft.operators.Similarity.bucketTable(
+            existing, dim = 64, nBits, portable = true),
+          bktT, "bucket", 8)
+        graft.sources.Warehouse.writeBucketed(existing, vecT, "vec_id", 8)
+      }
+      (bktT, vecT)
+    })
+
   // Partitioned-events memo: events written to a parquet layout partitioned
   // by event_type. Keyed by DIR ONLY (the layout is a pure function of the
   // source data — two sessions over the same dir share it safely), and the

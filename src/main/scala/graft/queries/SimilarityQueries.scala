@@ -259,9 +259,12 @@ object SimilarityQueries {
         .select(col("doc_id").as("id"),
           T.ngrams(T.tokens(col("text")), 3).as("shingles"))
         .filter(size(col("shingles")) > 0)
-      val existing = shingled.filter(col("id") % 5 =!= 0)
       val incoming = shingled.filter(col("id") % 5 === 0)
-      val bands = Similarity.bandTable(existing, k = 16, nBands = 4, portable = true)
+      // the persisted band state is a BUCKETED table on the probe keys
+      // (band_idx, band_hash) — the arrival join reads it with zero
+      // corpus-side exchange (plan-asserted in SourcesSpec); without the
+      // bucketing, every batch re-shuffles the full corpus-sized state
+      val bands = s.table(Tables.bucketedBandTable(s, d))
       Similarity.incrementalNearDup(bands, incoming, k = 16, nBands = 4,
           portable = true)
         .orderBy("id", "matched_id")
@@ -281,10 +284,12 @@ object SimilarityQueries {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
       val nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings"))
-      val existing = emb.filter(col("vec_id") % 5 =!= 0)
       val incoming = emb.filter(col("vec_id") % 5 === 0)
-      val buckets = Similarity.bucketTable(existing, dim = 64, nBits, portable = true)
-      Similarity.incrementalEmbedDedup(buckets, existing, incoming,
+      // persisted state as BUCKETED tables: SRP buckets on the multi-probe
+      // join key, vectors on the candidate-fetch key — both corpus-side
+      // joins of an arrival batch are exchange-free (SourcesSpec)
+      val (bktT, vecT) = Tables.bucketedEmbedTables(s, d)
+      Similarity.incrementalEmbedDedup(s.table(bktT), s.table(vecT), incoming,
           dim = 64, nBits, minCosine = 0.3, portable = true)
         .orderBy("id", "matched_id")
     },

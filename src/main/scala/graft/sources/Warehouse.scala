@@ -21,7 +21,21 @@ object Warehouse {
       table: String,
       bucketCol: String,
       nBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit =
+    writeBucketedMulti(df, table, Seq(bucketCol), nBuckets, sortCols)
+
+  /** Multi-column bucketing: a join whose keys EQUAL the bucket columns
+    * plans the bucketed side with zero exchange (the scan's
+    * HashPartitioning over the bucket columns satisfies the join's
+    * clustering requirement directly). Used for composite keys like the
+    * incremental-dedup band table's (band_idx, band_hash). */
+  def writeBucketedMulti(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      nBuckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty)
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
@@ -31,7 +45,7 @@ object Warehouse {
     val w = df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
-      .bucketBy(nBuckets, bucketCol)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }

@@ -62,4 +62,86 @@ class SourcesSpec extends AnyFunSuite with SparkTest {
       spark.sql("DROP TABLE IF EXISTS t_dim")
     }
   }
+
+  /** True when the named table's scan is re-shuffled BEFORE any join
+    * consumes it — an Exchange whose subtree contains the scan but no
+    * join yet. Shuffles ABOVE a join are exempt: they move the (small)
+    * probe/candidate output, not the corpus-sized persisted state. */
+  private def corpusShuffled(
+      plan: org.apache.spark.sql.execution.SparkPlan, table: String): Boolean = {
+    def hasScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectLeaves().exists {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.tableIdentifier.exists(_.table == table)
+        case _ => false
+      }
+    def hasJoin(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.nonEmpty
+    plan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }.exists(s => hasScan(s) && !hasJoin(s))
+  }
+
+  private def scanOf(
+      plan: org.apache.spark.sql.execution.SparkPlan, table: String): Boolean =
+    plan.collectLeaves().exists {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table == table)
+      case _ => false
+    }
+
+  test("incremental dedup probes its bucketed persisted state with zero corpus-side exchange") {
+    import spark.implicits._
+    import graft.operators.{AqeGate, Similarity}
+    // corpus = persisted band/bucket state at 100 TB; arrivals = a small
+    // batch. The whole point of bucketBy on the probe keys is that ONLY
+    // the batch shuffles — assert no Exchange sits above the state scans.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try AqeGate.withAqeOff(spark) {
+      // ---- band table (q_dedup_incremental shape) ----
+      val existing = (1L to 200L).filter(_ % 5 != 0)
+        .map(i => (i, Seq.tabulate(6)(j => s"tok${(i * 7 + j) % 23} x$j y$j")))
+        .toDF("id", "shingles")
+      val bands = Similarity.bandTable(existing, k = 16, nBands = 4, portable = true)
+      Warehouse.writeBucketedMulti(bands, "t_bands_bkt",
+        Seq("band_idx", "band_hash"), 4)
+      val incoming = (1L to 200L).filter(_ % 5 == 0)
+        .map(i => (i, Seq.tabulate(6)(j => s"tok${(i * 7 + j) % 23} x$j y$j")))
+        .toDF("id", "shingles")
+      val out = Similarity.incrementalNearDup(
+        spark.table("t_bands_bkt"), incoming, k = 16, nBands = 4, portable = true)
+      val plan = out.queryExecution.executedPlan
+      assert(scanOf(plan, "t_bands_bkt"), plan.toString)
+      assert(!corpusShuffled(plan, "t_bands_bkt"),
+        s"band state re-shuffled:\n$plan")
+      assert(out.count() > 0) // the probe join actually matches
+
+      // ---- SRP bucket + vector tables (q_dedup_embed_incremental shape) ----
+      def vec(seed: Long) = Seq.tabulate(64)(j =>
+        (((seed * 2654435761L + j * 40503L) & 0xffff).toDouble / 0xffff) - 0.5)
+      val emb = (1L to 100L).map(i => (i, vec(i))).toDF("vec_id", "v")
+      val exVec = emb.filter($"vec_id" % 5 =!= 0)
+      Warehouse.writeBucketed(
+        Similarity.bucketTable(exVec, dim = 64, nBits = 4, portable = true),
+        "t_srp_bkt", "bucket", 4)
+      Warehouse.writeBucketed(exVec, "t_vec_bkt", "vec_id", 4)
+      val incomingV = emb.filter($"vec_id" % 5 === 0)
+      val outE = Similarity.incrementalEmbedDedup(
+        spark.table("t_srp_bkt"), spark.table("t_vec_bkt"), incomingV,
+        dim = 64, nBits = 4, minCosine = -1.0, portable = true)
+      val planE = outE.queryExecution.executedPlan
+      assert(scanOf(planE, "t_srp_bkt") && scanOf(planE, "t_vec_bkt"), planE.toString)
+      assert(!corpusShuffled(planE, "t_srp_bkt"),
+        s"SRP bucket state re-shuffled:\n$planE")
+      assert(!corpusShuffled(planE, "t_vec_bkt"),
+        s"vector state re-shuffled:\n$planE")
+      assert(outE.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      Seq("t_bands_bkt", "t_srp_bkt", "t_vec_bkt")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
