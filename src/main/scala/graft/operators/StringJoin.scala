@@ -47,36 +47,70 @@ object StringJoin {
     def segStart(lp: String, i: String) = s"($lp div $m) * $i + least($i, $lp % $m)"
     def segLen(lp: String, i: String) = s"($lp div $m) + (case when $i < $lp % $m then 1 else 0 end)"
 
-    // The (lp, i, seg) candidate key is packed into ONE xxhash64 long on
-    // both sides before the equi-join — the segment string (the bulk of
-    // the key's width) never crosses the candidate shuffle. Lossless by a
-    // one-sided argument: hashing is deterministic, so every genuine
-    // (lp, i, seg) match still collides to the same long (no candidate is
-    // lost), and a hash COLLISION only adds a spurious candidate pair
-    // that the exact levenshtein filter below rejects — unless the pair
-    // is genuinely within maxDist, in which case PassJoin completeness
-    // guarantees it also matches on a true segment key and was in the
-    // result anyway. One residual orientation hazard: a collision between
-    // an index key of a LONGER string and a probe key of a shorter one
-    // would emit a genuine pair with the roles reversed (left = longer),
-    // which the levenshtein filter and distinct would both keep — the
-    // length guard after the join closes it (genuine matches always have
-    // length(s) = lp <= length(t) by the probe's lp range), making the
-    // output provably identical; only the shuffled row narrows to
-    // (string, long).
-    val index = strings.select(
-      col("s"),
+    // Two packing layers keep the candidate shuffle narrow:
+    //  1. The (lp, i, seg) candidate key is packed into ONE xxhash64 long
+    //     on both sides before the equi-join — the segment string (the
+    //     bulk of the key's width) never crosses the candidate shuffle.
+    //  2. The STRING itself never crosses it either: each side shuffles
+    //     only (sid = xxhash64(s), len, kh) — 20 fixed bytes — and the
+    //     actual strings are recovered AFTER the id-level distinct by two
+    //     vocabulary join-backs. This matters because the probe side emits
+    //     O(maxDist^3) keys per string (12 at d=1, 45 at d=2): without the
+    //     id indirection every one of those rows carries the full string,
+    //     so the candidate exchange is ~keyCount× the vocabulary bytes;
+    //     with it the vocabulary crosses a shuffle exactly twice (the
+    //     join-backs), independent of maxDist.
+    //
+    // Measured trade (tools/EditDistProbe A/B vs the string-carrying
+    // shape, 2M strings, d=1, output-identical by count+hash in both
+    // regimes): on the operator's real contract — diverse strings whose
+    // segments are near-unique (16-letter alphabet, 32-63 chars) — this
+    // shape is strictly better: 688 vs 1393 MB shuffle write (-51%), 8.2
+    // vs 13.1 s. On an adversarial LOW-ENTROPY vocabulary (6 letters,
+    // 8-23 chars: segment buckets collide massively and the candidate
+    // join goes quadratic-in-bucket) the bytes INVERT — 8.3 GB vs 0.6 GB
+    // — because the old shape's distinct grouped on the final strings,
+    // letting Catalyst push the exact levenshtein BELOW the distinct's
+    // exchange and kill collision junk pre-shuffle, where the id shape
+    // must shuffle the junk (narrow) through the distinct + join-backs.
+    // Wall still favors this shape there (81 vs 194 s: one levenshtein
+    // per DISTINCT pair instead of per matched-key row), and both costs
+    // stay proportional to candidate volume — the regime's real fix is
+    // upstream (longer segments / higher-entropy keys), not the row
+    // layout.
+    //
+    // Losslessness of layer 1 is one-sided: hashing is deterministic, so
+    // every genuine (lp, i, seg) match still collides to the same long (no
+    // candidate is lost), and a hash COLLISION only adds a spurious
+    // candidate that the exact levenshtein filter below rejects — unless
+    // the pair is genuinely within maxDist, in which case PassJoin
+    // completeness guarantees it was in the result anyway. The orientation
+    // hazard (collision pairing a longer index string with a shorter probe
+    // string) is closed by the a_len <= b_len guard: genuine matches
+    // satisfy it by the probe's lp range. Layer 2 introduces the one
+    // ~2^-64-per-pair loss channel in this operator: two DISTINCT strings
+    // colliding on sid would have their genuine pair dropped by the
+    // a_id =!= b_id filter — the same documented risk class as the
+    // jaccard pipeline's hashed-token keys. A sid collision cannot create
+    // false output: the join-backs expand each id to all its strings and
+    // the exact levenshtein filter rejects non-matches.
+    val dom = strings.select(
+      col("s"), xxhash64(col("s")).as("sid"), length(col("s")).as("slen"))
+
+    val index = dom.select(
+      col("sid").as("a_id"), col("slen").as("a_len"), col("s"),
       explode(expr(
         s"""transform(sequence(0, $d), i -> struct(
               length(s) AS lp, i AS i,
               substring(s, ${segStart("length(s)", "i")} + 1, ${segLen("length(s)", "i")}) AS seg))"""))
         .as("k"))
-      .select(col("s"), xxhash64(col("k.lp"), col("k.i"), col("k.seg")).as("kh"))
+      .select(col("a_id"), col("a_len"),
+        xxhash64(col("k.lp"), col("k.i"), col("k.seg")).as("kh"))
 
     // probe: for each candidate shorter length lp, each segment slot i, each
     // shift in [-d, d], the substring of s occupying that (shifted) slot
-    val probe = strings.select(
-      col("s").as("t"),
+    val probe = dom.select(
+      col("sid").as("b_id"), col("slen").as("b_len"), col("s"),
       explode(expr(
         s"""flatten(transform(sequence(greatest($m, length(s) - $d), length(s)), lp ->
               flatten(transform(sequence(0, $d), i ->
@@ -86,23 +120,35 @@ object StringJoin {
                   st -> struct(lp AS lp, i AS i,
                                substring(s, st + 1, ${segLen("lp", "i")}) AS seg))))))"""))
         .as("k"))
-      .select(col("t"), xxhash64(col("k.lp"), col("k.i"), col("k.seg")).as("kh"))
+      .select(col("b_id"), col("b_len"),
+        xxhash64(col("k.lp"), col("k.i"), col("k.seg")).as("kh"))
 
-    index.join(probe, Seq("kh"))
-      .filter(col("s") =!= col("t"))
-      // orientation guard (see the losslessness note above): genuine
-      // matches satisfy this by construction, so it only drops
-      // hash-collision artifacts that would flip the canonical order
-      .filter(length(col("s")) <= length(col("t")))
-      // canonical pair order: shorter first (index side is the shorter by
-      // construction); equal lengths appear in both roles — least/greatest
-      // collapses them for the distinct
+    // candidate id pairs, deduped while still narrow. Equal-length pairs
+    // appear in both (index, probe) roles — the unordered (least, greatest)
+    // id key collapses them; unequal lengths keep (shorter, longer).
+    val cand = index.join(probe, Seq("kh"))
+      .filter(col("a_id") =!= col("b_id"))
+      .filter(col("a_len") <= col("b_len")) // orientation guard (see above)
       .select(
-        when(length(col("s")) === length(col("t")), least(col("s"), col("t")))
-          .otherwise(col("s")).as("left"),
-        when(length(col("s")) === length(col("t")), greatest(col("s"), col("t")))
-          .otherwise(col("t")).as("right"))
+        when(col("a_len") === col("b_len"), least(col("a_id"), col("b_id")))
+          .otherwise(col("a_id")).as("a_id"),
+        when(col("a_len") === col("b_len"), greatest(col("a_id"), col("b_id")))
+          .otherwise(col("b_id")).as("b_id"))
       .distinct()
+
+    // recover the strings (candidate-pair-sized joins against the
+    // vocabulary), then the exact verify. No final distinct is needed:
+    // candidate id pairs are distinct and an unordered string pair maps to
+    // exactly one unordered id pair, so recovered pairs are distinct too.
+    cand
+      .join(dom.select(col("sid").as("a_id"), col("s").as("sa")), Seq("a_id"))
+      .join(dom.select(col("sid").as("b_id"), col("s").as("sb")), Seq("b_id"))
+      // canonical pair order: shorter first, equal lengths lexicographic
+      .select(
+        when(length(col("sa")) === length(col("sb")), least(col("sa"), col("sb")))
+          .otherwise(col("sa")).as("left"),
+        when(length(col("sa")) === length(col("sb")), greatest(col("sa"), col("sb")))
+          .otherwise(col("sb")).as("right"))
       .withColumn("dist", levenshtein(col("left"), col("right")))
       .filter(col("dist") <= d)
   }
