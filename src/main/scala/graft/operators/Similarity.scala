@@ -93,11 +93,20 @@ object Similarity {
     * pair work stays ~corpus × targetBucketSize (linear, not quadratic)
     * and bucket count — the join's parallelism bound — GROWS with the
     * corpus instead of being a fixed constant that saturates at scale.
-    * Clamped to [4, 24]: below 4 bits buckets are a broadcast-sized
-    * handful; above 24 the hyperplane evaluation dominates. */
-  def lshNBits(corpusSize: Long, targetBucketSize: Long = 64L): Int = {
+    * Clamped to [4, `maxBits`] (default 24): below 4 bits buckets are a
+    * broadcast-sized handful; above 24 the hyperplane evaluation
+    * dominates. PAST the cap the flat-population contract breaks by
+    * design: expected bucket population becomes corpusSize / 2^maxBits —
+    * linear in the corpus, independent of targetBucketSize — so the
+    * operator's per-bucket pair work grows linearly too. The dials are
+    * then `maxBits` itself (each extra bit halves the population at one
+    * more hyperplane dot per row) or accepting the larger effective
+    * bucket. `maxBits` is a parameter (not a constant) precisely so that
+    * posture is executable: ScaleUpSpec forces a small cap and pins the
+    * linear growth, plus the restore-by-raising-the-cap curve. */
+  def lshNBits(corpusSize: Long, targetBucketSize: Long = 64L, maxBits: Int = 24): Int = {
     val buckets = math.max(1L, corpusSize / math.max(1L, targetBucketSize))
-    math.min(24, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
+    math.min(maxBits, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
   }
 
   /** LSH near-dup pairs over an embedding table: bucket by SRP bits, compare

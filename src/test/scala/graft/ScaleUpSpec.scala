@@ -50,4 +50,65 @@ class ScaleUpSpec extends AnyFunSuite with SparkTest {
       .collect()(0).getDouble(0)
     assert(jac < 0.5, s"cross-copy jaccard $jac should be sub-threshold")
   }
+
+  // The embed-incremental scale posture (recorded prose-only in SCALE_r11's
+  // q_dedup_embed_incremental_decade note) made executable: BELOW the bit
+  // cap lshNBits keeps expected bucket population flat (~targetBucketSize);
+  // PAST the cap population grows linearly with the corpus regardless of
+  // targetBucketSize, and raising the cap is the dial that restores the
+  // flat curve. Arithmetic sweep pins the contract; a real-vector SRP run
+  // at a forced small cap pins that actual (not just expected) populations
+  // follow it.
+  test("lshNBits: flat bucket population below the cap, linear past it, cap is the dial") {
+    import graft.operators.Similarity
+    // pre-cap contract: expected population corpus / 2^nBits stays within
+    // [target/2, target] once the corpus is big enough for the clamp floor
+    // to release (power-of-two bucket rounding can only overshoot by 2x)
+    for (corpus <- Seq(1L << 12, 1L << 16, 1L << 20, 1L << 30, 1L << 36);
+         target <- Seq(16L, 64L, 256L)) {
+      val nBits = Similarity.lshNBits(corpus, target)
+      if (nBits < 24) {
+        val pop = corpus.toDouble / (1L << nBits)
+        assert(pop <= target && pop >= target / 2.0,
+          s"corpus=$corpus target=$target nBits=$nBits pop=$pop")
+      }
+    }
+    // past-cap contract: population = corpus / 2^cap, LINEAR in the corpus
+    // and independent of targetBucketSize; one more cap bit halves it
+    val cap = 5
+    for (corpus <- Seq(1L << 10, 1L << 12, 1L << 14)) {
+      assert(Similarity.lshNBits(corpus, 8L, maxBits = cap) === cap)
+      assert(Similarity.lshNBits(corpus, 1L, maxBits = cap) === cap,
+        "targetBucketSize is not a dial past the cap")
+    }
+    assert(Similarity.lshNBits(1L << 14, 8L, maxBits = cap + 1) === cap + 1,
+      "raising the cap is the dial")
+  }
+
+  test("SRP bucket population at a forced small cap grows linearly with the corpus") {
+    import graft.operators.Similarity
+    val dim = 16
+    val cap = 5 // 32 buckets — every corpus below saturates it at target 8
+    def meanPop(n: Int): Double = {
+      // deterministic pseudo-random vectors, same construction as the
+      // ScaleUp embedding generator (hash-mixed per (id, dim))
+      val emb = spark.range(n.toLong).select(
+        col("id"),
+        array((0 until dim).map(i =>
+          (pmod(xxhash64(col("id"), lit(i)), lit(100000L)).cast("double") /
+            lit(100000.0)) - lit(0.5)): _*).as("v"))
+      val nBits = Similarity.lshNBits(n.toLong, 8L, maxBits = cap)
+      assert(nBits === cap, s"cap must bind at n=$n")
+      emb.select(Similarity.srpBucket(col("v"), dim, nBits).as("bucket"))
+        .groupBy("bucket").count()
+        .agg(avg("count")).collect()(0).getDouble(0)
+    }
+    val (p1, p4) = (meanPop(4096), meanPop(16384))
+    // 4x the corpus into a capped bucket space -> ~4x the mean population.
+    // SRP buckets over random vectors are not uniform (hyperplanes through
+    // correlated coordinates skew them), but the MEAN over occupied buckets
+    // is pinned tightly: occupancy is already full at n=4096 (4096/32 >> 1)
+    assert(p4 / p1 > 3.5 && p4 / p1 < 4.5,
+      s"population should scale ~linearly past the cap: $p1 -> $p4")
+  }
 }
