@@ -132,6 +132,23 @@ object Dedup {
     * each endpoint, which is the safe shape at any node count. */
   val BroadcastContractNodes: Long = 1L << 21
 
+  /** Dev instrumentation: SPARK_GRAFT_CC_TIMING=1 prints per-phase wall
+    * seconds to stderr (each phase below ends in an eager materialization,
+    * so the timings are real, not lazy-plan noise). Zero cost when unset;
+    * read once at class init like the operator's other env-free constants
+    * are compile-time. Used by tools/CcProbe to attribute the operator's
+    * scale cost to pre-contraction vs loop vs compose. */
+  private val ccTiming = sys.env.get("SPARK_GRAFT_CC_TIMING").contains("1")
+  private def timed[A](label: String)(f: => A): A =
+    if (!ccTiming) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[cc-timing] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   def duplicateClusters(
       pairs: DataFrame,
       maxIter: Int = 20,
@@ -147,12 +164,12 @@ object Dedup {
     // near-dup graphs. Materialized eagerly: the frame feeds the
     // min-label aggregation AND the contraction join, and upstream is
     // typically the expensive near-dup pair pipeline.
-    val (e, eIds) = lin.tracked(
+    val (e, eIds) = timed("edges_build")(lin.tracked(
       pairs.select(
           greatest(col("doc_a"), col("doc_b")).as("u"),
           least(col("doc_a"), col("doc_b")).as("v"))
         .filter(col("u") =!= col("v")),
-      eager = true)
+      eager = true))
     val edges = e.count() // raw pair rows — an upper bound, used for sizing
 
     // PRE-CONTRACTION (round-9): real near-dup graphs are clique forests —
@@ -193,16 +210,15 @@ object Dedup {
     // rows did buy was node PRESENCE: a "local minimum" (a node smaller
     // than all its neighbors — component minima, mostly) never appears as
     // a u, so it gets no agg row. Those are recovered below with m(x) = x
-    // by a broadcast anti-join over the v column — narrow over the edges,
-    // and the surviving rows (edges whose smaller endpoint is a local
-    // minimum) number ~degree(component minimum) per component on clique
-    // forests, so the distinct that follows is node-sized, not edge-sized.
+    // from the contraction join itself (rv IS NULL on its left join —
+    // see the tagged one-pass note at the contraction), so presence
+    // costs no extra scan of the edge set.
     val np0 = roundPartitions(e, edges)
-    val (labels0, l0Ids) = lin.tracked(
+    val (labels0, l0Ids) = timed("minlabel_agg")(lin.tracked(
       e.repartition(np0, col("u"))
         .groupBy("u").agg(min("v").as("mn"))
         .select(col("u").as("id"), col("mn").as("root")),
-      eager = true)
+      eager = true))
     val aggNodes = labels0.count() // cheap: labels0 is checkpointed
     val lu = labels0.select(col("id").as("u"), col("root").as("ru"))
     val lv = labels0.select(col("id").as("v"), col("root").as("rv"))
@@ -224,31 +240,43 @@ object Dedup {
         e.repartition(np0, col("u")).join(lu, Seq("u"))
           .repartition(np0, col("v")).join(lv, Seq("v"), "left")
     val rvc = coalesce(col("rv"), col("v"))
-    val (e1, e1Ids) = lin.tracked(
+    // ONE tagged pass produces BOTH contraction outputs (round-12; the
+    // phase timing showed the previous shape's separate minima stage —
+    // broadcast anti-join over e.v + distinct — costing 7-10 s at the
+    // 100x probe, a second full scan of the edge checkpoint for
+    // information the contraction join already computes: rv IS NULL on
+    // the left join ⟺ v has no agg row ⟺ v is a local minimum). Each
+    // contracted row explodes into at most two tagged structs — the
+    // non-loop residual edge (tag 0) and, when rv is null, the recovered
+    // minimum (v, v) (tag 1) — and one (u, v, tag) dedup exchange
+    // replaces the old edge-dedup exchange AND the minima distinct. On
+    // clique forests both outputs are tiny relative to e, so the
+    // exchange stays residual-sized. The explicit repartition keeps the
+    // AQE-coalescing opt-out of the shape it replaces.
+    val edgeStruct = when(col("ru") =!= rvc,
+      struct(greatest(col("ru"), rvc).as("u"), least(col("ru"), rvc).as("v"),
+        lit(0).as("tag")))
+    val minStruct = when(col("rv").isNull,
+      struct(col("v").as("u"), col("v").as("v"), lit(1).as("tag")))
+    val (comb, combIds) = timed("contract_dedup")(lin.tracked(
       contracted
-        .select(
-          greatest(col("ru"), rvc).as("cu"),
-          least(col("ru"), rvc).as("cv"))
-        .select(col("cu").as("u"), col("cv").as("v"))
-        .filter(col("u") =!= col("v"))
-        .repartition(np0, col("u"), col("v"))
+        .select(explode(array(edgeStruct, minStruct)).as("r"))
+        .filter(col("r").isNotNull)
+        .select(col("r.u").as("u"), col("r.v").as("v"), col("r.tag").as("tag"))
+        .repartition(np0, col("u"), col("v"), col("tag"))
         .dropDuplicates(),
-      eager = true)
-    val edges1 = e1.count()
-    // Full node map = agg rows ∪ recovered local minima (root = self), the
-    // ONE extra narrow pass over e this shape pays — before e's blocks are
-    // released. Node-sized; materialized eagerly so labels0 and e can be
-    // dropped at once and the fast path / compose read one stable frame.
-    val uKeys = labels0.select(col("id"))
-    val vSide = e.select(col("v"))
-    val minima =
-      (if (aggNodes <= BroadcastContractNodes)
-         vSide.join(broadcast(uKeys), vSide("v") === uKeys("id"), "left_anti")
-       else vSide.join(uKeys, vSide("v") === uKeys("id"), "left_anti"))
-        .distinct()
-        .select(col("v").as("id"), col("v").as("root"))
-    val (labelsAll, laIds) = lin.tracked(labels0.unionAll(minima), eager = true)
+      eager = true))
+    val e1 = comb.filter(col("tag") === 0).select("u", "v")
+    val edges1 = e1.count() // cheap: a filter-count over the small checkpoint
+    // Full node map = agg rows ∪ recovered local minima (root = self).
+    // Node-sized; materialized eagerly so labels0 and e can be dropped at
+    // once and the fast path / compose read one stable frame.
+    val minima = comb.filter(col("tag") === 1)
+      .select(col("u").as("id"), col("v").as("root"))
+    val (labelsAll, laIds) =
+      timed("minima_union")(lin.tracked(labels0.unionAll(minima), eager = true))
     lin.release(eIds ++ l0Ids) // labelsAll + residual are materialized
+    val e1Ids = combIds // the residual loop owns the combined checkpoint now
     if (edges1 == 0) {
       // every component closed in one hop (the clique-forest fast path):
       // labelsAll IS the final labeling, no loop rounds at all
@@ -263,7 +291,7 @@ object Dedup {
     // (≤ 16 MB at the default cap); the labels map broadcasts back, so
     // the compose join is shuffle-free. Set driverFinishEdges = 0 to
     // force the distributed loop (parity tests, fault injection).
-    val (residualLabels: DataFrame, residIds: Set[Int]) =
+    val (residualLabels: DataFrame, residIds: Set[Int]) = timed("residual_resolve")(
       if (edges1 <= driverFinishEdges) {
         val spark = pairs.sparkSession
         val es = e1.collect()
@@ -306,7 +334,7 @@ object Dedup {
           case _: CcAlgorithm.Auto =>
             throw new IllegalStateException("unreachable")
         }
-      }
+      })
     // Compose: every original node id keeps its labelsAll row; the
     // residual labeling (over m-images only) refines the root. Left join —
     // residual-isolated m-images keep root0 (proof above). The composed
@@ -320,10 +348,10 @@ object Dedup {
     // returned frame's own blocks die with result consumption, like the
     // edges1 == 0 fast path's labelsAll.
     val rm = residualLabels.select(col("id").as("mid"), col("root").as("mroot"))
-    val (out, _) = lin.tracked(
+    val (out, _) = timed("compose")(lin.tracked(
       labelsAll.join(rm, labelsAll("root") === rm("mid"), "left")
         .select(labelsAll("id"), coalesce(col("mroot"), labelsAll("root")).as("root")),
-      eager = true)
+      eager = true))
     lin.release(laIds ++ residIds)
     out
   }
@@ -512,9 +540,11 @@ object Dedup {
       // checkpoint BETWEEN the phases: small-star references its input
       // twice (groupBy + join back), so an unmaterialized large-star
       // subtree would execute twice per round
-      val (eLarge, eLargeIds) = tracked(largeStar(e, np), eager = true)
-      val (eNext, eNextIds) = tracked(smallStar(eLarge, np), eager = true)
-      val cur = probe(eNext)
+      val (eLarge, eLargeIds) =
+        timed(s"star_round${i}_large")(tracked(largeStar(e, np), eager = true))
+      val (eNext, eNextIds) =
+        timed(s"star_round${i}_small")(tracked(smallStar(eLarge, np), eager = true))
+      val cur = timed(s"star_round${i}_probe")(probe(eNext))
       converged = cur == prev
       prev = cur
       release(eIds ++ eLargeIds)

@@ -2,17 +2,25 @@ package graft.tools
 
 import graft.Tables
 import graft.functions.{TextFunctions => T}
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only cardinality probe for the CC pre-contraction: prints canonical
-  * edge count, residual edge count after one min-label contraction, and
-  * per-stage timings. Usage: runMain graft.tools.CcProbe <sfDir>
+/** Dev-only probe for q_dedup_clusters' cost structure: times the jaccard
+  * pair build separately from the REAL Dedup.duplicateClusters call (so
+  * the CC-side cost is attributed, not inferred by subtraction from the
+  * bench total), and prints the pre-contraction cardinalities (edge count,
+  * min-label node count, residual edge count) in the operator's CURRENT
+  * oriented shape. Run with SPARK_GRAFT_CC_TIMING=1 to get the operator's
+  * own per-phase timings (edges_build / minlabel_agg / contract_dedup /
+  * minima_union / residual_resolve / star_round* / compose) on stderr.
+  *
+  * Usage: runMain graft.tools.CcProbe <sfDir> [reps]
   */
 object CcProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(1)
     val spark = Tables.configure(SparkSession.builder())
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -26,52 +34,46 @@ object CcProbe {
       println(f"[ccprobe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    val t = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        T.tokens(col("text")).as("toks"))
-    val pairs = Similarity.jaccardNearDupPairs(t, minJaccard = 0.5,
-        corpusRows = Some(Tables.rowCount(spark, sfDir, "documents")))
-      .select("doc_a", "doc_b").localCheckpoint(true)
-    println(s"[ccprobe] n_pairs = ${pairs.count()}")
-    val e = time("canonical edges build")(
-      pairs.select(
+    (1 to reps).foreach { rep =>
+      println(s"[ccprobe] === rep $rep ===")
+      val t = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          T.tokens(col("text")).as("toks"))
+      val pairs = time("pairs_build") {
+        val p = Similarity.jaccardNearDupPairs(t, minJaccard = 0.5,
+            corpusRows = Some(Tables.rowCount(spark, sfDir, "documents")))
+          .select("doc_a", "doc_b").localCheckpoint(true)
+        println(s"[ccprobe] n_pairs = ${p.count()}")
+        p
+      }
+      // the REAL operator, phases visible via SPARK_GRAFT_CC_TIMING=1
+      val n = time("cc_total")(Dedup.duplicateClusters(pairs).count())
+      println(s"[ccprobe] n_labeled_nodes = $n")
+
+      // pre-contraction cardinalities in the operator's oriented shape
+      val e = pairs.select(
           greatest(col("doc_a"), col("doc_b")).as("u"),
           least(col("doc_a"), col("doc_b")).as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint(true))
-    println(s"[ccprobe] n_edges = ${e.count()}")
-    val labels0 = time("min-label round")(
-      e.select(col("u").as("s"), col("v").as("d"))
-        .unionAll(e.select(col("v").as("s"), col("u").as("d")))
-        .groupBy("s").agg(min("d").as("mn"))
-        .select(col("s").as("id"), least(col("s"), col("mn")).as("root"))
-        .localCheckpoint(true))
-    println(s"[ccprobe] n_nodes = ${labels0.count()}")
-    val lu = labels0.select(col("id").as("u"), col("root").as("ru"))
-    val lv = labels0.select(col("id").as("v"), col("root").as("rv"))
-    val e1 = time("contract edges")(
-      e.join(lu, Seq("u")).join(lv, Seq("v"))
+        .filter(col("u") =!= col("v")).localCheckpoint(true)
+      println(s"[ccprobe] n_edge_rows = ${e.count()} (raw, pre-dedup)")
+      val labels0 = e.groupBy("u").agg(min("v").as("root"))
+        .select(col("u").as("id"), col("root")).localCheckpoint(true)
+      println(s"[ccprobe] n_agg_nodes = ${labels0.count()}")
+      // rows whose smaller endpoint is a local minimum — the raw volume a
+      // fused minima recovery would push through the contraction exchange
+      println(s"[ccprobe] n_min_incident_rows = ${
+        e.join(labels0.select(col("id").as("v")), Seq("v"), "left_anti").count()}")
+      val lu = labels0.select(col("id").as("u"), col("root").as("ru"))
+      val lv = labels0.select(col("id").as("v"), col("root").as("rv"))
+      val e1 = e.join(lu, Seq("u")).join(lv, Seq("v"), "left")
         .select(
-          greatest(col("ru"), col("rv")).as("u"),
-          least(col("ru"), col("rv")).as("v"))
+          greatest(col("ru"), coalesce(col("rv"), col("v"))).as("u"),
+          least(col("ru"), coalesce(col("rv"), col("v"))).as("v"))
         .filter(col("u") =!= col("v"))
-        .dropDuplicates().localCheckpoint(true))
-    println(s"[ccprobe] n_residual_edges = ${e1.count()}")
-    // second contraction round to see convergence depth
-    val labels1 = e1.select(col("u").as("s"), col("v").as("d"))
-      .unionAll(e1.select(col("v").as("s"), col("u").as("d")))
-      .groupBy("s").agg(min("d").as("mn"))
-      .select(col("s").as("id"), least(col("s"), col("mn")).as("root"))
-      .localCheckpoint(true)
-    val lu1 = labels1.select(col("id").as("u"), col("root").as("ru"))
-    val lv1 = labels1.select(col("id").as("v"), col("root").as("rv"))
-    val e2 = e1.join(lu1, Seq("u")).join(lv1, Seq("v"))
-      .select(
-        greatest(col("ru"), col("rv")).as("u"),
-        least(col("ru"), col("rv")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .dropDuplicates().localCheckpoint(true)
-    println(s"[ccprobe] n_residual2_edges = ${e2.count()}")
+        .dropDuplicates().localCheckpoint(true)
+      println(s"[ccprobe] n_residual_edges = ${e1.count()}")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
     spark.stop()
   }
 }
