@@ -230,6 +230,54 @@ object Multimodal {
       Some(BmpPixels(width, height, rgb))
     }
 
+    /** Deterministic 16-bit PCM sample pattern in (id, sample index) —
+      * the audio analogue of [[patternValue]]: a sawtooth whose every
+      * value a SQL oracle re-derives exactly. All terms nonnegative before
+      * the centering subtraction; range [-2048, 2048], so squares and
+      * sums stay integer-exact in 64 bits. */
+    def sampleValue(id: Long, i: Int): Int =
+      (((id % 251) + i.toLong * 131L) % 4097L - 2048L).toInt
+
+    /** Decoded PCM stream: header fields + the 16-bit samples in file
+      * order (multi-channel audio stays interleaved — deinterleaving is
+      * the caller's choice, same as planar-vs-packed in real codecs). */
+    case class WavSamples(sampleRate: Int, channels: Int, samples: Array[Short])
+
+    /** Real 16-bit PCM sample decode: the same RIFF chunk WALK as the
+      * header parse (INFO/LIST chunks before "fmt " are legal, truncated
+      * declared sizes stop the walk), then little-endian i16 extraction
+      * from the data chunk. Claims only integer PCM (format 1) at 16 bits
+      * — anything else returns None, never throws on foreign bytes. */
+    def decodeWavSamples(b: Array[Byte]): Option[WavSamples] = {
+      if (b.length < 12 || !ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE")) return None
+      var off = 12
+      var rate = 0; var chans = 0; var bits = 0; var fmt = -1
+      var dataOff = -1; var dataSize = -1L
+      var ok = true
+      while (ok && off + 8 <= b.length && (rate == 0 || dataOff < 0)) {
+        val size = le32(b, off + 4)
+        if (ascii(b, off, "fmt ") && off + 24 <= b.length) {
+          fmt = le16(b, off + 8)
+          chans = le16(b, off + 10)
+          rate = le32(b, off + 12).toInt
+          bits = le16(b, off + 22)
+        } else if (ascii(b, off, "data")) { dataOff = off + 8; dataSize = size }
+        if (size > b.length.toLong - off - 8) ok = false
+        else off += 8 + size.toInt + (size.toInt & 1)
+      }
+      if (rate == 0 || dataOff < 0 || fmt != 1 || bits != 16 || chans <= 0) None
+      else {
+        val n = (dataSize / 2).toInt
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((b(dataOff + 2 * i) & 0xff) | (b(dataOff + 2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        Some(WavSamples(rate, chans, out))
+      }
+    }
+
     /** Valid 16-bit PCM WAV of silence. */
     def encodeWav(sampleRate: Int, channels: Int, nSamples: Long): Array[Byte] = {
       val blockAlign = channels * 2
@@ -243,6 +291,21 @@ object Multimodal {
         .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort).putShort(16)
       h.put("data".getBytes("US-ASCII")).putInt(dataSize)
       h.array() ++ new Array[Byte](dataSize)
+    }
+
+    /** Valid mono 16-bit PCM WAV carrying [[sampleValue]] samples — same
+      * header as [[encodeWav]], payload exercising the real layout rule a
+      * decoder must invert (little-endian i16). */
+    def encodeWavPattern(id: Long, sampleRate: Int, nSamples: Int): Array[Byte] = {
+      val out = encodeWav(sampleRate, 1, nSamples.toLong)
+      var i = 0
+      while (i < nSamples) {
+        val v = sampleValue(id, i)
+        out(44 + 2 * i) = (v & 0xff).toByte
+        out(44 + 2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      out
     }
   }
 
@@ -276,6 +339,56 @@ object Multimodal {
         }
       }
       .toDF("media_id", "frame_idx", "frame_bytes")
+  }
+
+  /** Windowed audio features for one frame of `frame` samples: all
+    * integer-exact (Long sums, int peaks) so a SQL oracle replays them
+    * bit-for-bit — no float drift across engines. */
+  case class AudioFrameFeatures(
+      media_id: Long, frame_idx: Int, n: Int,
+      energy: Long, sum_abs: Long, peak: Int, zero_cross: Long)
+
+  /** Audio feature extraction: REAL PCM sample decode
+    * ([[HeaderCodec.decodeWavSamples]] — RIFF chunk walk, little-endian
+    * i16) then fixed-size frame windows over the sample stream, each
+    * reduced to energy (sum of squares), sum of |s|, peak |s|, and the
+    * zero-crossing count (sign flips between ADJACENT samples within the
+    * frame; the first sample of a frame never pairs across the boundary,
+    * so frames are independently computable — the property that lets a
+    * SQL oracle group by `i div frame` and that keeps any future
+    * frame-parallel split embarrassingly parallel). Multi-channel audio
+    * is processed in file (interleaved) order; deinterleave upstream for
+    * per-channel features. Non-PCM16 payloads are dropped (codec-registry
+    * shape: this decoder claims 16-bit integer PCM). One typed
+    * mapPartitions — per-partition decoder amortization, rows streamed,
+    * output bounded by nSamples/frame rows per payload. */
+  def audioFrameFeatures(media: Dataset[MediaRecord], frame: Int)
+      : Dataset[AudioFrameFeatures] = {
+    require(frame >= 1)
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        HeaderCodec.decodeWavSamples(r.payload).iterator.flatMap { w =>
+          val s = w.samples
+          (0 until s.length by frame).iterator.map { start =>
+            val end = math.min(start + frame, s.length)
+            var energy = 0L; var sumAbs = 0L; var peak = 0; var zc = 0L
+            var i = start
+            while (i < end) {
+              val v = s(i).toInt
+              val a = math.abs(v)
+              energy += v.toLong * v
+              sumAbs += a
+              if (a > peak) peak = a
+              if (i > start && ((s(i - 1) < 0) != (v < 0))) zc += 1
+              i += 1
+            }
+            AudioFrameFeatures(r.media_id, start / frame, end - start,
+              energy, sumAbs, peak, zc)
+          }
+        }
+      }
+    }
   }
 
   /** Resized media row: payload downsampled to the target cell count. */
@@ -374,6 +487,21 @@ object Multimodal {
         MediaRecord(id, "image",
           HeaderCodec.encodeBmpPattern(id,
             (id % 64 + 1).toInt, (nc % 64 + 1).toInt))
+      }
+  }
+
+  /** Fixture for [[audioFrameFeatures]]: every document becomes one mono
+    * 16-bit PCM WAV (sample count arithmetic in n_chars, samples
+    * arithmetic in (doc_id, i) via [[HeaderCodec.sampleValue]]) so a
+    * DuckDB oracle predicts every decoded frame feature while the engine
+    * round-trips real RIFF/PCM bytes. */
+  def plantedPatternWav(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nc) =>
+        MediaRecord(id, "audio",
+          HeaderCodec.encodeWavPattern(id, 8000, (nc % 500 + 32).toInt))
       }
   }
 

@@ -448,6 +448,41 @@ object ScalarQueries {
         }
         .toDF("media_id", "cell_x", "cell_y", "r", "g", "b")
         .orderBy("media_id", "cell_y", "cell_x")
+    },
+
+    // REAL audio feature extraction: every document becomes a mono 16-bit
+    // PCM WAV with an arithmetic sawtooth payload, the engine decodes the
+    // actual RIFF/PCM byte layout (chunk walk, little-endian i16) and
+    // reduces 256-sample frames to integer-exact features (energy,
+    // sum|s|, peak, zero-crossings). The oracle never sees the bytes — it
+    // re-derives every sample from (doc_id, i) arithmetic, so a pass
+    // proves the encode->decode->window round-trip exactly. Frames are
+    // independent (crossings never pair across a boundary), which is both
+    // what lets the oracle group by i // 256 and what keeps the operator
+    // embarrassingly parallel at 100 TB.
+    QueryDef(
+      "q_mm_audio_feats",
+      Some("""WITH d AS (SELECT doc_id AS id, n_chars % 500 + 32 AS ns FROM documents),
+              s AS (SELECT id, unnest(generate_series(0, ns - 1)) AS i FROM d),
+              v AS (SELECT id, i, ((id % 251) + i * 131) % 4097 - 2048 AS v FROM s),
+              w AS (SELECT id, i, v, i // 256 AS f,
+                           lag(v) OVER (PARTITION BY id ORDER BY i) AS pv
+                    FROM v)
+              SELECT id AS media_id, CAST(f AS INT) AS frame_idx,
+                     CAST(count(*) AS INT) AS n,
+                     CAST(sum(v * v) AS BIGINT) AS energy,
+                     CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+                     CAST(max(abs(v)) AS INT) AS peak,
+                     CAST(coalesce(sum(CASE WHEN i % 256 <> 0
+                                             AND ((pv < 0) <> (v < 0))
+                                            THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS zero_cross
+              FROM w GROUP BY id, f ORDER BY media_id, frame_idx""")) { (s, d) =>
+      val media = graft.multimodal.Multimodal
+        .plantedPatternWav(Tables.documents(s, d))
+      graft.multimodal.Multimodal.audioFrameFeatures(media, frame = 256)
+        .toDF()
+        .orderBy("media_id", "frame_idx")
     }
   )
 }

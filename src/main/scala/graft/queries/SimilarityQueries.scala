@@ -427,6 +427,56 @@ object SimilarityQueries {
           Num.round2(avg(col("x").cast("double"))).as("c"),
           count(lit(1)).as("n_vecs"))
         .orderBy("lang", "idx")
+    },
+
+    // END-TO-END fuzzy dedup (the SlimPajama/RefinedWeb shape, Abbas 2023
+    // / Penedo 2023): near-dup pairs (PPJoin at t=0.7) -> connected
+    // components -> keep the minimum doc_id per cluster -> materialize
+    // the SURVIVING corpus. This is the query an LLM-data user actually
+    // runs — the pair/cluster queries above are its audit views. The
+    // keeper rule is cluster-root = component minimum (deterministic, no
+    // tie-break ambiguity); survivors are everything minus non-root
+    // cluster members, applied as one anti-join on doc_id (the loser set
+    // is near-dup-volume-sized, not corpus-sized, so the anti-join
+    // shuffles only ids at 100 TB; Spark broadcasts it when small).
+    QueryDef(
+      "q_corpus_dedup_e2e",
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, lang,
+                     CAST(floor(ln(1 + n_chars) / 0.1) AS BIGINT) AS band,
+                     list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                               x -> x <> '')) AS toks
+                FROM documents),
+              pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM t a JOIN t b
+                  ON a.lang = b.lang AND abs(a.band - b.band) <= 1
+                 AND a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.toks, b.toks))) >= 0.7),
+              edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+              reach AS (
+                SELECT DISTINCT src AS id, src AS r FROM edges
+                UNION
+                SELECT e.src AS id, reach.r AS r
+                FROM edges e JOIN reach ON e.dst = reach.id),
+              roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
+              SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+              FROM documents d
+              WHERE NOT EXISTS (SELECT 1 FROM roots r
+                                WHERE r.id = d.doc_id AND r.root < r.id)
+              ORDER BY d.doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val t = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        T.tokens(col("text")).as("toks"))
+      val pairs = Similarity.jaccardNearDupPairs(t, minJaccard = 0.7,
+        corpusRows = Some(Tables.rowCount(s, d, "documents")))
+      val losers = Dedup.duplicateClusters(pairs.select("doc_a", "doc_b"))
+        .filter(col("root") =!= col("id"))
+        .select(col("id").as("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -204,4 +204,88 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
       }
     }
   }
+
+  test("WAV PCM sample decode inverts little-endian i16 (pattern + spliced LIST)") {
+    import Multimodal.HeaderCodec._
+    val b = encodeWavPattern(17L, 8000, 300)
+    val w = decodeWavSamples(b).get
+    assert(w.sampleRate == 8000 && w.channels == 1 && w.samples.length == 300)
+    assert((0 until 300).forall(i => w.samples(i) == sampleValue(17L, i).toShort))
+    // chunk walk, not fixed offsets: a LIST chunk before fmt must not shift
+    // the sample extraction
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOab".getBytes("US-ASCII")
+    val spliced = b.take(12) ++ list ++ b.drop(12)
+    val w2 = decodeWavSamples(spliced).get
+    assert(w2.samples.toSeq == w.samples.toSeq)
+    // negative pattern values really exercise the sign bit
+    assert(w.samples.exists(_ < 0) && w.samples.exists(_ > 0))
+  }
+
+  test("decodeWavSamples claims only 16-bit integer PCM") {
+    import Multimodal.HeaderCodec._
+    val b = encodeWav(8000, 1, 10L)
+    // patch audioFormat (offset 20, le16) to 3 = IEEE float: not claimed
+    val floatFmt = b.clone(); floatFmt(20) = 3
+    assert(decodeWavSamples(floatFmt).isEmpty)
+    // patch bits-per-sample (offset 34, le16) to 8: not claimed
+    val eightBit = b.clone(); eightBit(34) = 8
+    assert(decodeWavSamples(eightBit).isEmpty)
+    // foreign bytes: None, never a throw
+    assert(decodeWavSamples("not audio at all".getBytes("UTF-8")).isEmpty)
+    // stereo stays interleaved in file order
+    val st = decodeWavSamples(encodeWav(44100, 2, 5L)).get
+    assert(st.channels == 2 && st.samples.length == 10)
+  }
+
+  test("audioFrameFeatures golden frames: energy/sum_abs/peak/zero_cross, no cross-boundary pair") {
+    import spark.implicits._
+    import Multimodal.HeaderCodec._
+    // hand-built signal [3, -2, 0, -5, 4] at frame=3:
+    //  frame 0 = [3, -2, 0]: energy 13, sum_abs 5, peak 3,
+    //    crossings (3,-2) and (-2,0) -> 2  (0 counts as nonnegative)
+    //  frame 1 = [-5, 4]: n=2, energy 41, sum_abs 9, peak 5, crossing 1;
+    //    the boundary pair (0, -5) must NOT count in either frame
+    val sig = Array[Short](3, -2, 0, -5, 4)
+    val wav = encodeWav(8000, 1, sig.length.toLong)
+    sig.zipWithIndex.foreach { case (v, i) =>
+      wav(44 + 2 * i) = (v & 0xff).toByte
+      wav(44 + 2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", wav),
+      Multimodal.MediaRecord(2L, "text", "dropped".getBytes("UTF-8"))).toDS()
+    val got = Multimodal.audioFrameFeatures(media, frame = 3).collect()
+      .sortBy(f => (f.media_id, f.frame_idx))
+    assert(got.map(_.media_id).toSeq == Seq(1L, 1L), "non-PCM payload must drop")
+    val Seq(f0, f1) = got.toSeq
+    assert((f0.n, f0.energy, f0.sum_abs, f0.peak, f0.zero_cross) == ((3, 13L, 5L, 3, 2L)))
+    assert((f1.n, f1.energy, f1.sum_abs, f1.peak, f1.zero_cross) == ((2, 41L, 9L, 5, 1L)))
+  }
+
+  test("audioFrameFeatures matches a brute-force replay on patterned WAVs") {
+    import spark.implicits._
+    import Multimodal.HeaderCodec._
+    val lens = Seq(1, 255, 256, 257, 700)
+    val media = lens.zipWithIndex.map { case (n, i) =>
+      Multimodal.MediaRecord(i.toLong, "audio", encodeWavPattern(i.toLong, 8000, n))
+    }.toDS()
+    val got = Multimodal.audioFrameFeatures(media, frame = 256).collect()
+      .map(f => (f.media_id, f.frame_idx) -> f).toMap
+    lens.zipWithIndex.foreach { case (n, i) =>
+      val s = (0 until n).map(j => sampleValue(i.toLong, j))
+      (0 until n by 256).foreach { start =>
+        val fr = s.slice(start, start + 256)
+        val f = got((i.toLong, start / 256))
+        assert(f.n == fr.length)
+        assert(f.energy == fr.map(v => v.toLong * v).sum)
+        assert(f.sum_abs == fr.map(v => math.abs(v).toLong).sum)
+        assert(f.peak == fr.map(math.abs).max)
+        val end = math.min(start + 256, n)
+        val zc = (start + 1 until end).count(j => (s(j - 1) < 0) != (s(j) < 0))
+        assert(f.zero_cross == zc.toLong, s"id=$i frame=${start / 256}")
+      }
+    }
+    assert(got.size == lens.map(n => (n + 255) / 256).sum)
+  }
 }

@@ -606,4 +606,63 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(narrow == 0L)
     assert(wide == 1L)
   }
+
+  test("end-to-end dedup survivors == union-find over brute-force pairs") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    // seeded corpus: base docs plus light-edit copies (the q_corpus_dedup_e2e
+    // compose: pairs at t=0.7 -> connected components -> min-id keeper ->
+    // anti-join). Includes singletons (no edits) so the anti-join's
+    // "untouched docs survive" path is exercised.
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 50).map(i => s"w$i")
+    val docsRaw = (1 to 30).flatMap { i =>
+      val toks = rnd.shuffle(vocab).take(8 + rnd.nextInt(8))
+      val edits =
+        if (i % 5 == 0) Seq.empty // singleton
+        else Seq(toks.drop(1), toks :+ s"x$i").take(1 + rnd.nextInt(2))
+      (Seq(toks) ++ edits).zipWithIndex.map { case (ts, j) =>
+        (i * 10L + j, if (i % 3 == 0) "ko" else "en", ts.mkString(" "))
+      }
+    }
+    val docs = docsRaw.toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", length(col("text")))
+    val t = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      T.tokens(col("text")).as("toks"))
+    val pairs = Similarity.jaccardNearDupPairs(t, minJaccard = 0.7)
+    val losers = graft.operators.Dedup.duplicateClusters(
+        pairs.select("doc_a", "doc_b"))
+      .filter(col("root") =!= col("id")).select(col("id").as("doc_id"))
+    val got = docs.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // brute force: in-band exact-jaccard pairs, then union-find, min root kept
+    val bt = t.select(col("doc_id"), col("lang"),
+      floor(log1p(col("n_chars")) / 0.1).cast("long").as("band"),
+      array_distinct(col("toks")).as("toks"))
+    val brutePairs = bt.as("x").join(bt.as("y"),
+        col("x.lang") === col("y.lang") &&
+          abs(col("x.band") - col("y.band")) <= 1 &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(
+        size(array_intersect(col("x.toks"), col("y.toks"))).cast("double") /
+          size(array_union(col("x.toks"), col("y.toks"))) >= 0.7)
+      .select(col("x.doc_id"), col("y.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(brutePairs.nonEmpty, "fixture produced no qualifying pairs")
+    val parent = scala.collection.mutable.Map(
+      docsRaw.map(_._1).map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    brutePairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = docsRaw.map(_._1).filter(i => find(i) == i).toSet
+    assert(want.size < docsRaw.size, "fixture produced no losers")
+    assert(got == want)
+  }
 }
