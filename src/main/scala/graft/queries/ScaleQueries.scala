@@ -428,6 +428,77 @@ object ScaleQueries {
         .orderBy("curl")
     },
 
+    // URL-level dedup with a best-doc KEEPER (the RefinedWeb/CCNet first
+    // pass — URL dedup runs BEFORE content near-dup because it needs no
+    // tokenization): group by canonical URL, keep the longest document
+    // (ties to the smallest doc_id — deterministic, no ambiguity). One
+    // keyed aggregation, not a window: max over struct(n_chars, -doc_id)
+    // is order-isomorphic to the (longest, then smallest-id) rule, so the
+    // keeper reduces with map-side partials and the shuffle carries one
+    // row per URL group — a window sort over corpus-sized partitions
+    // would shuffle every row at 100 TB. Fixture URLs as in q_url_canon.
+    QueryDef(
+      "q_dedup_url",
+      Some("""WITH raw AS (
+                SELECT doc_id, n_chars,
+                       'HTTPS://WWW.' || upper(source) || '.Example.COM/d/'
+                       || CAST(doc_id % 10 AS VARCHAR)
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '?utm_source=feed&utm_campaign=' || lang
+                                    || '&ref=' || CAST(doc_id % 2 AS VARCHAR)
+                               WHEN doc_id % 3 = 1
+                               THEN '?ref=' || CAST(doc_id % 2 AS VARCHAR) || '&utm_medium=rss'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END AS url
+                FROM documents),
+                   canon AS (
+                SELECT doc_id, n_chars,
+                       regexp_replace(regexp_replace(
+                         lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([^/]*//[^/]+)', 1))
+                           || regexp_replace(regexp_replace(url, '#.*$', ''), '^[^/]*//[^/]+', ''),
+                         'utm_[a-z]+=[^&]*&?', '', 'g'), '[?&]+$', '', 'g') AS curl
+                FROM raw)
+              SELECT curl, keeper_id, n_chars, n_docs FROM (
+                SELECT curl, doc_id AS keeper_id, n_chars,
+                       CAST(count(*) OVER (PARTITION BY curl) AS BIGINT) AS n_docs,
+                       row_number() OVER (PARTITION BY curl
+                                          ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM canon)
+              WHERE rn = 1 ORDER BY curl""")) { (s, d) =>
+      val raw = Tables.documents(s, d).select(
+        col("doc_id"), col("n_chars"),
+        concat(
+          lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM/d/"),
+          (col("doc_id") % 10).cast("string"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("?utm_source=feed&utm_campaign="), col("lang"),
+              lit("&ref="), (col("doc_id") % 2).cast("string")))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("?ref="), (col("doc_id") % 2).cast("string"),
+                lit("&utm_medium=rss")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("#top")).otherwise(lit(""))).as("url"))
+      val noFrag = regexp_replace(col("url"), "#.*$", "")
+      val canon = raw.withColumn("curl",
+        regexp_replace(
+          regexp_replace(
+            concat(
+              lower(regexp_extract(noFrag, "^([^/]*//[^/]+)", 1)),
+              regexp_replace(noFrag, "^[^/]*//[^/]+", "")),
+            "utm_[a-z]+=[^&]*&?", ""),
+          "[?&]+$", ""))
+      // max over (n_chars, -doc_id) == (longest doc, then smallest id):
+      // struct max is lexicographic and doc_id >= 0, so negation flips
+      // the id order without touching the length order
+      canon.groupBy("curl")
+        .agg(
+          max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid"))).as("best"),
+          count(lit(1)).as("n_docs"))
+        .select(col("curl"), (-col("best.nid")).as("keeper_id"),
+          col("best.nc").as("n_chars"), col("n_docs"))
+        .orderBy("curl")
+    },
+
     // Compaction planner: assign per-day partitions to target-sized
     // compaction bins (bin = floor of the PRECEDING days' cumulative row
     // count / target) — the small-file maintenance pass every partitioned

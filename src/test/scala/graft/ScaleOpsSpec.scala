@@ -307,4 +307,29 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
         s"OptimizeSkewedJoin did not fire:\n$finalPlan")
     }
   }
+
+  test("q_dedup_url keeper rule: longest doc wins, length ties to smallest id, one agg (no window)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // replicate the query's keeper agg on a frame with a LENGTH TIE (the
+    // synthetic fixture rarely produces one) and a singleton group
+    val canon = Seq(
+      (1L, 50L, "u1"), (2L, 80L, "u1"), (3L, 80L, "u1"), // tie at 80 -> id 2
+      (9L, 10L, "u2")
+    ).toDF("doc_id", "n_chars", "curl")
+    val got = canon.groupBy("curl")
+      .agg(
+        max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid"))).as("best"),
+        count(lit(1)).as("n_docs"))
+      .select(col("curl"), (-col("best.nid")).as("keeper_id"),
+        col("best.nc").as("n_chars"), col("n_docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(("u1", 2L, 80L, 3L), ("u2", 9L, 10L, 1L)))
+    // plan shape: the registered query aggregates, never window-sorts —
+    // a window would shuffle and sort every row per URL partition at 100 TB
+    val plan = SparkEntry.queries("q_dedup_url")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"keeper must be an agg, not a window:\n$plan")
+  }
 }
