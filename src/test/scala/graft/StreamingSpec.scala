@@ -666,4 +666,32 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .sortBy(_._2).toSeq
     assert(got == Seq(("A", 10L, false), ("B", 20L, true)), got.mkString(","))
   }
+
+  test("audio feature extraction runs unchanged on a stream (batch/stream parity, stateless append)") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{HeaderCodec, MediaRecord}
+    // the multimodal feature extractor is a stateless typed mapPartitions,
+    // so the SAME code runs as a streaming transform with no watermark and
+    // no state store — the media-ingest shape (decode on arrival)
+    val records = Seq(
+      MediaRecord(1L, "audio", HeaderCodec.encodeWavPattern(1L, 8000, 300)),
+      MediaRecord(2L, "audio", HeaderCodec.encodeWavPattern(2L, 8000, 700)),
+      MediaRecord(3L, "text", "not audio".getBytes("UTF-8")))
+    val input = MemoryStream[MediaRecord](spark)
+    input.addData(records.take(2))
+    input.addData(records.drop(2)) // second micro-batch: the dropped payload
+    runToMemory(
+      Multimodal.audioFrameFeatures(input.toDS(), frame = 256).toDF(), "afeat")
+    val streamed = spark.table("afeat").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getInt(5), r.getLong(6))).toSet
+    val batch = Multimodal.audioFrameFeatures(records.toDS(), frame = 256)
+      .collect()
+      .map(f => (f.media_id, f.frame_idx, f.n, f.energy, f.sum_abs,
+        f.peak, f.zero_cross)).toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == Set(1L, 2L)) // 2 audio payloads, 5 frames
+    assert(streamed.size == 2 + 3)
+  }
 }
