@@ -505,6 +505,25 @@ object Multimodal {
       }
   }
 
+  /** MIXED patterned fixture (the realistic multimodal table shape: one
+    * binary column, several container formats): even doc_ids become
+    * patterned BMPs, odd ones patterned WAVs — both with planted
+    * arithmetic content, so one SQL oracle predicts every branch of a
+    * composed decode→feature plan. */
+  def plantedPatternMedia(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nc) =>
+        if (id % 2 == 0)
+          MediaRecord(id, "image",
+            HeaderCodec.encodeBmpPattern(id, (id % 64 + 1).toInt, (nc % 64 + 1).toInt))
+        else
+          MediaRecord(id, "audio",
+            HeaderCodec.encodeWavPattern(id, 8000, (nc % 500 + 32).toInt))
+      }
+  }
+
   /** Wrap a text table as media records (UTF-8 bytes) — the fixture path
     * used by queries/tests, since the corpus has no true binary column. */
   def fromDocuments(docs: DataFrame, kind: String = "image"): DataFrame =

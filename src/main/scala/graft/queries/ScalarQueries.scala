@@ -483,6 +483,76 @@ object ScalarQueries {
       graft.multimodal.Multimodal.audioFrameFeatures(media, frame = 256)
         .toDF()
         .orderBy("media_id", "frame_idx")
+    },
+
+    // COMPOSED multimodal curation plan — the flagship shape: ONE binary
+    // column carrying two container formats (patterned BMPs on even ids,
+    // patterned WAVs on odd), each modality routed to its decoder branch
+    // (box-filter resize to 4x2 RGB for images; 256-sample frame features
+    // for audio) and reduced to a unified per-media feature row, all in
+    // one declarative plan. The codec-registry property does the routing
+    // for free: resizeBmpArea claims BMP and drops the rest,
+    // audioFrameFeatures claims PCM16 and drops the rest — no per-row
+    // format dispatch, no driver loop. Oracle re-derives both branches
+    // from (doc_id, n_chars) arithmetic: a pass proves BMP layout
+    // inversion + integer resample AND RIFF walk + PCM windowing inside
+    // the same composed query.
+    QueryDef(
+      "q_mm_pipeline",
+      Some(s"""WITH img AS (SELECT doc_id AS id, doc_id % 64 + 1 AS w,
+                       n_chars % 64 + 1 AS h
+                FROM documents WHERE doc_id % 2 = 0),
+          cells AS (SELECT id, w, h, cx, cy
+                    FROM img, (SELECT unnest(generate_series(0, 3)) AS cx),
+                              (SELECT unnest(generate_series(0, 1)) AS cy)),
+          box AS (SELECT id, cx, cy,
+                         (cx * w) // 4 AS x0,
+                         GREATEST((cx * w) // 4 + 1, ((cx + 1) * w) // 4) AS x1,
+                         (cy * h) // 2 AS y0,
+                         GREATEST((cy * h) // 2 + 1, ((cy + 1) * h) // 2) AS y1
+                  FROM cells),
+          chan AS (SELECT id, CAST(${bmpChan(0)} AS BIGINT) AS r,
+                          CAST(${bmpChan(1)} AS BIGINT) AS g,
+                          CAST(${bmpChan(2)} AS BIGINT) AS b FROM box),
+          imgf AS (SELECT id AS media_id, 'image' AS modality,
+                          CAST(sum(r + g + b) AS BIGINT) AS feat_a,
+                          CAST(max(GREATEST(r, g, b)) AS BIGINT) AS feat_b
+                   FROM chan GROUP BY id),
+          aud0 AS (SELECT doc_id AS id, n_chars % 500 + 32 AS ns
+                   FROM documents WHERE doc_id % 2 = 1),
+          st AS (SELECT id, unnest(generate_series(0, ns - 1)) AS i FROM aud0),
+          vt AS (SELECT id, i, ((id % 251) + i * 131) % 4097 - 2048 AS v FROM st),
+          wt AS (SELECT id, i, v, lag(v) OVER (PARTITION BY id ORDER BY i) AS pv
+                 FROM vt),
+          audf AS (SELECT id AS media_id, 'audio' AS modality,
+                          CAST(sum(v * v) AS BIGINT) AS feat_a,
+                          CAST(coalesce(sum(CASE WHEN i % 256 <> 0
+                                                  AND ((pv < 0) <> (v < 0))
+                                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                            AS feat_b
+                   FROM wt GROUP BY id)
+          SELECT * FROM imgf UNION ALL SELECT * FROM audf
+          ORDER BY media_id""")) { (s, d) =>
+      import s.implicits._
+      val media = graft.multimodal.Multimodal
+        .plantedPatternMedia(Tables.documents(s, d))
+      val img = graft.multimodal.Multimodal.resizeBmpArea(media, targetW = 4, targetH = 2)
+        .map { rm =>
+          var sm = 0L; var mx = 0L
+          rm.payload.foreach { b =>
+            val v = (b & 0xff).toLong
+            sm += v
+            if (v > mx) mx = v
+          }
+          (rm.media_id, "image", sm, mx)
+        }
+        .toDF("media_id", "modality", "feat_a", "feat_b")
+      val aud = graft.multimodal.Multimodal.audioFrameFeatures(media, frame = 256)
+        .groupBy("media_id")
+        .agg(sum(col("energy")).as("feat_a"), sum(col("zero_cross")).as("feat_b"))
+        .select(col("media_id"), lit("audio").as("modality"),
+          col("feat_a"), col("feat_b"))
+      img.unionByName(aud).orderBy("media_id")
     }
   )
 }

@@ -288,4 +288,19 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     }
     assert(got.size == lens.map(n => (n + 255) / 256).sum)
   }
+
+  test("mixed patterned fixture routes by container claim: BMPs to resize, WAVs to audio features") {
+    import spark.implicits._
+    val docs = (0L until 8L).map(i => (i, 100L + i)).toDF("doc_id", "n_chars")
+    val media = Multimodal.plantedPatternMedia(docs)
+    // codec-registry routing: each decoder claims exactly its container —
+    // no per-row format dispatch needed in the composed q_mm_pipeline plan
+    val imgIds = Multimodal.resizeBmpArea(media, 4, 2).collect().map(_.media_id).sorted
+    val audIds = Multimodal.audioFrameFeatures(media, 256).collect().map(_.media_id).distinct.sorted
+    assert(imgIds.toSeq == Seq(0L, 2L, 4L, 6L))
+    assert(audIds.toSeq == Seq(1L, 3L, 5L, 7L))
+    // both branches see planted arithmetic content, not silence/black
+    assert(Multimodal.resizeBmpArea(media, 4, 2).collect()
+      .forall(_.payload.exists(_ != 0)))
+  }
 }
