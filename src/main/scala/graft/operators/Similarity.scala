@@ -64,6 +64,78 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Quantized coarse scan + exact rerank — the MEMORY-bound ANN pattern
+    * (Jégou et al.'s scan-then-refine shape on the simplest codebook:
+    * symmetric per-vector int8): at 100 TB the embedding store, not the
+    * flops, is the cost driver, so the full corpus is scanned as int8
+    * codes (4x smaller than float32; here `round(x / (max|x|/127))`, the
+    * q_embed_quant codec) under an INTEGER dot product, and only the top
+    * `candidateFactor * k` coarse survivors per query fetch their float
+    * vectors (one tiny equi-join) for the exact cosine rerank.
+    *
+    * Recall contract: approximate — the coarse order can drop a true
+    * top-k member whose quantized score falls below rank m (the factor is
+    * the dial; QuantRerank tests measure recall vs brute force). Both
+    * engines derive identical int8 codes (IEEE double division + the
+    * shared HALF_UP round on .5), so the result set is deterministic and
+    * the DuckDB oracle replays it exactly.
+    *
+    * Plan shape: corpus-side narrow map (quantize) → broadcast-queries
+    * cross join under integer arithmetic → per-query window over the
+    * coarse score → survivors join back to the float corpus (equi-join on
+    * vec_id, candidate-volume-sized) → windowed exact rerank. No global
+    * sort; nothing corpus-sized ever shuffles except the two windows'
+    * hash exchanges on q_id. */
+  def quantRerankTopK(
+      queries: DataFrame, // (q_id, qv: array<double>) — SMALL (broadcast)
+      corpus: DataFrame,  // (vec_id, cv: array<double>)
+      k: Int,
+      candidateFactor: Int = 4): DataFrame = {
+    require(k >= 1 && candidateFactor >= 1)
+    def scaleOf(v: Column): Column =
+      array_max(transform(v, x => abs(x))) / lit(127.0)
+    def quantize(v: Column, scale: Column): Column =
+      transform(v, x => round(x / scale).cast("long"))
+    // the int8 store carries per-vector (scale, float norm) metadata —
+    // computed ONCE at quantize time; the coarse score then approximates
+    // COSINE (dot/|q||c|), the same ordering the rerank refines. Scoring
+    // raw dot against a cosine rerank would misalign the cut on
+    // mixed-norm corpora (measured: the planted near-dup fell out of the
+    // coarse top-20 behind high-norm vectors).
+    val corpusQ = corpus.select(col("vec_id"),
+      scaleOf(col("cv")).as("c_scale"),
+      V.l2Norm(col("cv")).as("c_norm"),
+      quantize(col("cv"), scaleOf(col("cv"))).as("cq"))
+    val queriesQ = queries.select(col("q_id"),
+      scaleOf(col("qv")).as("q_scale"),
+      V.l2Norm(col("qv")).as("q_norm"),
+      quantize(col("qv"), scaleOf(col("qv"))).as("qq"))
+    // integer dot: |code| <= 127, so dim * 127^2 stays far inside Long
+    val intDot = aggregate(
+      zip_with(col("qq"), col("cq"), (a, b) => a * b), lit(0L), _ + _)
+    val coarse = corpusQ
+      .crossJoin(broadcast(queriesQ))
+      .withColumn("approx",
+        intDot.cast("double") * col("q_scale") * col("c_scale") /
+          (col("q_norm") * col("c_norm")))
+    val wCoarse = Window.partitionBy("q_id")
+      .orderBy(round(col("approx"), 6).desc, col("vec_id"))
+    val survivors = coarse
+      .withColumn("crn", row_number().over(wCoarse))
+      .filter(col("crn") <= k * candidateFactor)
+      .select("q_id", "vec_id")
+    // float fetch for survivors only — the memory story: the coarse scan
+    // never touches float32, the rerank never touches the full corpus
+    val wExact = Window.partitionBy("q_id")
+      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+    survivors
+      .join(corpus, Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("cos", V.cosineNative(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= k)
+  }
+
   /** Deterministic ±1 random-hyperplane entry for (plane j, dimension i) —
     * a fixed integer mix, no RNG state, so every executor and every round
     * derives the same planes. */

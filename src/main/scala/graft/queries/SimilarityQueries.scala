@@ -131,6 +131,63 @@ object SimilarityQueries {
         .orderBy("q_id", "rn")
     },
 
+    // Quantized coarse scan + exact rerank (scan-then-refine on the int8
+    // per-vector codec of q_embed_quant): the full corpus is scanned as
+    // integer codes under an integer dot product — the 4x-smaller store
+    // is the 100 TB cost driver — and only the top 4k coarse survivors
+    // per query fetch float vectors for the exact cosine rerank. Both
+    // engines derive identical codes (IEEE double division, shared
+    // HALF_UP round), so the oracle replays the approximate result set
+    // EXACTLY — the approximation is in the semantics (recall vs brute
+    // force, spec-measured), never in the comparison.
+    QueryDef(
+      "q_sim_quant_rerank",
+      Some(s"""WITH e AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v AS qv,
+                       list_max(list_transform(v, x -> abs(x))) / 127.0 AS q_scale,
+                       sqrt(list_sum(list_transform(v, x -> x * x))) AS q_norm
+                FROM e WHERE vec_id % 100 = 0),
+          qq AS (SELECT q_id, qv, q_scale, q_norm,
+                        list_transform(qv, x -> CAST(round(x / q_scale) AS BIGINT)) AS qcode
+                 FROM q),
+          c AS (SELECT vec_id, v AS cv,
+                       list_max(list_transform(v, x -> abs(x))) / 127.0 AS c_scale,
+                       sqrt(list_sum(list_transform(v, x -> x * x))) AS c_norm
+                FROM e WHERE vec_id % 100 <> 0),
+          cc AS (SELECT vec_id, cv, c_scale, c_norm,
+                        list_transform(cv, x -> CAST(round(x / c_scale) AS BIGINT)) AS ccode
+                 FROM c),
+          coarse AS (SELECT q_id, vec_id, qv, cv,
+                            CAST(list_sum(list_transform(generate_series(1, len(qcode)),
+                                   ci -> qcode[ci] * ccode[ci])) AS DOUBLE)
+                              * q_scale * c_scale / (q_norm * c_norm) AS approx
+                     FROM qq, cc),
+          surv AS (SELECT q_id, vec_id, qv, cv FROM (
+                     SELECT *, row_number() OVER (PARTITION BY q_id
+                              ORDER BY round(approx, 6) DESC, vec_id) AS crn
+                     FROM coarse) WHERE crn <= 20),
+          rer AS (SELECT q_id, vec_id, ${PortableSql.cosine("qv", "cv")} AS cos
+                  FROM surv)
+          SELECT q_id, vec_id, ${Num.oracleRound2("cos")} AS cos,
+                 CAST(rn AS BIGINT) AS rn
+          FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                       ORDER BY round(cos, 6) DESC, vec_id) AS rn FROM rer)
+          WHERE rn <= 5 ORDER BY q_id, rn""")) { (s, d) =>
+      import graft.functions.{VectorFunctions => V}
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val corpus = emb.filter(col("vec_id") % 100 =!= 0)
+        .select(col("vec_id"), col("v").as("cv"))
+      Similarity.quantRerankTopK(queries, corpus, k = 5, candidateFactor = 4)
+        .select(col("q_id"), col("vec_id"),
+          Num.round2(col("cos")).as("cos"), col("rn").cast("long").as("rn"))
+        .orderBy("q_id", "rn")
+    },
+
     // MinHash + banding near-dup candidates over documents (16-component
     // signatures, 4 bands of 4 — 4-row bands collide on shared-vocabulary
     // corpora). Portable md5-derived hash family: the DuckDB oracle

@@ -607,6 +607,38 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(wide == 1L)
   }
 
+  test("quantRerankTopK: high recall vs brute force; planted near-dup ranks first") {
+    import spark.implicits._
+    val dim = 32
+    val corpus = (0 until 400).map(i => (1000L + i, vec(i, dim))).toDF("vec_id", "cv")
+    // queries: 5 near-dups of corpus vectors (ids 1000, 1037, ...) + 3 fresh
+    val qs = ((0 until 5).map(i => (i.toLong, nearDup(vec(i * 37, dim)))) ++
+      (5 until 8).map(i => (i.toLong, vec(9000 + i, dim)))).toDF("q_id", "qv")
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val quant = Similarity.quantRerankTopK(qs, corpus, k = 5, candidateFactor = 4)
+    val brute = Similarity.bruteForceTopK(qs, corpus, k = 5)
+    val gotSets = topSets(quant)
+    val wantSets = topSets(brute)
+    // the rerank is exact, so misses can only come from the coarse int8
+    // cut — on random vectors the codes preserve order far beyond the
+    // 4x candidate slack; require >= 90% overall recall
+    val hits = wantSets.map { case (q, want) => (gotSets(q) & want).size }.sum
+    val total = wantSets.values.map(_.size).sum
+    assert(hits.toDouble / total >= 0.9, s"recall $hits/$total")
+    // rank-1 PARITY with brute force: the rerank is exact cosine, so as
+    // long as the true nearest survives the coarse cut, the winners match
+    // (the ramp-structured vec() fixture makes several corpus vectors
+    // nearly collinear — exactly the regime where a dot-scored coarse
+    // stage mis-cuts, which is what this pins against)
+    def firsts(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.filter(col("rn") === 1).select("q_id", "vec_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(firsts(quant) == firsts(brute))
+  }
+
   test("end-to-end dedup survivors == union-find over brute-force pairs") {
     import spark.implicits._
     import graft.functions.{TextFunctions => T}
