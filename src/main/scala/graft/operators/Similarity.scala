@@ -102,14 +102,20 @@ object Similarity {
     // raw dot against a cosine rerank would misalign the cut on
     // mixed-norm corpora (measured: the planted near-dup fell out of the
     // coarse top-20 behind high-norm vectors).
+    // zero vectors are DROPPED at quantize time (cosine is undefined on
+    // them, and their scale-0 codes would divide to NaN — which Spark's
+    // descending sort places FIRST, so an unguarded zero vector would
+    // top every ranking instead of losing every ranking)
     val corpusQ = corpus.select(col("vec_id"),
       scaleOf(col("cv")).as("c_scale"),
       V.l2Norm(col("cv")).as("c_norm"),
       quantize(col("cv"), scaleOf(col("cv"))).as("cq"))
+      .filter(col("c_scale") > 0)
     val queriesQ = queries.select(col("q_id"),
       scaleOf(col("qv")).as("q_scale"),
       V.l2Norm(col("qv")).as("q_norm"),
       quantize(col("qv"), scaleOf(col("qv"))).as("qq"))
+      .filter(col("q_scale") > 0)
     // integer dot: |code| <= 127, so dim * 127^2 stays far inside Long
     val intDot = aggregate(
       zip_with(col("qq"), col("cq"), (a, b) => a * b), lit(0L), _ + _)

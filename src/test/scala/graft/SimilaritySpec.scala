@@ -611,6 +611,12 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     import spark.implicits._
     val dim = 32
     val corpus = (0 until 400).map(i => (1000L + i, vec(i, dim))).toDF("vec_id", "cv")
+    // quant additionally sees an all-zero corpus vector: cosine is
+    // undefined on it, and an unguarded NaN score would SORT FIRST under
+    // desc — the operator must drop it at quantize time (brute force has
+    // no such guard, so it compares against the clean corpus)
+    val corpusWithZero = corpus.unionByName(
+      Seq((9999L, Seq.fill(dim)(0.0))).toDF("vec_id", "cv"))
     // queries: 5 near-dups of corpus vectors (ids 1000, 1037, ...) + 3 fresh
     val qs = ((0 until 5).map(i => (i.toLong, nearDup(vec(i * 37, dim)))) ++
       (5 until 8).map(i => (i.toLong, vec(9000 + i, dim)))).toDF("q_id", "qv")
@@ -618,7 +624,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       df.select("q_id", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
-    val quant = Similarity.quantRerankTopK(qs, corpus, k = 5, candidateFactor = 4)
+    val quant = Similarity.quantRerankTopK(qs, corpusWithZero, k = 5, candidateFactor = 4)
     val brute = Similarity.bruteForceTopK(qs, corpus, k = 5)
     val gotSets = topSets(quant)
     val wantSets = topSets(brute)
@@ -637,6 +643,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       df.filter(col("rn") === 1).select("q_id", "vec_id").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(firsts(quant) == firsts(brute))
+    assert(!gotSets.values.exists(_.contains(9999L)), "zero vector must be dropped")
   }
 
   test("end-to-end dedup survivors == union-find over brute-force pairs") {
