@@ -267,7 +267,11 @@ object Multimodal {
       }
       if (rate == 0 || dataOff < 0 || fmt != 1 || bits != 16 || chans <= 0) None
       else {
-        val n = (dataSize / 2).toInt
+        // clamp to the bytes actually present: a truncated data chunk
+        // (declared size past the buffer — the walk stops on it, but the
+        // offsets read above still count) must decode the real samples,
+        // not index past the array
+        val n = math.min(dataSize / 2, ((b.length - dataOff) / 2).toLong).toInt
         val out = new Array[Short](n)
         var i = 0
         while (i < n) {

@@ -236,6 +236,13 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     // stereo stays interleaved in file order
     val st = decodeWavSamples(encodeWav(44100, 2, 5L)).get
     assert(st.channels == 2 && st.samples.length == 10)
+    // truncated data chunk (declared size past the buffer): decode the
+    // samples actually present — never index past the array
+    val full = encodeWavPattern(3L, 8000, 100)
+    val cut = full.take(full.length - 40) // drop 20 samples' bytes
+    val tr = decodeWavSamples(cut).get
+    assert(tr.samples.length == 80)
+    assert((0 until 80).forall(i => tr.samples(i) == sampleValue(3L, i).toShort))
   }
 
   test("audioFrameFeatures golden frames: energy/sum_abs/peak/zero_cross, no cross-boundary pair") {
