@@ -148,14 +148,14 @@ object SimilarityQueries {
           q AS (SELECT vec_id AS q_id, v AS qv,
                        list_max(list_transform(v, x -> abs(x))) / 127.0 AS q_scale,
                        sqrt(list_sum(list_transform(v, x -> x * x))) AS q_norm
-                FROM e WHERE vec_id % 100 = 0),
+                FROM e WHERE vec_id < 50),
           qq AS (SELECT q_id, qv, q_scale, q_norm,
                         list_transform(qv, x -> CAST(round(x / q_scale) AS BIGINT)) AS qcode
                  FROM q),
           c AS (SELECT vec_id, v AS cv,
                        list_max(list_transform(v, x -> abs(x))) / 127.0 AS c_scale,
                        sqrt(list_sum(list_transform(v, x -> x * x))) AS c_norm
-                FROM e WHERE vec_id % 100 <> 0),
+                FROM e WHERE vec_id >= 50),
           cc AS (SELECT vec_id, cv, c_scale, c_norm,
                         list_transform(cv, x -> CAST(round(x / c_scale) AS BIGINT)) AS ccode
                  FROM c),
@@ -178,9 +178,14 @@ object SimilarityQueries {
       import graft.functions.{VectorFunctions => V}
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
-      val queries = emb.filter(col("vec_id") % 100 === 0)
+      // FIXED query set (like q_sim_topk), not a corpus fraction: the
+      // operator contract is "queries small, broadcast" — a %-of-corpus
+      // query set would make the coarse scan quadratic in the corpus
+      // (queries x corpus both growing), which is a benchmark artifact,
+      // not the serving shape
+      val queries = emb.filter(col("vec_id") < 50)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val corpus = emb.filter(col("vec_id") % 100 =!= 0)
+      val corpus = emb.filter(col("vec_id") >= 50)
         .select(col("vec_id"), col("v").as("cv"))
       Similarity.quantRerankTopK(queries, corpus, k = 5, candidateFactor = 4)
         .select(col("q_id"), col("vec_id"),
