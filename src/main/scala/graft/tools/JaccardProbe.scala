@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
 /** Cardinality probe for the PPJoin near-dup pipeline: prints the row
   * counts of each pruning stage at a given sfDir so scaling behavior is
   * attributable to a STAGE, not guessed from end-to-end walltime.
-  * Usage: runMain graft.tools.JaccardProbe <sfDir> [shuffle]
+  * Usage: runMain graft.tools.JaccardProbe <sfDir> [shuffle] [minJaccard]
   */
 object JaccardProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val shuffle = if (args.length > 1) args(1) else "32"
+    val minJ = if (args.length > 2) args(2).toDouble else 0.5
     val spark = graft.Tables.configure(SparkSession.builder())
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", shuffle)
@@ -20,7 +21,7 @@ object JaccardProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.functions.{TextFunctions => T}
-    val minJaccard = 0.5
+    val minJaccard = minJ
     val bandWidth = 0.1
     def band(c: org.apache.spark.sql.Column) =
       floor(log1p(c) / bandWidth).cast("long")
