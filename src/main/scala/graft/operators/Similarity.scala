@@ -105,16 +105,26 @@ object Similarity {
     // zero vectors are DROPPED at quantize time (cosine is undefined on
     // them, and their scale-0 codes would divide to NaN — which Spark's
     // descending sort places FIRST, so an unguarded zero vector would
-    // top every ranking instead of losing every ranking)
-    val corpusQ = corpus.select(col("vec_id"),
-      scaleOf(col("cv")).as("c_scale"),
-      V.l2Norm(col("cv")).as("c_norm"),
-      quantize(col("cv"), scaleOf(col("cv"))).as("cq"))
+    // top every ranking instead of losing every ranking).
+    // Two-step projection, NOT quantize(v, scaleOf(v)): inlining the
+    // array_max scale expression into the transform lambda re-evaluates
+    // it per ELEMENT (Catalyst doesn't hoist loop-invariant subtrees out
+    // of HOF lambdas — the documented CollapseProject/HOF pitfall), an
+    // O(dim^2)-per-row corpus scan. As a named column referenced three
+    // times (output, lambda, filter) it is evaluated once per row and
+    // CollapseProject keeps the projection barrier (it never duplicates
+    // non-cheap multiply-referenced aliases).
+    val corpusQ = corpus
+      .select(col("vec_id"), col("cv"), scaleOf(col("cv")).as("c_scale"))
+      .select(col("vec_id"), col("c_scale"),
+        V.l2Norm(col("cv")).as("c_norm"),
+        quantize(col("cv"), col("c_scale")).as("cq"))
       .filter(col("c_scale") > 0)
-    val queriesQ = queries.select(col("q_id"),
-      scaleOf(col("qv")).as("q_scale"),
-      V.l2Norm(col("qv")).as("q_norm"),
-      quantize(col("qv"), scaleOf(col("qv"))).as("qq"))
+    val queriesQ = queries
+      .select(col("q_id"), col("qv"), scaleOf(col("qv")).as("q_scale"))
+      .select(col("q_id"), col("q_scale"),
+        V.l2Norm(col("qv")).as("q_norm"),
+        quantize(col("qv"), col("q_scale")).as("qq"))
       .filter(col("q_scale") > 0)
     // integer dot: |code| <= 127, so dim * 127^2 stays far inside Long
     val intDot = aggregate(
