@@ -92,7 +92,10 @@ object Multimodal {
       var ok = true
       while (ok && off + 8 <= b.length && (rate == 0 || dataSize < 0)) {
         val size = le32(b, off + 4) // unsigned u32 as long (never negative)
-        if (ascii(b, off, "fmt ") && off + 24 <= b.length) {
+        // size >= 16: a fmt chunk declaring fewer than the 16 PCM-header
+        // bytes is malformed — reading channels/rate through it would pull
+        // bytes from the NEXT chunk (bounds-safe but garbage metadata)
+        if (ascii(b, off, "fmt ") && size >= 16 && off + 24 <= b.length) {
           chans = le16(b, off + 10)
           rate = le32(b, off + 12).toInt
           blockAlign = le16(b, off + 20)
@@ -256,7 +259,9 @@ object Multimodal {
       var ok = true
       while (ok && off + 8 <= b.length && (rate == 0 || dataOff < 0)) {
         val size = le32(b, off + 4)
-        if (ascii(b, off, "fmt ") && off + 24 <= b.length) {
+        // same malformed-fmt guard as parseWav: a declared size < 16 would
+        // read the format/rate/bits fields out of the following chunk
+        if (ascii(b, off, "fmt ") && size >= 16 && off + 24 <= b.length) {
           fmt = le16(b, off + 8)
           chans = le16(b, off + 10)
           rate = le32(b, off + 12).toInt

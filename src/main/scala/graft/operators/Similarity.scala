@@ -80,6 +80,12 @@ object Similarity {
     * shared HALF_UP round on .5), so the result set is deterministic and
     * the DuckDB oracle replays it exactly.
     *
+    * Zero-norm vectors are dropped on BOTH sides at quantize time, because
+    * cosine is undefined on them: a zero-norm CORPUS vector simply never
+    * appears in any ranking, and a zero-norm QUERY vector's q_id is absent
+    * from the output entirely — a missing q_id means the query itself was
+    * degenerate, not that the corpus was empty for it.
+    *
     * Plan shape: corpus-side narrow map (quantize) → broadcast-queries
     * cross join under integer arithmetic → per-query window over the
     * coarse score → survivors join back to the float corpus (equi-join on

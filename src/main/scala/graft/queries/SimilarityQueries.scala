@@ -151,14 +151,17 @@ object SimilarityQueries {
                 FROM e WHERE vec_id < 50),
           qq AS (SELECT q_id, qv, q_scale, q_norm,
                         list_transform(qv, x -> CAST(round(x / q_scale) AS BIGINT)) AS qcode
-                 FROM q),
+                 FROM q WHERE q_scale > 0),
           c AS (SELECT vec_id, v AS cv,
                        list_max(list_transform(v, x -> abs(x))) / 127.0 AS c_scale,
                        sqrt(list_sum(list_transform(v, x -> x * x))) AS c_norm
                 FROM e WHERE vec_id >= 50),
+          -- the engine drops zero-norm vectors at quantize time (cosine
+          -- undefined); mirror the guard so a zero embedding in the fixture
+          -- can never divide by scale 0 here while the engine drops the row
           cc AS (SELECT vec_id, cv, c_scale, c_norm,
                         list_transform(cv, x -> CAST(round(x / c_scale) AS BIGINT)) AS ccode
-                 FROM c),
+                 FROM c WHERE c_scale > 0),
           coarse AS (SELECT q_id, vec_id, qv, cv,
                             CAST(list_sum(list_transform(generate_series(1, len(qcode)),
                                    ci -> qcode[ci] * ccode[ci])) AS DOUBLE)

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -26,17 +26,16 @@ object Ingest {
   /** Attach a contiguous 1-based surrogate `id` column in row order.
     *
     * Scale note (SURVEY §4.2): NOT a global row_number window (single
-    * partition = death at 100 TB). zipWithIndex computes per-partition
-    * counts in one lightweight extra job and assigns offsets per partition,
-    * preserving file order within and across splits.
+    * partition = death at 100 TB) and NOT an `rdd.zipWithIndex` round-trip
+    * (which deserializes every row and drops codegen/columnar execution
+    * for the rest of a wide ingest stage). [[graft.operators.ZipIndex]]
+    * keeps zipWithIndex's two-job shape — per-partition counts in one
+    * lightweight extra job, then offset arithmetic — entirely inside the
+    * DataFrame engine, preserving file order within and across splits.
     */
-  def withSurrogateId(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val withId = df.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ (idx + 1L))
-    }
-    spark.createDataFrame(withId, df.schema.add("id", LongType, nullable = false))
-  }
+  def withSurrogateId(df: DataFrame): DataFrame =
+    graft.operators.ZipIndex.withRowIndex(df, "id")
+      .withColumn("id", col("id") + lit(1L))
 
   /** The full resumable ingest: read, number, drop rows at or below the
     * high-water mark (`start_idx` = last ingested id). Re-running with the

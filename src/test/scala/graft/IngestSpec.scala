@@ -59,6 +59,40 @@ class IngestSpec extends AnyFunSuite with SparkTest {
     assert(typed.selectExpr("sum(MEA_VALUE)").collect()(0).getDouble(0) > 0)
   }
 
+  test("ZipIndex equals rdd.zipWithIndex on multi-partition input") {
+    import graft.operators.ZipIndex
+    import spark.implicits._
+    // 7 partitions of uneven sizes (range splits 0..998 unevenly over 7),
+    // including the empty-partition shape via an id filter
+    val df = spark.range(0, 999, 1, 7).toDF("v")
+      .filter($"v" % 13 =!= 0)
+    val want = df.rdd.zipWithIndex()
+      .map { case (r, i) => (r.getLong(0), i) }.collect().toMap
+    val got = ZipIndex.withRowIndex(df, "idx")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("ZipIndex.withOrderedIndex is the 0-based dense rank by the key") {
+    import graft.operators.ZipIndex
+    import spark.implicits._
+    val keys = Seq(42L, 7L, 900L, 13L, 5L, 77L, 101L, 64L)
+    val df = keys.toDF("k").repartition(5)
+    val got = ZipIndex.withOrderedIndex(df, "k", "r")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = keys.sorted.zipWithIndex.map { case (k, i) => k -> i.toLong }.toMap
+    assert(got == want)
+  }
+
+  test("surrogate-id plan stays in the DataFrame engine (no RDD round-trip)") {
+    val df = Ingest.csvResume(spark, fixture, schema, 0L)
+    val plan = df.queryExecution.executedPlan.toString
+    // the old rdd.zipWithIndex round-trip re-entered as `Scan ExistingRDD`,
+    // severing codegen/columnar execution from the file scan onwards
+    assert(!plan.contains("ExistingRDD"), plan)
+    assert(plan.contains("csv"), plan)
+  }
+
   test("audit row records count and high-water mark") {
     val df = Ingest.csvResume(spark, fixture, schema, 0L)
     val audit = Audit.record(spark, "tmp_dataset", df).collect()(0)
