@@ -5,18 +5,18 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 
-/** Argmin fine-cell id of a vector within one coarse cell's fine-centroid
-  * bundle — the second level of Similarity.semanticDedupScaled's two-level
-  * assignment.
+/** Argmin child id of a vector within one routing node's child-rep bundle
+  * — the per-depth descent step of Similarity.semanticDedupScaled's
+  * radix-rank routing tree.
   *
-  * `left` is the row vector (`array<double>`); `right` is the routed coarse
-  * cell's bundle, `array<struct<c_id: bigint, centroid: array<double>>>`,
-  * which arrives PER ROW from the bundle join rather than as a plan
-  * constant — that is the point: unlike [[NearestCells]], whose centroid
-  * table rides on the driver and so must stay caller-bounded, the bundle
-  * table here is distributed state, so the total fine-centroid count can
-  * grow with the corpus while the driver holds only the ~sqrt(C) coarse
-  * routers.
+  * `left` is the row vector (`array<double>`); `right` is the routed
+  * node's bundle, `array<struct<c_id: bigint, centroid: array<double>>>`
+  * (<= fanout structs), which arrives PER ROW from the bundle join rather
+  * than as a plan constant — that is the point: unlike [[NearestCells]],
+  * whose centroid table rides on the driver and so must stay
+  * caller-bounded, the bundle tables here are distributed state, so the
+  * total fine-centroid count can grow with the corpus while the driver
+  * holds only the root's <= fanout reps.
   *
   * Distance and tie-break are bit-identical to [[NearestCells.nearest]]
   * (same subtract/square/accumulate loop over squared L2, then

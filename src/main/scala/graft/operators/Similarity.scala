@@ -469,8 +469,9 @@ object Similarity {
     *    k-means refinement.
     *  - [[semanticDedupScaled]] — corpus-SCALED cell count (cells stay
     *    ~cellStride rows as the corpus grows, keeping the in-cell
-    *    quadratic term bounded) with two-level routing, so neither driver
-    *    state nor per-row assignment cost grows linearly with the corpus.
+    *    quadratic term bounded) with a constant-fan-out multi-level
+    *    routing tree, so driver state is deployment-constant and per-row
+    *    assignment cost grows only logarithmically with the corpus.
     *    This is the 100 TB entry point.
     *
     * Input: (vec_id, cv: array<double>); output: (vec_id, c_id) survivors.
@@ -510,43 +511,61 @@ object Similarity {
   }
 
   /** Corpus-SCALED SemDeDup: cell count grows with the corpus (expected
-    * cell size ~`cellStride`) while driver state and per-row assignment
-    * cost stay sublinear. The round-11 audit showed the flat path cannot
-    * do this — argmin over C = N/64 plan-constant centroids is O(N²·dim)
-    * compute with an O(N·dim/64) driver collect — so this variant changes
-    * the assignment STRUCTURE, not just its constants:
+    * cell size ~`cellStride`) while driver state stays DEPLOYMENT-CONSTANT
+    * and per-row assignment cost grows only logarithmically. The round-11
+    * audit showed the flat path cannot scale its cell count (argmin over
+    * C = N/64 plan-constant centroids is O(N²·dim) compute with an O(N)
+    * driver collect); the round-12 two-level fix still sized its router
+    * table ceil(sqrt(F)) — an O(N^1.5) total-compute asymptote with a
+    * sqrt(N) driver collect. This variant removes the last data-derived
+    * constant:
     *
     *  - Fine cells are seeded by the stride-grid sample `vec_id %
     *    cellStride == 0` (plus the min id, so a nonempty corpus always has
-    *    >= 1 seed) — a distributed filter, replacing the flat path's
-    *    orderBy().limit(C) whose single-partition GlobalLimit is itself a
-    *    linear bottleneck when C scales with N. On the dense ids of the
-    *    fixtures this yields the same ceil(N/stride) cell count as the old
-    *    first-C rule, with an unbiased spread instead of an id-prefix.
-    *  - Routing is two-level (the IVF-style hierarchy of Johnson et al.
-    *    2017, "Billion-scale similarity search with GPUs"): the first
-    *    ceil(sqrt(F)) fine seeds also serve as COARSE routers — only this
-    *    sqrt-sized table is collected to the driver and baked into the
-    *    NearestCells narrow map. Every fine centroid is owned by its
-    *    nearest router (tie: smaller router id); rows route to their
-    *    nearest ACTIVE router (one that owns >= 1 fine — ownership can
-    *    miss a router only when duplicate vectors make another router
-    *    equidistant) and take the exact argmin within that router's
-    *    fine bundle via the [[graft.expressions.NearestInBundle]] codegen
-    *    expression. Per-row cost: O(sqrt(F)·dim) routing + O(E[bundle]·dim)
-    *    ≈ O(sqrt(F)·dim) argmin. The bundle table is DISTRIBUTED (an
-    *    equi-join on the router id — broadcast while it fits, shuffled SMJ
-    *    beyond), never driver state.
+    *    >= 1 seed) — a distributed filter, never a GlobalLimit.
+    *  - Routing descends a RADIX-RANK TREE of constant fan-out `fanout`
+    *    (the multi-level coarse-quantizer shape of Johnson et al. 2017,
+    *    "Billion-scale similarity search with GPUs", with the hierarchy
+    *    made deterministic): rank the F fine seeds by id (distributed
+    *    dense rank, [[ZipIndex.withOrderedIndex]] — range partition +
+    *    in-partition sort + offset arithmetic, no global window), set
+    *    L = ⌈log_fanout F⌉ levels, and let the node of leaf rank r at
+    *    depth d be ⌊r / fanout^(L-d)⌋ — contiguous rank blocks, each
+    *    node represented by its minimum-rank fine seed. A row starts at
+    *    the root and at each depth takes the (squared-L2 asc, id asc)
+    *    argmin over its node's ≤ `fanout` child representatives — the
+    *    root's children via a driver-collected
+    *    [[graft.expressions.NearestCells]] narrow map (the ONLY driver
+    *    state: ≤ fanout reps, a deployment constant like ivfTopK's
+    *    nCentroids), every deeper level via an equi-join against that
+    *    depth's DISTRIBUTED bundle table (one row per node, ≤ fanout
+    *    structs wide — bounded row width by construction) and the
+    *    [[graft.expressions.NearestInBundle]] codegen argmin. The last
+    *    depth's bundles hold the fine seeds themselves, so the descent
+    *    ends in an exact in-block argmin.
     *
-    * The cell MAP differs from the flat argmin when a row's globally
-    * nearest fine is owned by a different router than the row — the
-    * standard IVF routing approximation; SemDeDup's cluster gate is itself
-    * a recall heuristic, so any deterministic partition of the space is a
-    * valid gate (Abbas et al. 2023 accept exactly this trade in their
-    * k-means). On separated clusters the two agree exactly (SimilaritySpec
-    * proves parity on seeded blob corpora); the DuckDB oracle replays this
-    * rule stage by stage (PortableSql.semanticDedupOracle), so the
-    * correctness gate covers the two-level path itself.
+    * Cost at corpus size N (F = N/cellStride): per-row fanout·L·dim flops
+    * and L equi-joins → total assignment compute O(N·log N), vs N^1.5
+    * (two-level) and N² (flat-at-this-sizing). Driver state: ≤ fanout
+    * reps + one partition-count array — both deployment constants. Bundle
+    * tables sum to ~F·fanout/(fanout-1) rows across depths, distributed,
+    * broadcast while they fit and shuffled equi-joins beyond. Every row
+    * always finds its bundle: a node exists iff it contains a fine, and
+    * then its min-rank child exists in that node's bundle, so the inner
+    * join drops nothing (no "inactive router" repair step — ownership is
+    * structural, not distance-based).
+    *
+    * The cell MAP is a greedy-descent approximation of the flat argmin
+    * (identical when L = 1, i.e. F <= fanout): SemDeDup's cluster gate is
+    * itself a recall heuristic, so any deterministic partition of the
+    * space is a valid gate (Abbas et al. 2023 accept exactly this trade
+    * in their k-means), and near-identical vectors follow identical
+    * comparisons, so duplicates always co-locate — the property the dedup
+    * actually needs. The DuckDB oracle replays seed selection, ranking,
+    * every descent level and the keeper arithmetic exactly
+    * (PortableSql.semanticDedupOracle), so the correctness gate covers
+    * this 100 TB code path itself; SimilaritySpec holds a brute-force
+    * replay differential across 1-, 2- and 3-level corpora.
     *
     * Centroid refinement (kmeansCentroids) deliberately does NOT compose
     * here: its per-iteration broadcast-assign is O(C·dim) per row — the
@@ -558,61 +577,105 @@ object Similarity {
   def semanticDedupScaled(
       corpus: DataFrame,
       tau: Double,
-      cellStride: Int = 64): DataFrame = {
+      cellStride: Int = 64,
+      fanout: Int = 32): DataFrame = {
     require(cellStride >= 1, s"cellStride must be >= 1, got $cellStride")
-    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    require(fanout >= 2, s"fanout must be >= 2, got $fanout")
     if (corpus.isEmpty) return emptySurvivors(corpus)
-    inCellDedup(semanticAssignScaled(corpus, cellStride), tau)
+    inCellDedup(semanticAssignScaled(corpus, cellStride, fanout), tau)
   }
 
-  /** The two-level assignment of [[semanticDedupScaled]], exposed for the
-    * spec-level differential against a brute-force replay of the same rule.
-    * Returns (vec_id, cv, c_id), repartitioned by cell for the in-cell
-    * join. Caller guarantees a nonempty corpus. */
-  private[graft] def semanticAssignScaled(
-      corpus: DataFrame,
-      cellStride: Int): DataFrame = {
-    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+  /** The ranked fine-seed table and the derived radix-rank routing tree of
+    * [[semanticDedupScaled]], factored out so ScaleUpSpec can pin the
+    * deployment-constant bounds (root reps <= fanout, bundle width <=
+    * fanout, levels = ⌈log_fanout F⌉) executable at growing F. `ranked` is
+    * materialized once (localCheckpoint) — every level's bundle build and
+    * the root collect reuse it instead of re-running the seed scan +
+    * range shuffle per level. */
+  private[graft] final case class RadixTree(
+      ranked: DataFrame, // (c_id, centroid, r) — r = 0-based rank by c_id
+      fineCount: Long,
+      fanout: Int) {
+    /** Levels of descent: smallest L with fanout^L >= F. */
+    val levels: Int = {
+      var l = 1
+      var cap = fanout.toLong
+      while (cap < fineCount) { cap *= fanout; l += 1 }
+      l
+    }
+    private def ipow(e: Int): Long = {
+      var p = 1L; var i = 0
+      while (i < e) { p *= fanout; i += 1 }
+      p
+    }
+    /** The root's <= fanout child reps: (gid, centroid). gid is the
+      * child-node id at depth 1 — the leaf c_id itself when levels == 1
+      * (rank order and id order coincide, so tie-breaks agree either
+      * way). */
+    def rootChildren: DataFrame = {
+      val span = ipow(levels - 1)
+      val gid =
+        if (levels == 1) col("c_id") else expr(s"r DIV $span").cast("long")
+      ranked.filter(col("r") % span === 0)
+        .select(gid.as("gid"), col("centroid"))
+    }
+    /** Depth-d (2 <= d <= levels) bundle table: (g, bundle) with g the
+      * depth-(d-1) node id and bundle the <= fanout child structs
+      * (id, centroid) — id is the depth-d node id, or the leaf c_id at
+      * the final depth. */
+    def bundlesAt(d: Int): DataFrame = {
+      require(d >= 2 && d <= levels, s"depth $d out of 2..$levels")
+      val span = ipow(levels - d)
+      val childId =
+        if (d == levels) col("c_id") else expr(s"r DIV $span").cast("long")
+      ranked.filter(col("r") % span === 0)
+        .select(expr(s"r DIV ${span * fanout}").cast("long").as("g"),
+          struct(childId.as("c_id"), col("centroid")).as("child"))
+        .groupBy("g")
+        .agg(collect_list(col("child")).as("bundle"))
+    }
+  }
+
+  private[graft] def radixTree(
+      corpus: DataFrame, cellStride: Int, fanout: Int): RadixTree = {
     // stride-grid fine seeds; the min id joins unconditionally so sparse /
     // offset id spaces still seed (idempotent when min % stride == 0)
     val minId = corpus.agg(min(col("vec_id"))).head.getLong(0)
     val fines = corpus
       .filter(col("vec_id") % cellStride === 0 || col("vec_id") === minId)
       .select(col("vec_id").as("c_id"), col("cv").as("centroid"))
-    val fineCount = fines.count()
-    val nCoarse = math.max(1, math.ceil(math.sqrt(fineCount.toDouble)).toInt)
-    // coarse routers: first sqrt(F) fine seeds by id. limit(k) with small k
-    // is a distributed TakeOrdered (per-partition top-k, driver merge) —
-    // unlike limit(C), safe at scale. The ONLY linearly-derived driver
-    // state in this path is this sqrt-sized array.
-    val gRows = fines.orderBy("c_id").limit(nCoarse)
-      .select(col("c_id").as("g_id"), col("centroid").as("gv")).collect()
-    val gArrAll = gRows.map(_.getSeq[Double](1).toArray)
-    val gIdsAll = gRows.map(_.getLong(0))
-    def route(v: Column, cs: Array[Array[Double]], ids: Array[Long]): Column =
-      column(graft.expressions.NearestCells(expression(v), cs, ids, 1))
-        .getItem(0)
-    // each fine centroid is owned by its nearest router; bundles are the
-    // distributed second-level lookup (one row per ACTIVE router,
-    // ~sqrt(F)·dim wide)
-    val owned = fines.withColumn("g_id",
-      route(col("centroid"), gArrAll, gIdsAll))
-    val bundles = owned.groupBy("g_id")
-      .agg(collect_list(struct(col("c_id"), col("centroid"))).as("cell_fines"))
-    // rows must route only to routers that own >= 1 fine, or the bundle
-    // join would silently drop them; inactive routers exist only when a
-    // duplicate vector ties a router's self-distance 0 toward a smaller id
-    val active =
-      owned.select("g_id").distinct().collect().map(_.getLong(0)).toSet
-    val keep = gIdsAll.indices.filter(i => active(gIdsAll(i)))
-    val gArr = keep.map(gArrAll).toArray
-    val gIds = keep.map(gIdsAll).toArray
-    corpus
-      .withColumn("g_id", route(col("cv"), gArr, gIds))
-      .join(bundles, Seq("g_id"))
-      .withColumn("c_id", column(graft.expressions.NearestInBundle(
-        expression(col("cv")), expression(col("cell_fines")))))
-      .select(col("vec_id"), col("cv"), col("c_id"))
+    val ranked = ZipIndex.withOrderedIndex(fines, "c_id", "r").localCheckpoint()
+    RadixTree(ranked, ranked.count(), fanout)
+  }
+
+  /** The radix-rank-tree assignment of [[semanticDedupScaled]], exposed for
+    * the spec-level differential against a brute-force replay of the same
+    * rule. Returns (vec_id, cv, c_id), repartitioned by cell for the
+    * in-cell join. Caller guarantees a nonempty corpus. */
+  private[graft] def semanticAssignScaled(
+      corpus: DataFrame,
+      cellStride: Int,
+      fanout: Int = 32): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val tree = radixTree(corpus, cellStride, fanout)
+    // level 1: argmin over the root's <= fanout reps — the only collect
+    val rootRows = tree.rootChildren.collect()
+    val rootCents = rootRows.map(_.getSeq[Double](1).toArray)
+    val rootIds = rootRows.map(_.getLong(0))
+    var cur = corpus.withColumn("g",
+      column(graft.expressions.NearestCells(
+        expression(col("cv")), rootCents, rootIds, 1)).getItem(0))
+    // levels 2..L: equi-join the depth's bundle table on the current node,
+    // argmin within the <= fanout child structs. Every g has a bundle (a
+    // node exists iff it holds a fine, whose min-rank child is in the
+    // bundle), so the inner join is total over rows.
+    for (d <- 2 to tree.levels) {
+      cur = cur.join(tree.bundlesAt(d), Seq("g"))
+        .withColumn("g2", column(graft.expressions.NearestInBundle(
+          expression(col("cv")), expression(col("bundle")))))
+        .select(col("vec_id"), col("cv"), col("g2").as("g"))
+    }
+    cur.select(col("vec_id"), col("cv"), col("g").as("c_id"))
       .repartition(col("c_id"))
   }
 

@@ -325,40 +325,54 @@ object PortableSql {
 
   /** q_dedup_semantic: corpus-scaled SemDeDup — mirrors
     * Similarity.semanticDedupScaled stage by stage: stride-grid fine seeds
-    * (vec_id % stride == 0, plus the min id), coarse routers = first
-    * ceil(sqrt(F)) seeds, fine→router ownership and row→ACTIVE-router
-    * routing both by (squared-L2 asc, id asc) argmin, then the exact
-    * argmin within the routed router's fine set; in-cell pairs with
-    * cosine >= tau, min-id keeper. */
-  def semanticDedupOracle(tau: Double, stride: Int): String =
+    * (vec_id % stride == 0, plus the min id), 0-based dense rank r by
+    * c_id, L = ⌈log_fanout F⌉ descent levels, node of leaf rank r at
+    * depth d = r // fanout^(L-d) represented by its min-rank seed, and a
+    * greedy per-row descent taking the (squared-L2 asc, child-id asc)
+    * argmin over each node's <= fanout children; in-cell pairs with
+    * cosine >= tau, min-id keeper.
+    *
+    * The engine builds exactly L levels at runtime; static SQL can't, so
+    * the descent is unrolled to `lmax` stages where stage d > L is a
+    * structural no-op (every leaf is its own parent AND only child, so
+    * the argmin returns the incoming node unchanged). lmax = 4 covers
+    * F <= fanout^4 fine seeds (= 32^4·stride ≈ 67M corpus rows at the
+    * defaults) — far past any oracle scale; the engine itself has no such
+    * bound. */
+  def semanticDedupOracle(
+      tau: Double, stride: Int, fanout: Int = 32, lmax: Int = 4): String = {
+    // span of a depth-d child block, as SQL (power is double but exact
+    // far past any realizable fanout^level here)
+    def sp(d: Int): String =
+      s"CAST(power($fanout, greatest((SELECT l FROM par) - $d, 0)) AS BIGINT)"
+    val stages = (1 to lmax).map { d =>
+      s"""ch$d AS (SELECT c_id, centroid,
+                   r // ${sp(d)} AS cg,
+                   CASE WHEN $d > (SELECT l FROM par) THEN r
+                        ELSE r // (${sp(d)} * $fanout) END AS pg
+            FROM rk WHERE r % ${sp(d)} = 0),
+        s$d AS (SELECT vec_id, v, g FROM (
+                  SELECT p.vec_id, p.v, c.cg AS g,
+                         row_number() OVER (PARTITION BY p.vec_id
+                           ORDER BY ${l2Sq("p.v", "c.centroid")}, c.cg) AS rn
+                  FROM s${d - 1} p JOIN ch$d c ON p.g = c.pg) WHERE rn = 1)"""
+    }.mkString(",\n        ")
     s"""WITH e AS (SELECT vec_id,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
               FROM embeddings),
         cent AS (SELECT vec_id AS c_id, v AS centroid FROM e
                  WHERE vec_id % $stride = 0
                     OR vec_id = (SELECT min(vec_id) FROM e)),
-        ng AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n FROM cent),
-        g AS (SELECT c_id AS g_id, centroid AS gv FROM (
-                SELECT c_id, centroid,
-                       row_number() OVER (ORDER BY c_id) AS grn FROM cent)
-              WHERE grn <= (SELECT n FROM ng)),
-        fown AS (SELECT c_id, centroid, g_id FROM (
-                   SELECT cent.c_id, cent.centroid, g.g_id,
-                          row_number() OVER (PARTITION BY cent.c_id
-                            ORDER BY ${l2Sq("cent.centroid", "g.gv")}, g.g_id) AS orn
-                   FROM cent, g) WHERE orn = 1),
-        ga AS (SELECT g_id, gv FROM g
-               WHERE g_id IN (SELECT DISTINCT g_id FROM fown)),
-        rt AS (SELECT vec_id, v, g_id FROM (
-                 SELECT e.vec_id, e.v, ga.g_id,
-                        row_number() OVER (PARTITION BY e.vec_id
-                          ORDER BY ${l2Sq("e.v", "ga.gv")}, ga.g_id) AS rrn
-                 FROM e, ga) WHERE rrn = 1),
-        asg AS (SELECT vec_id, v, c_id FROM (
-                  SELECT rt.vec_id, rt.v, f.c_id,
-                         row_number() OVER (PARTITION BY rt.vec_id
-                           ORDER BY ${l2Sq("rt.v", "f.centroid")}, f.c_id) AS arn
-                  FROM rt JOIN fown f ON rt.g_id = f.g_id) WHERE arn = 1),
+        rk AS (SELECT c_id, centroid,
+                      row_number() OVER (ORDER BY c_id) - 1 AS r FROM cent),
+        par AS (SELECT coalesce(
+                  (SELECT min(d) FROM generate_series(1, $lmax) t(d)
+                   WHERE power($fanout, d) >= (SELECT count(*) FROM cent)),
+                  $lmax) AS l),
+        s0 AS (SELECT vec_id, v, CAST(0 AS BIGINT) AS g FROM e),
+        $stages,
+        asg AS (SELECT s.vec_id, s.v, rk.c_id
+                FROM s$lmax s JOIN rk ON s.g = rk.r),
         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
               FROM asg a JOIN asg b
                 ON a.c_id = b.c_id AND a.vec_id < b.vec_id
@@ -366,6 +380,7 @@ object PortableSql {
         SELECT vec_id, CAST(c_id AS BIGINT) AS c_id FROM asg
         WHERE vec_id NOT IN (SELECT id_b FROM p)
         ORDER BY vec_id"""
+  }
 
   /** q_sim_ivf: deterministic-sample IVF (first nCentroids corpus ids),
     * argmin-cell assignment, nProbe nearest cells per query, exact cosine

@@ -295,13 +295,14 @@ object SimilarityQueries {
     // use ~0.9+. Cell count is corpus-derived (expected cell ~stride rows,
     // like q_sim_lsh's bit count) so the in-cell quadratic term stays
     // bounded as the data grows — which is why this registers the SCALED
-    // two-level variant (stride-grid fine seeds, sqrt-F coarse routers,
-    // distributed fine bundles): the flat argmin would be O(N²·dim)
-    // assignment compute with a linearly-growing driver collect at that
-    // sizing. The oracle replays seed selection, both routing levels, the
-    // pair set and the keeper arithmetic exactly
-    // (PortableSql.semanticDedupOracle), so the correctness gate exercises
-    // the 100 TB code path itself.
+    // variant (stride-grid fine seeds, constant-fan-out radix-rank
+    // routing tree, distributed per-depth bundles): the flat argmin would
+    // be O(N²·dim) assignment compute with a linearly-growing driver
+    // collect at that sizing, and the former sqrt-F router table was
+    // still an O(N^1.5) asymptote. The oracle replays seed selection,
+    // the rank, every descent level and the keeper arithmetic exactly
+    // (PortableSql.semanticDedupOracle), so the correctness gate
+    // exercises the 100 TB code path itself.
     QueryDef("q_dedup_semantic",
         Some(PortableSql.semanticDedupOracle(0.3, 64))) { (s, d) =>
       val emb = Tables.embeddings(s, d)

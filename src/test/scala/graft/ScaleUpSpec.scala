@@ -111,4 +111,36 @@ class ScaleUpSpec extends AnyFunSuite with SparkTest {
     assert(p4 / p1 > 3.5 && p4 / p1 < 4.5,
       s"population should scale ~linearly past the cap: $p1 -> $p4")
   }
+
+  test("SemDeDup radix tree: constant driver state + bundle width as the corpus grows 16x") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val k = 4
+    def ceilLog(k: Int, f: Long): Int = {
+      var l = 1; var cap = k.toLong
+      while (cap < f) { cap *= k; l += 1 }
+      l
+    }
+    val widthsSeen = Seq(64, 256, 1024).map { n =>
+      val rows = (0L until n.toLong).map(i =>
+        (i, Seq.tabulate(6)(j => ((i * 31 + j * 7) % 97).toDouble)))
+      val tree = Similarity.radixTree(rows.toDF("vec_id", "cv"), 4, k)
+      val f = tree.fineCount
+      assert(f == n / 4)
+      assert(tree.levels == ceilLog(k, f), s"levels must be ceil(log_k F) at F=$f")
+      // the ONLY driver-collected table: never more than fanout reps,
+      // however large the corpus — the deployment-constant pin
+      assert(tree.rootChildren.count() <= k, s"root reps exceed fanout at n=$n")
+      val leafBundles = tree.bundlesAt(tree.levels)
+      // growth lands in DISTRIBUTED state: one leaf bundle per k fines
+      assert(leafBundles.count() == (f + k - 1) / k)
+      (2 to tree.levels).map { d =>
+        tree.bundlesAt(d).select(max(size(col("bundle")))).as[Int].head()
+      }.max
+    }
+    // per-row argmin work is bounded by fanout at EVERY depth and corpus
+    // size (no bundle ever exceeds k structs), while depth grows only
+    // logarithmically: 16x the fines adds two levels at k=4
+    widthsSeen.foreach(w => assert(w <= k, s"bundle width $w exceeds fanout"))
+  }
 }

@@ -290,7 +290,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(out.count() == 0)
   }
 
-  // ---- the corpus-scaled two-level variant ----------------------------
+  // ---- the corpus-scaled radix-rank-tree variant -----------------------
 
   private def sqL2(a: Seq[Double], b: Seq[Double]): Double = {
     var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
@@ -298,37 +298,41 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     s
   }
 
+  private def ipow(k: Int, e: Int): Long = {
+    var p = 1L; var i = 0
+    while (i < e) { p *= k; i += 1 }
+    p
+  }
+
   /** In-memory replay of semanticAssignScaled's exact rule: stride-grid
-    * fine seeds + min id, first-sqrt(F) coarse routers, (sqL2, id)-argmin
-    * ownership and routing over ACTIVE routers, bundle argmin. */
-  private def replayTwoLevel(
-      rows: Seq[(Long, Seq[Double])], stride: Int): Map[Long, Long] = {
-    def argmin(v: Seq[Double], cands: Seq[(Long, Seq[Double])]): Long =
-      cands.map { case (id, c) => (sqL2(v, c), id) }.min._2
+    * fine seeds + min id, 0-based rank by id, L = ⌈log_k F⌉ radix levels
+    * (leaf rank r sits in node r / k^(L-d) at depth d), greedy descent by
+    * (sqL2 asc, child asc) argmin over the current node's children. */
+  private def replayRadix(
+      rows: Seq[(Long, Seq[Double])], stride: Int, k: Int): Map[Long, Long] = {
     val minId = rows.map(_._1).min
     val fines = rows
       .filter { case (id, _) => id % stride == 0 || id == minId }
-      .sortBy(_._1)
-    val nCoarse = math.max(1, math.ceil(math.sqrt(fines.length.toDouble)).toInt)
-    val coarse = fines.take(nCoarse)
-    val owner = fines.map { case (id, c) => id -> argmin(c, coarse) }.toMap
-    val activeCoarse = coarse.filter { case (gid, _) => owner.values.exists(_ == gid) }
+      .sortBy(_._1).toIndexedSeq
+    var l = 1
+    while (ipow(k, l) < fines.length) l += 1
     rows.map { case (id, v) =>
-      val g = argmin(v, activeCoarse)
-      id -> argmin(v, fines.filter(f => owner(f._1) == g))
+      var g = 0L
+      for (d <- 1 to l) {
+        val span = ipow(k, l - d)
+        val cands = fines.indices
+          .filter(r => r % span == 0 && r / (span * k) == g)
+        g = cands.map(r => (sqL2(v, fines(r)._2), r / span)).min._2
+      }
+      id -> fines(g.toInt)._1
     }.toMap
   }
 
-  test("semanticAssignScaled equals the FLAT argmin on separated blob corpora") {
+  test("semanticAssignScaled at F <= fanout (one level) IS the flat argmin") {
     import spark.implicits._
-    // 3 orthogonal anchors at distance ~70, jitter ~0.1: every blob gets a
-    // coarse router (ids 0,8,16 fall in blobs 0,2,1), every fine is owned
-    // in-blob, so two-level routing and the flat argmin provably coincide
-    def anchor(k: Int): Seq[Double] = (0 until 8).map(j => if (j == k) 50.0 else 0.0)
-    val rows = (0L until 72L).map { i =>
-      val j = vec(i.toInt, 8).map(_ * 0.2)
-      (i, anchor((i % 3).toInt).zip(j).map { case (a, x) => a + x })
-    }
+    val rows = (0L until 72L).map(i => (i, vec(i.toInt, 8)))
+    // stride 8 -> 9 fine seeds, fanout 32 -> a single descent level: the
+    // tree degenerates to the exact flat argmin over all seeds
     val got = Similarity.semanticAssignScaled(rows.toDF("vec_id", "cv"), 8)
       .select("vec_id", "c_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val minId = rows.map(_._1).min
@@ -337,32 +341,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       id -> fines.map { case (fid, c) => (sqL2(v, c), fid) }.min._2
     }.toMap
     assert(got == flat)
-    assert(got == replayTwoLevel(rows, 8))
+    assert(got == replayRadix(rows, 8, 32))
   }
 
-  test("semanticAssignScaled matches the brute-force two-level replay on random vectors") {
+  test("semanticAssignScaled matches the radix-descent replay at two levels") {
     import spark.implicits._
     // unclustered random data — the routing-approximation worst case; the
-    // differential pins the Spark plan to the exact deterministic rule
+    // differential pins the Spark plan to the exact deterministic rule.
+    // stride 8 -> F = 10 seeds, fanout 4 -> L = 2 (one bundle join)
     val rows = (0L until 80L).map(i => (i, vec(i.toInt * 7 + 1, 16)))
-    val got = Similarity.semanticAssignScaled(rows.toDF("vec_id", "cv"), 8)
+    val got = Similarity.semanticAssignScaled(rows.toDF("vec_id", "cv"), 8, fanout = 4)
       .select("vec_id", "c_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == replayTwoLevel(rows, 8))
+    assert(got == replayRadix(rows, 8, 4))
   }
 
-  test("semanticAssignScaled survives an inactive coarse router (duplicate vectors)") {
+  test("semanticAssignScaled matches the radix-descent replay at three levels") {
     import spark.implicits._
-    // vec(4) == vec(0) exactly: fine 4 ties to router 0 (smaller id), so
-    // router 4 owns nothing and must be dropped from the row-routing set
-    // rather than black-holing rows in the bundle join
-    val rows = (0L until 16L).map {
-      case 4L => (4L, vec(0, 8))
-      case i  => (i, vec(i.toInt, 8))
-    }
-    val got = Similarity.semanticAssignScaled(rows.toDF("vec_id", "cv"), 4)
+    // stride 4 -> F = 50 seeds, fanout 4 -> L = 3 (16 < 50 <= 64): a
+    // NearestCells root step plus TWO chained bundle joins
+    val rows = (0L until 200L).map(i => (i, vec(i.toInt * 3 + 2, 12)))
+    val got = Similarity.semanticAssignScaled(rows.toDF("vec_id", "cv"), 4, fanout = 4)
       .select("vec_id", "c_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.size == 16)
-    assert(got == replayTwoLevel(rows, 4))
+    assert(got == replayRadix(rows, 4, 4))
+  }
+
+  test("semanticAssignScaled co-locates exact duplicates (the dedup invariant)") {
+    import spark.implicits._
+    // routing depends only on the vector, so identical vectors follow
+    // identical comparisons and always land in the same cell — including a
+    // duplicate OF a fine seed routed from elsewhere in the id space
+    val rows = (0L until 64L).map(i => (i, vec(i.toInt, 8))) ++
+      Seq((101L, vec(0, 8)), (102L, vec(13, 8)), (103L, vec(13, 8)))
+    val got = Similarity.semanticAssignScaled(rows.toDF("vec_id", "cv"), 4, fanout = 4)
+      .select("vec_id", "c_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == rows.size)
+    assert(got(101L) == got(0L))
+    assert(got(102L) == got(13L) && got(103L) == got(13L))
+    assert(got == replayRadix(rows, 4, 4))
   }
 
   test("semanticDedupScaled drops planted near-dups, keeps originals") {
