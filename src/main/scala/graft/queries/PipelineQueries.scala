@@ -16,6 +16,7 @@ object PipelineQueries {
 
   /** Fixture CSV (absolute path — Verify/Bench may run from any cwd). */
   private val fixtureCsv = "/root/repo/src/test/resources/fixtures/tmp_dataset.csv"
+  private val corruptCsv = "/root/repo/src/test/resources/fixtures/tmp_dataset_corrupt.csv"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -200,6 +201,40 @@ object PipelineQueries {
       Ingest.applyTypesLenient(staged, schema).orderBy("id")
     },
 
+    // Malformed-LINE quarantine (Ingest.csvQuarantine): a PERMISSIVE
+    // staging read over a fixture with planted wrong-column-count lines —
+    // clean lines pass through untouched, malformed lines surface their
+    // parsed prefix fields PLUS the raw line for the quarantine sink, and
+    // nothing fails the job. The DuckDB oracle re-derives the rule from
+    // the RAW file (line split, field-count test), so the quarantine
+    // semantics — not just this fixture's outcome — are what's checked.
+    QueryDef(
+      "q_cast_corrupt",
+      Some(s"""SELECT * FROM (
+                SELECT CAST(row_number() OVER (ORDER BY CAST(f[1] AS BIGINT)) AS BIGINT) AS id,
+                       f[1] AS stn_id, f[2] AS stn_name,
+                       f[3] AS mea_date, f[4] AS mea_value,
+                       len(f) <> 4 AS quarantined,
+                       CASE WHEN len(f) <> 4 THEN line ELSE NULL END AS corrupt_raw
+                FROM (SELECT line, string_split(line, ',') AS f
+                      FROM read_csv('$corruptCsv',
+                                    columns={'line': 'VARCHAR'},
+                                    delim=e'\\x01', quote='', header=true)))
+              ORDER BY id""")) { (s, d) =>
+      val schema = StructType(Seq(
+        StructField("STN_ID", LongType),
+        StructField("STN_NAME", StringType),
+        StructField("MEA_DATE", TimestampType),
+        StructField("MEA_VALUE", DoubleType)))
+      Ingest.withSurrogateId(Ingest.csvQuarantine(s, corruptCsv, schema))
+        .select(col("id"),
+          col("STN_ID").as("stn_id"), col("STN_NAME").as("stn_name"),
+          col("MEA_DATE").as("mea_date"), col("MEA_VALUE").as("mea_value"),
+          col(Ingest.CorruptCol).isNotNull.as("quarantined"),
+          col(Ingest.CorruptCol).as("corrupt_raw"))
+        .orderBy("id")
+    },
+
     // MERGE enrichment (cf. the category write-back UPDATE,
     // data_seoul_1_category.py:80-83): updates win where matched, other
     // rows pass through.
@@ -229,14 +264,16 @@ object PipelineQueries {
       Some("""SELECT 'lineitem' AS table_name, 'Y' AS data_inserted_yn,
                      (now() IS NOT NULL) AS ts_ok,
                      CAST(count(*) AS BIGINT) AS data_insert_row,
-                     CAST(max(l_orderkey) AS BIGINT) AS high_water_mark
+                     CAST(max(l_orderkey) AS BIGINT) AS high_water_mark,
+                     CAST(0 AS BIGINT) AS data_quarantine_row
               FROM lineitem""")) { (s, d) =>
       Audit.record(s, "lineitem",
           Tables.lineitem(s, d).withColumn("id", col("l_orderkey")))
         .select(
           col("table_name"), col("data_inserted_yn"),
           col("data_insert_date").isNotNull.as("ts_ok"),
-          col("data_insert_row"), col("high_water_mark"))
+          col("data_insert_row"), col("high_water_mark"),
+          col("data_quarantine_row"))
     },
 
     // Z-order clustering key (Layout.zValue2): bucketize two dimensions

@@ -13,8 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object Audit {
 
-  /** One audit row for a completed ingest of `df` into `tableName`. */
-  def record(spark: SparkSession, tableName: String, df: DataFrame): DataFrame = {
+  /** One audit row for a completed ingest of `df` into `tableName`.
+    * `quarantined` = malformed-line count from a PERMISSIVE staging read
+    * ([[Ingest.csvQuarantine]]) — 0 for sources with no quarantine path,
+    * so every audit row carries the column and a downstream monitor can
+    * alert on it uniformly (the reference's per-INSERT rejection left this
+    * count implicit in the DB logs). */
+  def record(
+      spark: SparkSession,
+      tableName: String,
+      df: DataFrame,
+      quarantined: Long = 0L): DataFrame = {
     df.agg(
         count(lit(1)).as("data_insert_row"),
         max(col("id")).as("high_water_mark"))
@@ -23,6 +32,7 @@ object Audit {
         lit("Y").as("data_inserted_yn"),
         current_timestamp().as("data_insert_date"),
         col("data_insert_row"),
-        col("high_water_mark"))
+        col("high_water_mark"),
+        lit(quarantined).as("data_quarantine_row"))
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.{Audit, CatalogSchema, Ingest}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -100,5 +101,38 @@ class IngestSpec extends AnyFunSuite with SparkTest {
     assert(audit.getAs[String]("data_inserted_yn") == "Y")
     assert(audit.getAs[Long]("data_insert_row") == 8L)
     assert(audit.getAs[Long]("high_water_mark") == 8L)
+    assert(audit.getAs[Long]("data_quarantine_row") == 0L)
+  }
+
+  private val corruptFixture =
+    "/root/repo/src/test/resources/fixtures/tmp_dataset_corrupt.csv"
+
+  test("csvQuarantine: planted malformed lines quarantine, clean lines pass untouched") {
+    val df = Ingest.csvQuarantine(spark, corruptFixture, schema)
+    val bad = df.filter(col(Ingest.CorruptCol).isNotNull)
+      .select("STN_ID", Ingest.CorruptCol).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // 103: extra columns; 105: too few; 107: one trailing extra — the raw
+    // LINE is preserved verbatim for the quarantine sink
+    assert(bad.keySet == Set("103", "105", "107"))
+    assert(bad("105") == "105,Gwangjin")
+    assert(bad("103").endsWith("EXTRA,JUNK"))
+    val clean = df.filter(col(Ingest.CorruptCol).isNull)
+    assert(clean.count() == 5)
+    // clean rows carry full fields; nothing failed the job
+    assert(clean.filter(col("MEA_VALUE").isNull).count() == 0)
+    // malformed lines still surface the prefix fields that DID parse
+    assert(df.filter(col("STN_ID") === "105").collect()(0)
+      .getAs[String]("STN_NAME") == "Gwangjin")
+  }
+
+  test("quarantine count lands in the audit row") {
+    val staged = Ingest.withSurrogateId(
+      Ingest.csvQuarantine(spark, corruptFixture, schema))
+    val nBad = staged.filter(col(Ingest.CorruptCol).isNotNull).count()
+    val admitted = staged.filter(col(Ingest.CorruptCol).isNull)
+    val audit = Audit.record(spark, "tmp_corrupt", admitted, nBad).collect()(0)
+    assert(audit.getAs[Long]("data_insert_row") == 5L)
+    assert(audit.getAs[Long]("data_quarantine_row") == 3L)
   }
 }
