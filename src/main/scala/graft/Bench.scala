@@ -18,6 +18,19 @@ object Bench {
     // absorb JVM/codegen/session warmup outside any query's timing
     spark.range(100000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
+    // Host-noise calibration: a fixed CPU-bound op (data-independent,
+    // shuffle-free) timed as min-of-3 and emitted into the artifact, so a
+    // loud host window is machine-detectable instead of needing forensic
+    // cross-round prose (the r12 driver artifact ran in a window with 7.9x
+    // inflation and only SCALE_r12's narrative said so). Interpretation
+    // rule (README): calibration_s ~0.25-0.5 on a quiet 32-thread host;
+    // >1 means the window is loud and absolute totals overstate cost.
+    val calibration = (1 to 3).map { _ =>
+      val c0 = System.nanoTime()
+      spark.range(0L, 512000000L, 1L, cpus.toInt)
+        .selectExpr("sum(id % 1000003)").collect()
+      (System.nanoTime() - c0) / 1e9
+    }.min
     // one-time warehouse prep (bucketed join tables): paid here, not in the
     // q_join_colocated row — at scale the bucketed write is amortized over
     // every recurring join, so timing it per-query misstates the operator
@@ -99,7 +112,7 @@ object Bench {
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"failed":$failedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calibration_s":$calibration,"queries":${obj(results)},"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // Whole-artifact escape hatch: the driver's capture keeps only the TAIL
     // of stdout, which truncates the per-query map past ~70 queries (the r3/
@@ -115,7 +128,7 @@ object Bench {
     // with the 10 slowest queries standing in for the full map (the full
     // line precedes it and lands intact in SPARK_GRAFT_BENCH_OUT).
     val top10 = results.sortBy(-_._2).take(10)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(top10)},"failed":$failedJson,"sf":"$sfDir","note":"compact summary: queries = 10 slowest of ${results.size}; full map in the preceding line"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration_s":$calibration,"queries":${obj(top10)},"failed":$failedJson,"sf":"$sfDir","note":"compact summary: queries = 10 slowest of ${results.size}; full map in the preceding line"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
