@@ -31,6 +31,21 @@ object Bench {
         .selectExpr("sum(id % 1000003)").collect()
       (System.nanoTime() - c0) / 1e9
     }.min
+    // Second calibration axis: a fixed SHUFFLE op (hash exchange + agg
+    // over 16M rows). Round-13 lesson: the CPU op alone missed a window
+    // where pure compute was quiet (0.27 s) while every shuffle-heavy
+    // query ran 2-3x over its recorded quiet minimum — exchange
+    // serialization/memory-path degradation is invisible to an ALU-bound
+    // probe. Quiet 32-thread reference ~1.3-1.6 s; >2x that marks a
+    // shuffle-loud window even when calibration_s looks quiet.
+    val calibrationShuffle = (1 to 3).map { _ =>
+      val c0 = System.nanoTime()
+      spark.range(0L, 16000000L, 1L, cpus.toInt)
+        .selectExpr("xxhash64(id) % 100000 AS k")
+        .groupBy("k").count()
+        .selectExpr("sum(count)").collect()
+      (System.nanoTime() - c0) / 1e9
+    }.min
     // one-time warehouse prep (bucketed join tables): paid here, not in the
     // q_join_colocated row — at scale the bucketed write is amortized over
     // every recurring join, so timing it per-query misstates the operator
@@ -112,7 +127,7 @@ object Bench {
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","calibration_s":$calibration,"queries":${obj(results)},"failed":$failedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calibration_s":$calibration,"calibration_shuffle_s":$calibrationShuffle,"queries":${obj(results)},"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // Whole-artifact escape hatch: the driver's capture keeps only the TAIL
     // of stdout, which truncates the per-query map past ~70 queries (the r3/
@@ -128,7 +143,7 @@ object Bench {
     // with the 10 slowest queries standing in for the full map (the full
     // line precedes it and lands intact in SPARK_GRAFT_BENCH_OUT).
     val top10 = results.sortBy(-_._2).take(10)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration_s":$calibration,"queries":${obj(top10)},"failed":$failedJson,"sf":"$sfDir","note":"compact summary: queries = 10 slowest of ${results.size}; full map in the preceding line"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration_s":$calibration,"calibration_shuffle_s":$calibrationShuffle,"queries":${obj(top10)},"failed":$failedJson,"sf":"$sfDir","note":"compact summary: queries = 10 slowest of ${results.size}; full map in the preceding line"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -763,12 +763,29 @@ object Similarity {
     // (r9 ADVICE). The library tokenizers never emit null, so this filter
     // is a no-op in practice; it pins the semantics (Jaccard over the
     // non-null token set) rather than inheriting a hash artifact.
+    // Eager-vs-lazy checkpoint dial for the two SHARED subtrees (base,
+    // prefix). Lazy materialization lets AQE overlap the
+    // checkpoint-building stages — but the overlap is also a RACE: the
+    // candidate join's two sides (and verify's two corpus branches) can
+    // compute the same not-yet-materialized checkpoint partitions
+    // CONCURRENTLY, duplicating the tokenizer and the freq+window stage.
+    // Measured round 13 at a 100x corpus (same window, fresh JVMs): lazy
+    // 531/557/582/673 s vs eager 400/528 s — the duplicated prefix build
+    // costs more than the lost overlap once the shared subtrees are
+    // expensive. At sf0.1 the round-10 measurement went the other way
+    // (eager barriers 1.5-1.6x slower — tiny stages, overlap wins), so
+    // the dial is corpus-sized: lazy below ~100k docs, eager barriers
+    // above. SPARK_GRAFT_JACCARD_EAGER overrides both ways for probes.
+    val eagerCkpt = sys.env.get("SPARK_GRAFT_JACCARD_EAGER") match {
+      case Some(v) => v == "1"
+      case None    => corpusRows.exists(_ > 100000L)
+    }
     val base = docs
       .select(col("doc_id"), col("lang"), band(col("n_chars")).as("band"),
         sort_array(array_distinct(transform(
           filter(col("toks"), _.isNotNull), xxhash64(_)))).as("hs"))
       .withColumn("n_toks", size(col("hs")))
-      .transform(df => lin.tracked(df, eager = false)._1)
+      .transform(df => lin.tracked(df, eager = eagerCkpt)._1)
 
     // PPJoin prefix filter (Bayardo/Chaudhuri): under a global token order
     // (rarest first), any pair with Jaccard >= t shares at least one token
@@ -794,7 +811,7 @@ object Similarity {
         col("n_toks") - ceil(lit(minJaccard) * col("n_toks") - lit(1e-9)) + 1)
       .select("doc_id", "lang", "band", "token", "n_toks", "r")
       // read by both sides of the candidate join
-      .transform(df => lin.tracked(df, eager = false)._1)
+      .transform(df => lin.tracked(df, eager = eagerCkpt)._1)
 
     // Asymmetric prefixes (PPJoin, Xiao et al. WWW'08): orient each pair so
     // side b is the SMALLER document ((n, id) lexicographic tie-break) —
