@@ -38,10 +38,16 @@ object Bench {
     // serialization/memory-path degradation is invisible to an ALU-bound
     // probe. Quiet 32-thread reference ~1.3-1.6 s; >2x that marks a
     // shuffle-loud window even when calibration_s looks quiet.
+    // explicit repartition(64) pins the exchange's partition count so the
+    // reading is comparable ACROSS invocations with different
+    // spark.sql.shuffle.partitions (the scale probes vary that knob; the
+    // first cut of this op inherited it and read 2x higher at shuffle=128
+    // on the same host)
     val calibrationShuffle = (1 to 3).map { _ =>
       val c0 = System.nanoTime()
       spark.range(0L, 16000000L, 1L, cpus.toInt)
         .selectExpr("xxhash64(id) % 100000 AS k")
+        .repartition(64, org.apache.spark.sql.functions.col("k"))
         .groupBy("k").count()
         .selectExpr("sum(count)").collect()
       (System.nanoTime() - c0) / 1e9
