@@ -644,7 +644,12 @@ object Similarity {
     val fines = corpus
       .filter(col("vec_id") % cellStride === 0 || col("vec_id") === minId)
       .select(col("vec_id").as("c_id"), col("cv").as("centroid"))
-    val ranked = ZipIndex.withOrderedIndex(fines, "c_id", "r").localCheckpoint()
+    // withOrderedIndex materializes the sorted seed layout internally
+    // (its correctness requires one frozen partitioning); `ranked` is that
+    // checkpoint plus narrow arithmetic and a tiny broadcast join, so the
+    // per-level bundle builds and the root collect re-derive it cheaply
+    // and deterministically — no second materialization needed
+    val ranked = ZipIndex.withOrderedIndex(fines, "c_id", "r")
     RadixTree(ranked, ranked.count(), fanout)
   }
 

@@ -68,9 +68,24 @@ object ZipIndex {
     * non-overlapping key ranges across partitions) + in-partition sort +
     * [[withRowIndex]]. This is the distributed replacement for a global
     * `row_number() OVER (ORDER BY orderCol)`, whose single-partition window
-    * is the textbook 100 TB bottleneck. */
+    * is the textbook 100 TB bottleneck.
+    *
+    * The sorted layout is MATERIALIZED (eager localCheckpoint) before the
+    * index arithmetic — a correctness requirement, not a cache:
+    * RangePartitioner seeds its boundary SAMPLING from the runtime RDD id,
+    * so the two jobs inside [[withRowIndex]] (counts, then the indexed
+    * read), each compiling its own physical plan, could draw different
+    * samples and place rows in DIFFERENT partitions — offsets from job
+    * one would then misnumber rows in job two (silent at small scale,
+    * where the sample is the whole input and boundaries coincide; real
+    * once partitions sample). Freezing the shuffled+sorted blocks gives
+    * both jobs one immutable layout. Checkpoint blocks live on executors
+    * (the corpus-derived input here is the caller's reduced table, e.g.
+    * SemDeDup's fine seeds at corpus/stride rows — not the raw corpus);
+    * callers needing lost-executor durability checkpoint reliably first. */
   def withOrderedIndex(df: DataFrame, orderCol: String, name: String): DataFrame =
     withRowIndex(
-      df.repartitionByRange(col(orderCol)).sortWithinPartitions(orderCol),
+      df.repartitionByRange(col(orderCol)).sortWithinPartitions(orderCol)
+        .localCheckpoint(),
       name)
 }

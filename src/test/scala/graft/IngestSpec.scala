@@ -85,6 +85,26 @@ class IngestSpec extends AnyFunSuite with SparkTest {
     assert(got == want)
   }
 
+  test("withOrderedIndex freezes one shuffle layout: input evaluated once, ranks exact") {
+    import graft.operators.ZipIndex
+    import org.apache.spark.sql.functions.udf
+    import spark.implicits._
+    val evals = spark.sparkContext.longAccumulator("zipidx-evals")
+    val counted = udf { (x: Long) => evals.add(1L); x }
+    val n = 5000L
+    val df = spark.range(0L, n, 1L, 13).select(counted($"id").as("k"))
+    val got = ZipIndex.withOrderedIndex(df, "k", "r")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until n).map(i => i -> i).toMap)
+    // one materialization = at most two upstream passes (the range
+    // exchange's boundary-sample pass + the shuffle write); before the
+    // internal checkpoint, the counts job and the indexed read each re-ran
+    // BOTH passes (4x) — and, worse, under RangePartitioner's
+    // rdd-id-seeded sampling could freeze DIFFERENT partition boundaries,
+    // corrupting ranks at scale
+    assert(evals.value <= 2 * n, s"input evaluated ${evals.value} times")
+  }
+
   test("surrogate-id plan stays in the DataFrame engine (no RDD round-trip)") {
     val df = Ingest.csvResume(spark, fixture, schema, 0L)
     val plan = df.queryExecution.executedPlan.toString
