@@ -340,6 +340,53 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
   }
 
+  /** Approximate k-nearest-neighbor GRAPH over the whole corpus: for every
+    * vector, its top-k neighbors among the vectors whose SRP bucket equals
+    * its own or differs in exactly one bit (the lshBucketJoin/multi-probe
+    * candidate contract, applied symmetrically). The kNN graph is the
+    * building block the pair queries don't give you: graph-based dedup
+    * clustering (feed the edges to [[graft.operators.Dedup.duplicateClusters]]),
+    * neighborhood-quality audits, and the construction seed for
+    * graph-traversal ANN indexes (the NN-descent/HNSW family starts from
+    * exactly this bucketed approximation).
+    *
+    * Scale shape: ONE bucket exchange feeds both sides of the candidate
+    * equi-join (the probe side explodes its own bucket + nBits Hamming-1
+    * keys — distinct keys, so each (src, dst) candidate arises exactly
+    * once); per-bucket population is bounded by the [[lshNBits]]
+    * corpus-derived bit count under its 24-bit cap, so the per-bucket
+    * quadratic term carries the same contract as [[lshBucketJoin]]; the
+    * per-node ranking is a partitioned window over (cos desc, dst asc) —
+    * never a global sort — and the output is k·N edges. `portable = true`
+    * derives hyperplanes from the md5 family the DuckDB oracle replays
+    * exactly.
+    *
+    * Output: (src, dst, cos, rn) with rn in 1..k per src. */
+  def knnGraph(
+      emb: DataFrame, // (vec_id, v: array<double>)
+      dim: Int,
+      nBits: Int,
+      k: Int,
+      portable: Boolean = false): DataFrame = {
+    val bucketed = emb
+      .withColumn("bucket", srpBucket(col("v"), dim, nBits, portable))
+      .repartition(col("bucket"))
+    val probes = bucketed
+      .select(col("bucket").as("n_bucket"), col("vec_id").as("src"), col("v").as("sv"))
+      .withColumn("bucket", explode(probeKeys(col("n_bucket"), nBits)))
+      .drop("n_bucket")
+    val cands = bucketed
+      .select(col("bucket"), col("vec_id").as("dst"), col("v").as("dv"))
+    val w = Window.partitionBy("src")
+      .orderBy(round(col("cos"), 6).desc, col("dst"))
+    probes.join(cands, Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cos", V.cosineNative(col("sv"), col("dv")))
+      .select(col("src"), col("dst"), col("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
     * their nearest centroid once (a broadcast join against C centroids —
     * embarrassingly parallel); each query searches only the nprobe

@@ -109,6 +109,34 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Whole-corpus kNN GRAPH (Similarity.knnGraph): per vector, its top-5
+    // neighbors among same-or-Hamming-1-bucket mates — the building block
+    // for graph-based dedup clustering and NN-descent/HNSW-style index
+    // construction, distinct from q_sim_lsh (thresholded PAIRS) and
+    // q_sim_rerank (query-set retrieval). Portable buckets: the oracle
+    // replays the candidate rule and the per-node ranking exactly.
+    QueryDef(
+      "q_sim_knn",
+      Some(s"""WITH ${PortableSql.srpCtes},
+          nb AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                        ${PortableSql.cosine("a.v", "b.v")} AS cos
+                 FROM bk a JOIN bk b
+                   ON a.vec_id <> b.vec_id
+                  AND bit_count(xor(a.bucket, b.bucket)) <= 1)
+          SELECT src, dst, ${Num.oracleRound2("cos")} AS cos,
+                 CAST(rn AS BIGINT) AS rn
+          FROM (SELECT *, row_number() OVER (PARTITION BY src
+                  ORDER BY round(cos, 6) DESC, dst) AS rn FROM nb)
+          WHERE rn <= 5 ORDER BY src, rn""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+      val nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings"))
+      Similarity.knnGraph(emb, dim = 64, nBits = nBits, k = 5, portable = true)
+        .select(col("src"), col("dst"), Num.round2(col("cos")).as("cos"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("src", "rn")
+    },
+
     // Two-stage ANN retrieval (the production search shape): SRP-LSH
     // recall bounds the candidate set — each query probes its own bucket
     // plus all Hamming-1 neighbors — then an exact-cosine rerank picks

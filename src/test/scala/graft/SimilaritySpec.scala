@@ -265,6 +265,39 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     (0L until 30L).foreach(i => assert(kept.contains(i), s"original $i dropped"))
   }
 
+  test("knnGraph: planted near-dups are mutual rank-1 neighbors; high recall vs brute kNN") {
+    import spark.implicits._
+    val originals = (0L until 40L).map(i => (i, vec(i.toInt + 9, 32)))
+    val copies = (0 until 5).map(p => (100L + p, nearDup(vec(p + 9, 32))))
+    val rows = originals ++ copies
+    val emb = rows.toDF("vec_id", "v")
+    val got = Similarity.knnGraph(emb, dim = 32, nBits = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    val top1 = got.filter(_._3 == 1).map(t => t._1 -> t._2).toMap
+    (0 until 5).foreach { p =>
+      assert(top1(p.toLong) == 100L + p, s"copy not rank-1 of original $p")
+      assert(top1(100L + p) == p.toLong, s"original not rank-1 of copy $p")
+    }
+    // per-node edge budget respected
+    got.groupBy(_._1).foreach { case (s, es) => assert(es.size <= 3, s"node $s") }
+    // recall vs exact kNN (same k) over all nodes — the bucketed candidate
+    // gate must keep most true neighbors at this density
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byId = rows.toMap
+    val truth = rows.flatMap { case (id, v) =>
+      rows.filter(_._1 != id)
+        .map { case (j, u) => (id, j, cos(v, u)) }
+        .sortBy { case (_, j, c) => (-math.rint(c * 1e6), j) }
+        .take(3).map { case (s2, d2, _) => (s2, d2) }
+    }.toSet
+    val gotEdges = got.map(t => (t._1, t._2)).toSet
+    val recall = (gotEdges & truth).size.toDouble / truth.size
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
   test("semanticDedup drops in-cell near-dups, keeps min id and distinct vectors") {
     import spark.implicits._
     val originals = (0L until 20L).map(i => (i, vec(i.toInt + 50, 32)))
