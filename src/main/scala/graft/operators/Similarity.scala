@@ -369,6 +369,13 @@ object Similarity {
       k: Int,
       portable: Boolean = false): DataFrame = {
     val bucketed = emb
+      // zero-norm guard (same convention as quantizeRerank): cosine is
+      // undefined for the zero vector and cosineNative yields NaN, which a
+      // descending window ranks FIRST — one degenerate vector would become
+      // every bucket-mate's top neighbor, and engines disagree on NaN
+      // ordering. Dropped from both graph sides (the guard sits before the
+      // probe/candidate split); the q_sim_knn oracle mirrors it.
+      .filter(V.l2Norm(col("v")) > 0)
       .withColumn("bucket", srpBucket(col("v"), dim, nBits, portable))
       .repartition(col("bucket"))
     val probes = bucketed

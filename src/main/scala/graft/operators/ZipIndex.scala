@@ -79,13 +79,26 @@ object ZipIndex {
     * one would then misnumber rows in job two (silent at small scale,
     * where the sample is the whole input and boundaries coincide; real
     * once partitions sample). Freezing the shuffled+sorted blocks gives
-    * both jobs one immutable layout. Checkpoint blocks live on executors
-    * (the corpus-derived input here is the caller's reduced table, e.g.
-    * SemDeDup's fine seeds at corpus/stride rows — not the raw corpus);
-    * callers needing lost-executor durability checkpoint reliably first. */
-  def withOrderedIndex(df: DataFrame, orderCol: String, name: String): DataFrame =
+    * both jobs one immutable layout. Under the default Local mode the
+    * frozen blocks live on executors (the corpus-derived input here is the
+    * caller's reduced table, e.g. SemDeDup's fine seeds at corpus/stride
+    * rows — not the raw corpus) and an executor lost AFTER materialization
+    * fails the job fast (truncated lineage cannot recompute the blocks);
+    * `CheckpointMode.Reliable(dir)` freezes the same layout as FILES, so
+    * the two jobs survive executor loss by re-reading — the same
+    * Local/Reliable recovery contract as the CC/BPE loops, and
+    * FaultToleranceSpec's `zip` cases prove both sides under a real
+    * executor SIGKILL. */
+  def withOrderedIndex(
+      df: DataFrame,
+      orderCol: String,
+      name: String,
+      mode: CheckpointMode = CheckpointMode.Local): DataFrame = {
+    val lin = new Lineage(df.sparkSession, mode)
     withRowIndex(
-      df.repartitionByRange(col(orderCol)).sortWithinPartitions(orderCol)
-        .localCheckpoint(),
+      lin.tracked(
+        df.repartitionByRange(col(orderCol)).sortWithinPartitions(orderCol),
+        eager = true)._1,
       name)
+  }
 }

@@ -208,10 +208,19 @@ object PipelineQueries {
     // nothing fails the job. The DuckDB oracle re-derives the rule from
     // the RAW file (line split, field-count test), so the quarantine
     // semantics — not just this fixture's outcome — are what's checked.
+    // ORACLE ID INVARIANT (shared with q_scan_csv's convention): the engine
+    // id is FILE ORDER (withSurrogateId), while this oracle derives it from
+    // row_number() ordered by the casted first field — they coincide only
+    // because tmp_dataset_corrupt.csv keeps STN_ID ascending, unique, and
+    // numeric-prefixed even on the malformed lines. Editing the fixture
+    // (reordered / duplicate stn_id, or a malformed line whose FIRST field
+    // is non-numeric) breaks the oracle, not the engine; TRY_CAST below
+    // keeps a non-numeric first field from erroring the oracle outright
+    // (it would sort NULLS LAST and mismatch loudly instead).
     QueryDef(
       "q_cast_corrupt",
       Some(s"""SELECT * FROM (
-                SELECT CAST(row_number() OVER (ORDER BY CAST(f[1] AS BIGINT)) AS BIGINT) AS id,
+                SELECT CAST(row_number() OVER (ORDER BY TRY_CAST(f[1] AS BIGINT)) AS BIGINT) AS id,
                        f[1] AS stn_id, f[2] AS stn_name,
                        f[3] AS mea_date, f[4] AS mea_value,
                        len(f) <> 4 AS quarantined,

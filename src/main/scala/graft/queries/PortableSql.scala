@@ -136,6 +136,25 @@ object PortableSql {
         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         bk AS (SELECT vec_id, v, ${srpBucket("v", "(SELECT nbits FROM n)")} AS bucket FROM e)"""
 
+  /** kNN-graph CTEs shared by q_sim_knn and q_dedup_knn_e2e: bk filtered by
+    * the zero-norm guard (mirrors Similarity.knnGraph's filter — cosine is
+    * undefined for the zero vector, and NaN ordering differs across
+    * engines), then the per-src top-k among same-or-Hamming-1 bucket mates.
+    * Exposes `knn(src, dst, cos, rn)` with rn in 1..k. */
+  def knnGraphCtes(k: Int): String =
+    s"""$srpCtes,
+        bkz AS (SELECT * FROM bk
+                WHERE list_sum(list_transform(v, zx -> zx * zx)) > 0),
+        nb AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                      ${cosine("a.v", "b.v")} AS cos
+               FROM bkz a JOIN bkz b
+                 ON a.vec_id <> b.vec_id
+                AND bit_count(xor(a.bucket, b.bucket)) <= 1),
+        knn AS (SELECT src, dst, cos, rn FROM (
+                  SELECT *, row_number() OVER (PARTITION BY src
+                    ORDER BY round(cos, 6) DESC, dst) AS rn FROM nb)
+                WHERE rn <= $k)"""
+
   /** Hamming-<=1 candidate pairs with exact cosine — the oracle answer for
     * lshBucketJoin(multiProbe = true): candidate iff buckets equal or differ
     * in exactly one bit; survivors iff cosine >= threshold. */
@@ -365,10 +384,16 @@ object PortableSql {
                     OR vec_id = (SELECT min(vec_id) FROM e)),
         rk AS (SELECT c_id, centroid,
                       row_number() OVER (ORDER BY c_id) - 1 AS r FROM cent),
-        par AS (SELECT coalesce(
-                  (SELECT min(d) FROM generate_series(1, $lmax) t(d)
-                   WHERE power($fanout, d) >= (SELECT count(*) FROM cent)),
-                  $lmax) AS l),
+        par AS (SELECT CASE
+                  WHEN (SELECT count(*) FROM cent) > power($fanout, $lmax)
+                  -- fail LOUDLY instead of silently computing a shallower
+                  -- (wrong) descent than the engine's unbounded-level tree:
+                  -- an out-of-range fixture must read as an oracle
+                  -- limitation, never as an engine bug (r13 ADVICE)
+                  THEN CAST(error('semanticDedupOracle: fine seeds exceed fanout^lmax — raise lmax') AS BIGINT)
+                  ELSE (SELECT min(d) FROM generate_series(1, $lmax) t(d)
+                        WHERE power($fanout, d) >= (SELECT count(*) FROM cent))
+                END AS l),
         s0 AS (SELECT vec_id, v, CAST(0 AS BIGINT) AS g FROM e),
         $stages,
         asg AS (SELECT s.vec_id, s.v, rk.c_id

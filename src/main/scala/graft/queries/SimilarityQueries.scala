@@ -117,17 +117,10 @@ object SimilarityQueries {
     // replays the candidate rule and the per-node ranking exactly.
     QueryDef(
       "q_sim_knn",
-      Some(s"""WITH ${PortableSql.srpCtes},
-          nb AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-                        ${PortableSql.cosine("a.v", "b.v")} AS cos
-                 FROM bk a JOIN bk b
-                   ON a.vec_id <> b.vec_id
-                  AND bit_count(xor(a.bucket, b.bucket)) <= 1)
+      Some(s"""WITH ${PortableSql.knnGraphCtes(5)}
           SELECT src, dst, ${Num.oracleRound2("cos")} AS cos,
                  CAST(rn AS BIGINT) AS rn
-          FROM (SELECT *, row_number() OVER (PARTITION BY src
-                  ORDER BY round(cos, 6) DESC, dst) AS rn FROM nb)
-          WHERE rn <= 5 ORDER BY src, rn""")) { (s, d) =>
+          FROM knn ORDER BY src, rn""")) { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
       val nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings"))
@@ -571,6 +564,50 @@ object SimilarityQueries {
       docs.join(losers, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
         .orderBy("doc_id")
+    },
+
+    // EMBEDDING-NATIVE end-to-end dedup (the r13 kNN graph consumed by the
+    // clustering operator — SURVEY §2.10's declared seed structure for
+    // graph-based dedup): kNN edges (per-vector top-5 among
+    // same-or-Hamming-1 SRP bucket mates) thresholded at cosine >= tau
+    // become the duplicate graph; connected components label each vector
+    // with its component's minimum id; vectors with no qualifying edge are
+    // their own root. tau = 0.3 surfaces the top of the random-vector
+    // cosine distribution (max pairwise ~0.48; real corpora use ~0.9+).
+    // Scale shape: ONE bucket exchange for the graph (knnGraph's contract),
+    // edges bounded at k·N, CC over the near-dup-sized edge set only, and
+    // the corpus-side labeling is a plain left join — no stage touches
+    // corpus². Portable buckets: the DuckDB oracle replays buckets, edges,
+    // threshold, and the full transitive closure (so a hash match also
+    // proves the contraction converged).
+    QueryDef(
+      "q_dedup_knn_e2e",
+      Some(s"""WITH RECURSIVE ${PortableSql.knnGraphCtes(5)},
+          ed AS (SELECT src, dst FROM knn WHERE cos >= 0.3),
+          edges AS (SELECT src, dst FROM ed
+                    UNION ALL SELECT dst AS src, src AS dst FROM ed),
+          reach AS (
+            SELECT DISTINCT src AS id, src AS r FROM edges
+            UNION
+            SELECT e.src AS id, reach.r AS r
+            FROM edges e JOIN reach ON e.dst = reach.id),
+          roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
+          SELECT e.vec_id, coalesce(r.root, e.vec_id) AS root
+          FROM e LEFT JOIN roots r ON r.id = e.vec_id
+          ORDER BY vec_id""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+      val nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings"))
+      val edges = Similarity.knnGraph(emb, dim = 64, nBits = nBits, k = 5,
+          portable = true)
+        .filter(col("cos") >= 0.3)
+        .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+      val roots = Dedup.duplicateClusters(edges)
+      emb.select(col("vec_id"))
+        .join(roots.select(col("id").as("vec_id"), col("root")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("root"), col("vec_id")).as("root"))
+        .orderBy("vec_id")
     }
   )
 }

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * is decided solely by WHERE the lost round state lived (blocks vs
   * files).
   *
-  * Usage: runMain graft.tools.FaultTolerance <local|reliable> [cc|bpe|stream|embed] [size]
+  * Usage: runMain graft.tools.FaultTolerance <local|reliable> [cc|bpe|zip|stream|embed] [size]
   *
   *  - `cc`  (default): Dedup.duplicateClusters on a `size`-long chain —
   *    every label must come out as the chain head.
@@ -24,6 +24,10 @@ import org.apache.spark.sql.functions._
   *    vocabulary — the faulted merge table must equal a second, unfaulted
   *    run on the healed cluster (learnMerges is deterministic, so any
   *    divergence means the fault corrupted round state).
+  *  - `zip`: ZipIndex.withOrderedIndex over a fully-reversed key column,
+  *    killed after the frozen shuffle layout is materialized — Reliable
+  *    re-reads the layout files and every rank must still equal its key;
+  *    Local fails fast (the frozen blocks died with the executors).
   *  - `stream`: Streams.dedupIngestSink over a file-source stream of
   *    duplicate-laden documents, killed mid-micro-batch — the faulted
   *    run's admitted set (after stage retry on replacement executors, or
@@ -58,7 +62,11 @@ object FaultTolerance {
     val mode = args.headOption.getOrElse("reliable")
     val op = args.drop(1).headOption.getOrElse("cc")
     val size = args.drop(2).headOption.map(_.toInt)
-      .getOrElse(if (op == "bpe") 20000 else 120000)
+      .getOrElse(op match {
+        case "bpe" => 20000
+        case "zip" => 2000000 // narrow rows; big enough that the post-kill jobs are real
+        case _     => 120000
+      })
     val ckDir = java.nio.file.Files.createTempDirectory("graft-ft-ck").toString
 
     val spark = graft.Tables.configure(SparkSession.builder())
@@ -124,19 +132,28 @@ object FaultTolerance {
         }
       } else mode match {
         case "reliable" =>
-          // two distinct rdd-N checkpoint dirs with data files on disk
+          // rdd-N checkpoint dirs with data files on disk: the loop ops
+          // (cc/bpe) need TWO (first round truncated AND read — see the
+          // scaladoc); zip has exactly ONE frozen layout, and in Reliable
+          // mode ANY kill time is survivable, so one is the signal
+          val need = if (op == "zip") 1 else 2
           val root = java.nio.file.Paths.get(ckDir)
           val stream = java.nio.file.Files.walk(root)
           try {
             stream.iterator().asScala
               .filter(p => p.getFileName.toString.startsWith("part-"))
-              .map(_.getParent.getFileName.toString).toSet.size >= 2
+              .map(_.getParent.getFileName.toString).toSet.size >= need
           } finally stream.close()
         case _ =>
-          // one persisted RDD fully cached + a second one appearing
+          // fully-cached persisted RDD(s): the loop ops additionally wait
+          // for a SECOND rdd (successor round started); zip's single
+          // frozen layout is live the moment all its blocks are cached —
+          // every later job (counts, indexed read, verification) must
+          // re-read those blocks, so a kill here provably lands on state
           val infos = spark.sparkContext.getRDDStorageInfo
           infos.exists(i => i.numCachedPartitions == i.numPartitions &&
-            i.numCachedPartitions > 0) && infos.length >= 2
+            i.numCachedPartitions > 0) &&
+            infos.length >= (if (op == "zip") 1 else 2)
       }
 
       val killer = new Thread(() => {
@@ -328,6 +345,23 @@ object FaultTolerance {
           println(s"[fault] n_merges=${faulted.size} ref=${reference.size}")
           if (faulted.nonEmpty && faulted == reference) "output_ok"
           else "output_wrong"
+        case "zip" =>
+          // ZipIndex.withOrderedIndex under executor SIGKILL AFTER its
+          // frozen shuffle layout is materialized (the layout freeze at
+          // ZipIndex.scala is a determinism requirement — see its
+          // scaladoc; this proves the recovery half of the contract).
+          // key = size-1-id is a full reversal, so the range exchange
+          // genuinely moves every row, and rank(key) == key makes the
+          // verdict arithmetic: any misnumbering after recovery shows up
+          // as a bad rank, any lost block as a failed job.
+          import graft.operators.ZipIndex
+          val df = spark.range(size.toLong)
+            .select((lit(size.toLong) - 1 - col("id")).as("key"))
+          val indexed = ZipIndex.withOrderedIndex(df, "key", "rnk", ckMode)
+          val bad = indexed.filter(col("rnk") =!= col("key")).count()
+          val n = indexed.count()
+          println(s"[fault] n_rows=$n bad_ranks=$bad")
+          if (n == size.toLong && bad == 0) "output_ok" else "output_wrong"
         case _ =>
           import spark.implicits._
           // one long chain: diameter `size` forces multiple contraction

@@ -79,6 +79,16 @@ class FaultToleranceSpec extends AnyFunSuite {
     assert(log.contains("verdict=failed_as_expected"), log)
   }
 
+  test("ZipIndex ordered index, Reliable: ranks survive executor SIGKILL on the frozen layout") {
+    val log = run("reliable", "zip")
+    assert(log.contains("verdict=output_ok"), log)
+  }
+
+  test("ZipIndex ordered index, Local: executor SIGKILL fails the job (fail-fast contrast)") {
+    val log = run("local", "zip")
+    assert(log.contains("verdict=failed_as_expected"), log)
+  }
+
   test("streaming dedup-ingest: admitted set survives executor SIGKILL mid-micro-batch") {
     // mode is ignored for the stream op (state = parquet + checkpoint by
     // design); the verdict is admitted-set equality with an unfaulted run

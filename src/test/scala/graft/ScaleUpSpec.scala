@@ -112,6 +112,37 @@ class ScaleUpSpec extends AnyFunSuite with SparkTest {
       s"population should scale ~linearly past the cap: $p1 -> $p4")
   }
 
+  test("knnGraph per-node candidates: bounded at derived bits, linear only at a forced cap") {
+    import graft.operators.Similarity
+    // The q_sim_knn scale posture made executable (mirror of the
+    // incrementalEmbedDedup/SRP-population pins): the graph's per-node
+    // work is (nBits+1 probe keys) x bucket population. With corpus-derived
+    // bits the population is pinned near the target, so per-node candidate
+    // count stays ~flat as the corpus grows (probe keys add only a log
+    // term); at a FORCED small bit cap the bucket space saturates and
+    // per-node candidates grow linearly — the cap is the documented dial.
+    val dim = 16
+    def emb(n: Int) = spark.range(n.toLong).select(
+      col("id").as("vec_id"),
+      array((0 until dim).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(100000L)).cast("double") /
+          lit(100000.0)) - lit(0.5)): _*).as("v"))
+    def meanCands(n: Int, maxBits: Int): Double = {
+      val nBits = Similarity.lshNBits(n.toLong, 8L, maxBits = maxBits)
+      // k = n keeps EVERY candidate, so the output per src IS the
+      // candidate count the rank window would otherwise truncate
+      Similarity.knnGraph(emb(n), dim, nBits, k = n)
+        .groupBy("src").count()
+        .agg(avg("count")).collect()(0).getDouble(0)
+    }
+    val (c1, c4) = (meanCands(1024, 5), meanCands(4096, 5))
+    assert(c4 / c1 > 3.0 && c4 / c1 < 5.0,
+      s"capped: per-node candidates should scale ~linearly: $c1 -> $c4")
+    val (d1, d4) = (meanCands(1024, 24), meanCands(4096, 24))
+    assert(d4 / d1 < 2.0,
+      s"derived bits: per-node candidates should stay bounded: $d1 -> $d4")
+  }
+
   test("SemDeDup radix tree: constant driver state + bundle width as the corpus grows 16x") {
     import graft.operators.Similarity
     import spark.implicits._

@@ -221,6 +221,47 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(ns == Seq(1L, 2L)) // two sessions: {:00,:10} and {:55}
   }
 
+  test("session windows on the RocksDB state store provider == default provider") {
+    import spark.implicits._
+    // The 100 TB streaming-state posture made executable: session state is
+    // the heaviest stateful shape here (q_stream_session), and at scale its
+    // state must live on the RocksDB provider (bounded executor heap,
+    // state on local disk + changelog) — which must be a CONFIG change,
+    // not a code change. Same sink, multi-batch workload that extends
+    // sessions, opens new ones, and interleaves two users; both providers
+    // must produce identical session tables.
+    def runWith(name: String, conf: Map[String, String]): Seq[(Long, String, String, Long)] = {
+      def body(): Seq[(Long, String, String, Long)] = {
+        val input = MemoryStream[Ev](spark)
+        val q = Streams.sessionCounts(input.toDF())
+          .select(col("user_id"),
+            date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("we"),
+            col("n"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName(name).start()
+        input.addData(Seq(ev(1, 0), ev(2, 5), ev(10, 12, user = 2)))
+        q.processAllAvailable() // batch 1: open one session per user
+        input.addData(Seq(ev(3, 20), ev(11, 50, user = 2)))
+        q.processAllAvailable() // batch 2: extend user 1, new session user 2
+        input.addData(Seq(ev(4, 59), ev(12, 55, user = 2)))
+        q.processAllAvailable() // batch 3: new session user 1, extend user 2
+        q.stop()
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .sortBy(t => (t._1, t._2)).toSeq
+      }
+      if (conf.isEmpty) body() else withSQLConf(conf.toSeq: _*)(body())
+    }
+    val dflt = runWith("sess_dflt", Map.empty)
+    val rocks = runWith("sess_rocks", Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    assert(rocks == dflt, s"provider parity broken:\nrocks=$rocks\ndflt=$dflt")
+    // shape pin so parity can't be trivially-empty: 4 sessions, both users
+    assert(dflt.map(_._4) == Seq(3L, 1L, 1L, 2L), dflt.toString)
+  }
+
   test("heavy-hitters UDAF runs in a streaming aggregation with incremental state") {
     import spark.implicits._
     import graft.functions.HeavyHitters
