@@ -940,8 +940,34 @@ object Similarity {
     val p = corpusRows
       .map(n => math.max(1L, math.min(cap.toLong, n / 1000 + 1)).toInt)
       .getOrElse(cap)
+    // Candidate-join strategy dial (r14). Three regimes:
+    //  - small corpora: the planner BROADCASTS the index side (it fits
+    //    under the broadcast threshold) — the best plan; a hint here would
+    //    defeat it (measured at sf0.1: hint forces SHJ and loses the
+    //    broadcast's no-shuffle probe side).
+    //  - large corpora: broadcast is impossible and the planner defaults
+    //    to sort-merge, which SORTS both shuffled inputs before streaming
+    //    the matched rows — pure overhead for this join, whose cost is
+    //    producing/filtering the matched-prefix stream, not ordering it.
+    //    SHUFFLE_HASH builds a per-partition hash map of the index side
+    //    instead: measured at a 10x corpus 16.4 vs 19.7 s end-to-end
+    //    (mins across 3 interleaved reps), at 100x see SCALE_r14. Build
+    //    size is bounded by construction: the explicit repartition keeps
+    //    ~1k docs' index prefixes per partition (~120k rows, single-digit
+    //    MB) regardless of corpus size, so the hash map never approaches
+    //    executor memory even at 1000x.
+    // The dial is the same corpus-sized gate as the eager-checkpoint one:
+    // hint only when the caller's corpusRows says broadcast is already
+    // out of reach (>= 20k docs; the threshold crosses at ~10 MB of
+    // index-prefix rows). SPARK_GRAFT_JACCARD_SHJ overrides both ways
+    // for probes (1 forces the hint, 0 forces planner default).
+    val useShj = sys.env.get("SPARK_GRAFT_JACCARD_SHJ") match {
+      case Some(v) => v == "1"
+      case None    => corpusRows.exists(_ >= 20000L)
+    }
+    val bSide = if (useShj) b.hint("SHUFFLE_HASH") else b
     val cand = a.repartition(p, col("lang"), col("band"), col("token"))
-      .join(b, Seq("lang", "band", "token"))
+      .join(bSide, Seq("lang", "band", "token"))
       .filter(col("n_b") < col("n_a") ||
         (col("n_b") === col("n_a") && col("doc_b") < col("doc_a")))
       .filter(col("n_b") >= lit(minJaccard) * col("n_a") - lit(1e-9))
@@ -1149,8 +1175,16 @@ object Similarity {
     val p = corpusRows
       .map(n => math.max(1L, math.min(cap.toLong, n / 1000 + 1)).toInt)
       .getOrElse(cap)
+    // same corpus-gated SHUFFLE_HASH dial as the jaccard candidate join
+    // (rationale and measurements there): avoid SMJ's input sorts once
+    // broadcast is out of reach; per-partition build stays ~1k docs' rows
+    val useShj = sys.env.get("SPARK_GRAFT_JACCARD_SHJ") match {
+      case Some(v) => v == "1"
+      case None    => corpusRows.exists(_ >= 20000L)
+    }
+    val bSide = if (useShj) b.hint("SHUFFLE_HASH") else b
     val cand = a.repartition(p, col("lang"), col("token"))
-      .join(b, Seq("lang", "token"))
+      .join(bSide, Seq("lang", "token"))
       .filter(col("doc_a") =!= col("doc_b"))
       .filter(col("n_b") >= need(col("n_a")))
       .filter(lit(1) + least(col("n_a") - col("r_a"), col("n_b") - col("r_b")) >=

@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   * the one-action production plan, so the stage SUM exceeds the
   * end-to-end wall (printed alongside from the real operator) — the
   * split is for attribution, the end-to-end number is the cost.
+  *
+  * With the 4th arg `v2`, runs the cardinality probe over the PEL-style
+  * length-BUCKETED candidate key (partner-size log-buckets in the join
+  * key; the probe side explodes only the bucket range its (n_a, r_a)
+  * admits under the size + positional necessary conditions) — the
+  * candidate-volume A/B for the bucketed pair-gen.
   */
 object JaccardProbe {
   def main(args: Array[String]): Unit = {
@@ -23,6 +29,7 @@ object JaccardProbe {
     val shuffle = if (args.length > 1) args(1) else "32"
     val minJ = if (args.length > 2) args(2).toDouble else 0.5
     val timed = args.length > 3 && args(3) == "time"
+    val v2 = args.length > 3 && args(3) == "v2"
     val spark = graft.Tables.configure(SparkSession.builder())
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", shuffle)
@@ -53,9 +60,9 @@ object JaccardProbe {
         col("n_toks") - ceil(lit(minJaccard) * col("n_toks") - lit(1e-9)) + 1)
       .select("doc_id", "lang", "band", "token", "n_toks", "r")
       .localCheckpoint(false)
-    val a = prefix.select(col("doc_id").as("doc_a"), col("lang"), col("band"),
+    val a0 = prefix.select(col("doc_id").as("doc_a"), col("lang"), col("band"),
       col("token"), col("n_toks").as("n_a"), col("r").as("r_a"))
-    val b = prefix
+    val b0 = prefix
       .filter(col("r") <= col("n_toks") -
         ceil(lit(2 * minJaccard / (1 + minJaccard)) * col("n_toks") - lit(1e-9)) + 1)
       .select(col("doc_id").as("doc_b"), col("lang"),
@@ -63,9 +70,33 @@ object JaccardProbe {
         col("r").as("r_b"))
       .withColumn("band", explode(array(col("b_band") - 1, col("b_band"), col("b_band") + 1)))
       .drop("b_band")
+    // v2: PEL-style partner-size bucket in the key. Bucket width
+    // w2 = ln(1/t)/2 puts the full valid partner range [t*n, n] across
+    // <= 2 bucket widths, so the probe-side explode is 2-3 keys; the
+    // range's upper end tightens with r_a via the positional necessary
+    // condition n_b <= (1+t)/t*(n_a - r_a + 1) - n_a.
+    val w2 = math.log(1.0 / minJ) / 2.0
+    def tb(n: org.apache.spark.sql.Column) =
+      floor(log(n.cast("double")) / w2).cast("long")
+    val (a, b) = if (!v2) (a0, b0) else {
+      val lowerN = ceil(lit(minJ) * col("n_a") - lit(1e-9))
+      val upperN = least(col("n_a"),
+        floor(lit((1 + minJ) / minJ) * (col("n_a") - col("r_a") + 1) -
+          col("n_a") + lit(1e-6)))
+      val av = a0
+        .withColumn("__lo", tb(lowerN))
+        .withColumn("__hi", tb(upperN))
+        .filter(col("__hi") >= col("__lo"))
+        .withColumn("tb", explode(sequence(col("__lo"), col("__hi"))))
+        .drop("__lo", "__hi")
+      val bv = b0.withColumn("tb", tb(col("n_b")))
+      (av, bv)
+    }
+    val joinKeys = if (v2) Seq("lang", "band", "tb", "token")
+                   else Seq("lang", "band", "token")
     val alpha = ceil(
       lit(minJaccard / (1 + minJaccard)) * (col("n_a") + col("n_b")) - lit(1e-9))
-    val joined = a.join(b, Seq("lang", "band", "token"))
+    val joined = a.join(b, joinKeys)
       .filter(col("n_b") < col("n_a") ||
         (col("n_b") === col("n_a") && col("doc_b") < col("doc_a")))
     val sized = joined
@@ -77,7 +108,7 @@ object JaccardProbe {
       .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
         min(col("r_a")).as("fa"), min_by(col("r_b"), col("r_a")).as("fb"))
       .filter(lit(1) + least(col("n_a") - col("fa"), col("n_b") - col("fb")) >= alpha)
-    println(s"""{"sf": "$sfDir", "docs": ${base.count()}, "prefixRows": ${prefix.count()}, "indexRows": ${b.count()}, "joinRows": ${joined.count()}, "afterSize": ${sized.count()}, "afterPos": ${positioned.count()}, "candAnyRow": ${positioned.select("doc_a", "doc_b").distinct().count()}, "cand": ${argmin.count()}}""")
+    println(s"""{"sf": "$sfDir", "variant": "${if (v2) "v2" else "v1"}", "minJ": $minJ, "docs": ${base.count()}, "prefixRows": ${prefix.count()}, "probeRows": ${a.count()}, "indexRows": ${b.count()}, "joinRows": ${joined.count()}, "afterSize": ${sized.count()}, "afterPos": ${positioned.count()}, "candAnyRow": ${positioned.select("doc_a", "doc_b").distinct().count()}, "cand": ${argmin.count()}}""")
     spark.stop()
   }
 
@@ -104,6 +135,14 @@ object JaccardProbe {
     val nDocs = graft.Tables.rowCount(spark, sfDir, "documents")
     // JIT/codegen warmup is NOT separated here: run reps at the caller
     // level and take later reps if that matters
+    if (sys.env.get("SPARK_GRAFT_JPROBE_EXPLAIN").contains("1")) {
+      val plan = Similarity.jaccardNearDupPairs(docs, minJaccard,
+        corpusRows = Some(nDocs)).queryExecution.executedPlan.toString
+      val joins = plan.linesIterator.filter(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+          l.contains("BroadcastHashJoin")).map(_.trim.take(90))
+      println(s"[jprobe] joins:\n  ${joins.mkString("\n  ")}")
+    }
     time("end_to_end_pairs") {
       Similarity.jaccardNearDupPairs(docs, minJaccard,
         corpusRows = Some(nDocs)).count()
@@ -146,8 +185,11 @@ object JaccardProbe {
         .withColumn("band",
           explode(array(col("b_band") - 1, col("b_band"), col("b_band") + 1)))
         .drop("b_band")
+      // mirror the operator's corpus-gated SHUFFLE_HASH dial (env-overridable)
+      val bSide = if (sys.env.get("SPARK_GRAFT_JACCARD_SHJ").map(_ == "1")
+          .getOrElse(nDocs >= 20000L)) b.hint("SHUFFLE_HASH") else b
       val c = a.repartition(p, col("lang"), col("band"), col("token"))
-        .join(b, Seq("lang", "band", "token"))
+        .join(bSide, Seq("lang", "band", "token"))
         .filter(col("n_b") < col("n_a") ||
           (col("n_b") === col("n_a") && col("doc_b") < col("doc_a")))
         .filter(col("n_b") >= lit(minJaccard) * col("n_a") - lit(1e-9))

@@ -308,6 +308,28 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("jaccard candidate join strategy dial: SHUFFLE_HASH past the corpus gate, planner default below it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val docs = (1L to 30L).map(i =>
+        (i, "en", 40L + i, Seq("alpha", "beta", s"tok_$i", s"tok_${i + 1}")))
+      .toDF("doc_id", "lang", "n_chars", "toks")
+    // pin the contrast: with auto-broadcast off, the un-hinted join falls
+    // to sort-merge, so the gate's effect is visible at plan time (the
+    // gate reads the caller's corpusRows contract, not a recount)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val hinted = Similarity.jaccardNearDupPairs(docs, minJaccard = 0.5,
+        corpusRows = Some(20000L)).queryExecution.executedPlan.toString
+      assert(hinted.contains("ShuffledHashJoin"),
+        s"corpus gate >= 20k docs must hint SHUFFLE_HASH:\n$hinted")
+      val plain = Similarity.jaccardNearDupPairs(docs, minJaccard = 0.5,
+        corpusRows = Some(100L)).queryExecution.executedPlan.toString
+      assert(!plain.contains("ShuffledHashJoin"),
+        s"below the gate the planner default must stand:\n$plain")
+    }
+  }
+
   test("q_dedup_url keeper rule: longest doc wins, length ties to smallest id, one agg (no window)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
