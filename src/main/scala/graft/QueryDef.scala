@@ -31,5 +31,6 @@ object Registry {
       graft.queries.SimilarityQueries.defs ++
       graft.queries.StreamShapeQueries.defs ++
       graft.queries.PipelineQueries.defs ++
-      graft.queries.ScaleQueries.defs
+      graft.queries.ScaleQueries.defs ++
+      graft.queries.LinkageQueries.defs
 }

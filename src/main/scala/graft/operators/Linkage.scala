@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Record linkage / entity resolution: match each record of a "dirty" table
+  * to its canonical counterpart by blocking + weighted multi-field fuzzy
+  * scoring + best-match selection — the classic Fellegi–Sunter shape, kept
+  * integer-exact so a DuckDB oracle can replay it bit-for-bit.
+  *
+  * Scale posture (the part that matters at 100 TB):
+  *   - the ONLY pair generator is an equi-join on the caller's blocking
+  *     key. No similarity is ever computed across blocks, so candidate
+  *     volume is Σ |block_c|·|block_d|, and a blocking key whose
+  *     cardinality grows with the data (e.g. a normalized-prefix key)
+  *     keeps that linear. There is no cartesian fallback.
+  *   - scoring is per-pair, codegen'd (levenshtein + integer arithmetic),
+  *     no UDF.
+  *   - best-match-per-dirty-record is a window partitioned by the dirty
+  *     id — never a global window.
+  *
+  * Why integer scores: a weighted sum of DOUBLE similarities would tie-break
+  * differently across engines in the last ULP; `sim1000` is exact integer
+  * arithmetic end to end, so score equality — and therefore the
+  * deterministic (score DESC, canonical id ASC) winner — is engine-portable.
+  */
+object Linkage {
+
+  /** Similarity in [0, 1000]: 1000 − ⌊1000·lev(a,b) / max(|a|,|b|,1)⌋ —
+    * the normalized edit similarity scaled to exact integers. Integer
+    * division is computed as (x − pmod(x,y))/y: the numerator is exactly
+    * divisible, both operands stay far below 2^53, so the double division
+    * is exact and the result casts back to BIGINT losslessly — the same
+    * value DuckDB's `//` produces. */
+  def sim1000(a: Column, b: Column): Column = {
+    val x = lit(1000L) * levenshtein(a, b).cast("long")
+    val y = greatest(length(a), length(b), lit(1)).cast("long")
+    lit(1000L) - least(lit(1000L), ((x - pmod(x, y)) / y).cast("long"))
+  }
+
+  /** One scoring field: canonical-side column, dirty-side column, weight
+    * in permille (weights should sum to 1000 so scores land in [0, 1e6]). */
+  final case class Field(canonicalCol: String, dirtyCol: String, weight: Int)
+
+  /** Resolve `dirty` against `canonical`.
+    *
+    * Both inputs must already carry `blockCol` (the caller-computed blocking
+    * key — compute it with the same normalization on both sides). Returns
+    * one row per dirty record that found a match at or above `minScore`:
+    * (dirtyId, canonical id as `matched_id`, `score`), where
+    * score = Σ weightᵢ · sim1000(fieldᵢ) ∈ [0, 1000·Σw].
+    */
+  def resolve(canonical: DataFrame, dirty: DataFrame,
+      canonicalId: String, dirtyId: String, blockCol: String,
+      fields: Seq[Field], minScore: Long): DataFrame = {
+    val c = canonical.select(
+      (col(canonicalId) +: col(blockCol).as("__blk_c") +:
+        fields.map(f => col(f.canonicalCol))): _*)
+    val d = dirty.select(
+      (col(dirtyId) +: col(blockCol).as("__blk_d") +:
+        fields.map(f => col(f.dirtyCol))): _*)
+    val score = fields.map(f =>
+        lit(f.weight.toLong) * sim1000(col(f.canonicalCol), col(f.dirtyCol)))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col(dirtyId))
+      .orderBy(col("score").desc, col(canonicalId))
+    d.join(c, col("__blk_d") === col("__blk_c"))
+      .withColumn("score", score)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("score") >= minScore)
+      .select(col(dirtyId), col(canonicalId).as("matched_id"), col("score"))
+  }
+}

@@ -40,4 +40,48 @@ object Sample {
       .filter(col("__s_rn") <= k)
       .drop("__s_rn")
   }
+
+  /** Deterministic WEIGHT-PROPORTIONAL top-k per stratum (priority
+    * sampling): the Efraimidis–Spirakis order statistic u^(1/w) linearized
+    * into exact integers — priority = ⌊hash(id)·2^20 / w⌋, the k smallest
+    * priorities win (a heavier row divides its hash by a larger weight, so
+    * it sinks toward the front proportionally). The float-free key makes
+    * the sample engine-portable: hash < 2^20 ⇒ hash·2^20 < 2^41, the
+    * integer division ((x − pmod)/y) is exact in doubles, and ties break on
+    * id. One partitioned window per stratum — never global. The canonical
+    * use: carve a token-budget subcorpus where long documents are
+    * proportionally more likely to be kept. */
+  def weightedPerStratum(df: DataFrame, stratumCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    val x = hashBucket(col(idCol), 1000003) * lit(1048576L)
+    val y = greatest(col(weightCol).cast("long"), lit(1L))
+    val pr = ((x - pmod(x, y)) / y).cast("long")
+    val w = Window.partitionBy(stratumCol).orderBy(pr, col(idCol))
+    df.withColumn("__w_rn", row_number().over(w))
+      .filter(col("__w_rn") <= k)
+      .drop("__w_rn")
+  }
+
+  /** k deterministic negatives per row, for contrastive-pair generation:
+    * bucket every id (`buckets` must exceed `k`); the j-th negative of a
+    * row in bucket b is the representative (min id) of bucket (b+j) mod
+    * buckets — a different bucket by construction, so never the row itself.
+    * The rep table is `buckets` rows (a broadcast), the probe side is a
+    * narrow ×k explode plus one broadcast equi-join: linear, shuffle-free.
+    * Rows whose target bucket is empty simply emit no pair at that rank
+    * (only possible when rows < buckets). Returns (id, neg_rank, neg_id). */
+  def negativePairs(df: DataFrame, idCol: String, k: Int,
+      buckets: Int): DataFrame = {
+    require(buckets > k, s"buckets ($buckets) must exceed k ($k)")
+    val withB = df.select(col(idCol)).withColumn("__nb",
+      hashBucket(col(idCol), buckets))
+    val reps = withB.groupBy(col("__nb").as("__rb"))
+      .agg(min(col(idCol)).as("neg_id"))
+    withB
+      .select(col(idCol), col("__nb"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("neg_rank"))
+      .join(broadcast(reps),
+        (col("__nb") + col("neg_rank")) % buckets === col("__rb"))
+      .select(col(idCol), col("neg_rank"), col("neg_id"))
+  }
 }

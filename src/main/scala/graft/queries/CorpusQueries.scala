@@ -726,6 +726,31 @@ object CorpusQueries {
         .filter(col("pos") < 120)
         .select(col("pos"), col("source"), col("doc_id"))
         .orderBy("pos")
+    },
+
+    // Deterministic negative sampling for contrastive pairs
+    // (Sample.negativePairs): every document gets k=3 negatives — the
+    // representatives (min id) of the k hash-buckets after its own, mod
+    // B=64. Reproducible across runs/engines (pure id arithmetic), never
+    // self-pairing (a different bucket by construction), and shuffle-free
+    // at any corpus size: one 64-row rep aggregation broadcast against a
+    // narrow ×3 explode. The "precompute hard-ish negatives once, reuse
+    // every epoch" primitive of embedding-model training.
+    QueryDef(
+      "q_corpus_negatives",
+      Some(s"""WITH b AS (SELECT doc_id,
+                      ${PortableSql.hashBucket("doc_id", 64)} AS bk
+                    FROM documents),
+               reps AS (SELECT bk, min(doc_id) AS neg_id FROM b GROUP BY bk)
+               SELECT b.doc_id, CAST(j AS BIGINT) AS neg_rank,
+                      CAST(r.neg_id AS BIGINT) AS neg_id
+               FROM b CROSS JOIN generate_series(1, 3) t(j)
+               JOIN reps r ON r.bk = (b.bk + j) % 64
+               ORDER BY b.doc_id, neg_rank""")) { (s, d) =>
+      Sample.negativePairs(
+          Tables.documents(s, d).select("doc_id"),
+          idCol = "doc_id", k = 3, buckets = 64)
+        .orderBy("doc_id", "neg_rank")
     }
   )
 }

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Linkage
+import org.apache.spark.sql.functions._
+
+/** Record linkage / entity resolution (graft.operators.Linkage): the
+  * "match dirty records back to the canonical table" primitive every
+  * warehouse runs at ingest boundaries. The registered query links a
+  * deterministically-noised view of `documents` (1–7 tail characters
+  * truncated, the noise amount a pure function of the id) back to the
+  * originals WITHOUT using the id: blocking on a noise-invariant key
+  * (lang, source, 12-char text prefix), then weighted two-field
+  * normalized-edit-distance scoring and best-match-per-record selection.
+  *
+  * The DuckDB oracle replays blocking, scoring (exact integer sim1000
+  * arithmetic — see Linkage.sim1000), ranking, and threshold bit-for-bit.
+  */
+object LinkageQueries {
+
+  /** Integer sim1000 in DuckDB SQL — mirrors [[Linkage.sim1000]]. */
+  private def sim1000Sql(a: String, b: String): String =
+    s"(1000 - LEAST(1000, (1000 * levenshtein($a, $b)) // GREATEST(length($a), length($b), 1)))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Entity resolution over a derived dirty view. Scale posture: the only
+    // pair generator is the blocking-key equi-join — key cardinality grows
+    // with the corpus (text prefixes), so candidate volume stays linear;
+    // scoring is codegen levenshtein + exact integer arithmetic; the
+    // best-match window partitions by the dirty id (never global).
+    QueryDef(
+      "q_er_match",
+      Some(s"""WITH c AS (SELECT doc_id,
+                      lang || '|' || source || '|' || substring(text, 1, 12) AS blk,
+                      lower(substring(text, 1, 40)) AS head_c,
+                      lower(substring(text, GREATEST(length(text) - 39, 1), 40)) AS tail_c
+                    FROM documents),
+               d0 AS (SELECT doc_id AS dirty_id, lang, source,
+                      substring(text, 1, GREATEST(length(text) - 1 - (doc_id % 7), 12)) AS dtext
+                    FROM documents),
+               d AS (SELECT dirty_id,
+                      lang || '|' || source || '|' || substring(dtext, 1, 12) AS blk,
+                      lower(substring(dtext, 1, 40)) AS head_d,
+                      lower(substring(dtext, GREATEST(length(dtext) - 39, 1), 40)) AS tail_d
+                    FROM d0),
+               j AS (SELECT d.dirty_id, c.doc_id,
+                      500 * ${sim1000Sql("head_c", "head_d")}
+                    + 500 * ${sim1000Sql("tail_c", "tail_d")} AS score
+                    FROM d JOIN c ON d.blk = c.blk),
+               b AS (SELECT dirty_id, doc_id, score,
+                      row_number() OVER (PARTITION BY dirty_id
+                        ORDER BY score DESC, doc_id) AS rn
+                    FROM j)
+               SELECT CAST(dirty_id AS BIGINT) AS dirty_id,
+                      CAST(doc_id AS BIGINT) AS matched_id,
+                      CAST(score AS BIGINT) AS score
+               FROM b WHERE rn = 1 AND score >= 600000
+               ORDER BY dirty_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text", "lang", "source")
+      val canonical = docs
+        .withColumn("blk", concat_ws("|",
+          col("lang"), col("source"), substring(col("text"), 1, 12)))
+        .withColumn("head_c", lower(substring(col("text"), 1, 40)))
+        .withColumn("tail_c",
+          lower(expr("substring(text, greatest(length(text) - 39, 1), 40)")))
+      val dirty = docs
+        .select(col("doc_id").as("dirty_id"), col("lang"), col("source"),
+          expr("substring(text, 1, greatest(length(text) - 1 - pmod(doc_id, 7), 12))")
+            .as("dtext"))
+        .withColumn("blk", concat_ws("|",
+          col("lang"), col("source"), substring(col("dtext"), 1, 12)))
+        .withColumn("head_d", lower(substring(col("dtext"), 1, 40)))
+        .withColumn("tail_d",
+          lower(expr("substring(dtext, greatest(length(dtext) - 39, 1), 40)")))
+      Linkage.resolve(canonical, dirty,
+          canonicalId = "doc_id", dirtyId = "dirty_id", blockCol = "blk",
+          fields = Seq(
+            Linkage.Field("head_c", "head_d", 500),
+            Linkage.Field("tail_c", "tail_d", 500)),
+          minScore = 600000L)
+        .select(col("dirty_id"), col("matched_id").cast("long").as("matched_id"),
+          col("score"))
+        .orderBy("dirty_id")
+    }
+  )
+}

@@ -140,6 +140,31 @@ object SortSetQueries {
           stratumCol = "lang", idCol = "doc_id", k = 40)
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    },
+
+    // Deterministic WEIGHT-PROPORTIONAL sampling (Sample.weightedPerStratum):
+    // 30 documents per language, where a document's chance of selection
+    // scales with its length — the token-budget subcorpus primitive
+    // (sampling by n_chars approximates sampling by token count). The
+    // priority key ⌊hash(id)·2^20 / weight⌋ is the Efraimidis–Spirakis
+    // order statistic in exact integer form, so both engines rank — and
+    // tie-break — identically; one partitioned window, no global sort.
+    QueryDef(
+      "q_sample_weighted",
+      Some(s"""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                         ORDER BY (${PortableSql.hashBucket("doc_id", 1000003)} * 1048576)
+                                    // GREATEST(n_chars, 1),
+                                  doc_id) AS rn
+                FROM documents)
+              WHERE rn <= 30 ORDER BY doc_id""")) { (s, d) =>
+      Sample.weightedPerStratum(
+          Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+          stratumCol = "lang", idCol = "doc_id", weightCol = "n_chars",
+          k = 30)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
     }
   )
 }
