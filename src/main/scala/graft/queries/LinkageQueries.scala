@@ -25,14 +25,19 @@ object LinkageQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // Entity resolution over a derived dirty view. Scale posture: the only
-    // pair generator is the blocking-key equi-join — key cardinality grows
-    // with the corpus (text prefixes), so candidate volume stays linear;
-    // scoring is codegen levenshtein + exact integer arithmetic; the
-    // best-match window partitions by the dirty id (never global).
+    // pair generator is the blocking-key equi-join; the key is the
+    // TOKEN-BOUNDARY prefix (first two tokens, capped at 40 chars) —
+    // discriminative enough that key cardinality grows with the corpus
+    // (a fixed-length char prefix would let whole replica families share
+    // one block on the scaled corpora and turn candidates quadratic), so
+    // candidate volume stays linear; the key never sees the tail-side
+    // noise. Scoring is codegen levenshtein + exact integer arithmetic;
+    // the best-match window partitions by the dirty id (never global).
     QueryDef(
       "q_er_match",
       Some(s"""WITH c AS (SELECT doc_id,
-                      lang || '|' || source || '|' || substring(text, 1, 12) AS blk,
+                      lang || '|' || source || '|' ||
+                        substring(array_to_string((string_split(text, ' '))[1:2], ' '), 1, 40) AS blk,
                       lower(substring(text, 1, 40)) AS head_c,
                       lower(substring(text, GREATEST(length(text) - 39, 1), 40)) AS tail_c
                     FROM documents),
@@ -40,7 +45,8 @@ object LinkageQueries {
                       substring(text, 1, GREATEST(length(text) - 1 - (doc_id % 7), 12)) AS dtext
                     FROM documents),
                d AS (SELECT dirty_id,
-                      lang || '|' || source || '|' || substring(dtext, 1, 12) AS blk,
+                      lang || '|' || source || '|' ||
+                        substring(array_to_string((string_split(dtext, ' '))[1:2], ' '), 1, 40) AS blk,
                       lower(substring(dtext, 1, 40)) AS head_d,
                       lower(substring(dtext, GREATEST(length(dtext) - 39, 1), 40)) AS tail_d
                     FROM d0),
@@ -57,10 +63,12 @@ object LinkageQueries {
                       CAST(score AS BIGINT) AS score
                FROM b WHERE rn = 1 AND score >= 600000
                ORDER BY dirty_id""")) { (s, d) =>
+      def tok2(c: String) = expr(
+        s"substring(concat_ws(' ', slice(split($c, ' '), 1, 2)), 1, 40)")
       val docs = Tables.documents(s, d).select("doc_id", "text", "lang", "source")
       val canonical = docs
         .withColumn("blk", concat_ws("|",
-          col("lang"), col("source"), substring(col("text"), 1, 12)))
+          col("lang"), col("source"), tok2("text")))
         .withColumn("head_c", lower(substring(col("text"), 1, 40)))
         .withColumn("tail_c",
           lower(expr("substring(text, greatest(length(text) - 39, 1), 40)")))
@@ -69,7 +77,7 @@ object LinkageQueries {
           expr("substring(text, 1, greatest(length(text) - 1 - pmod(doc_id, 7), 12))")
             .as("dtext"))
         .withColumn("blk", concat_ws("|",
-          col("lang"), col("source"), substring(col("dtext"), 1, 12)))
+          col("lang"), col("source"), tok2("dtext")))
         .withColumn("head_d", lower(substring(col("dtext"), 1, 40)))
         .withColumn("tail_d",
           lower(expr("substring(dtext, greatest(length(dtext) - 39, 1), 40)")))

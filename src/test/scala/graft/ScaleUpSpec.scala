@@ -112,6 +112,29 @@ class ScaleUpSpec extends AnyFunSuite with SparkTest {
       s"population should scale ~linearly past the cap: $p1 -> $p4")
   }
 
+  test("ER blocking: token-boundary key stays flat as the corpus scales; a char-prefix key would not") {
+    // The q_er_match scale posture made executable: its blocking key is the
+    // first-TWO-TOKENS prefix, and ScaleUp perturbs token 0 or token 1 of
+    // every copy — so replica families never share the key and the max
+    // block size is INVARIANT under scale-up (candidates stay linear). The
+    // naive fixed-12-char prefix key this replaced demonstrably degrades:
+    // copies whose perturbed token sits past char 12 pile into one block
+    // (measured on the r14 100x corpus: max block 3 -> 150), turning
+    // candidate volume quadratic per family.
+    val dir = java.nio.file.Files.createTempDirectory("graft-scaleup-er").toString
+    graft.tools.ScaleUp.run(spark, "/root/testdata/sf0.001", dir, 8)
+    def maxBlock(path: String, key: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(s"$path/documents.parquet")
+        .select(concat_ws("|", col("lang"), col("source"), key).as("blk"))
+        .groupBy("blk").count().agg(max("count")).collect()(0).getLong(0)
+    val tok2 = expr("substring(concat_ws(' ', slice(split(text, ' '), 1, 2)), 1, 40)")
+    val char12 = expr("substring(text, 1, 12)")
+    val (t1, t8) = (maxBlock("/root/testdata/sf0.001", tok2), maxBlock(dir, tok2))
+    assert(t8 == t1, s"token-boundary key must not grow with the factor: $t1 -> $t8")
+    val (c1, c8) = (maxBlock("/root/testdata/sf0.001", char12), maxBlock(dir, char12))
+    assert(c8 >= 2 * c1, s"the naive char-prefix hazard should be visible: $c1 -> $c8")
+  }
+
   test("knnGraph per-node candidates: bounded at derived bits, linear only at a forced cap") {
     import graft.operators.Similarity
     // The q_sim_knn scale posture made executable (mirror of the
