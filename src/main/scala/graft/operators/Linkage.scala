@@ -71,4 +71,19 @@ object Linkage {
       .filter(col("__rn") === 1 && col("score") >= minScore)
       .select(col(dirtyId), col(canonicalId).as("matched_id"), col("score"))
   }
+
+  /** Incremental linkage — the production shape: a small arrivals batch
+    * matched against the big canonical table. Semantics identical to
+    * [[resolve]]; the arrivals side carries a broadcast hint, so the
+    * canonical table is probed map-side and NEVER shuffled — the only
+    * exchange left is the best-match window over the matched rows
+    * (arrivals-sized, not corpus-sized). The hint is the caller's dial:
+    * use this entry point while the batch fits executor memory (the usual
+    * daily-ingest case); fall back to [[resolve]] — a plain shuffled
+    * equi-join on the block key — when it doesn't. */
+  def resolveIncremental(canonical: DataFrame, arrivals: DataFrame,
+      canonicalId: String, dirtyId: String, blockCol: String,
+      fields: Seq[Field], minScore: Long): DataFrame =
+    resolve(canonical, broadcast(arrivals),
+      canonicalId, dirtyId, blockCol, fields, minScore)
 }

@@ -110,6 +110,34 @@ class LinkageSpec extends AnyFunSuite with SparkTest {
     assert(out.forall { case (id, _, neg) => id != neg })
   }
 
+  test("resolveIncremental: arrivals broadcast, canonical side never shuffled") {
+    // The q_er_incremental scale claim made executable: with the broadcast
+    // hint on the arrivals side, the candidate join is a BroadcastHashJoin
+    // whose STREAMED side is the canonical scan — so below the join there
+    // is no shuffle exchange at all (the corpus is probed map-side); the
+    // only exchange in the whole plan is the arrivals-sized best-match
+    // window above it. Disable AQE locally so the assertion reads the
+    // statically planned exchanges.
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      // force sizes to NOT qualify for auto-broadcast: the HINT must do it
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = queries.LinkageQueries.defs
+        .find(_.name == "q_er_incremental").get
+        .run(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+      val joinIdx = plan.indexOf("BroadcastHashJoin")
+      val belowJoin = plan.substring(joinIdx)
+      // exactly one shuffle in the full plan (the window) and none below
+      // the join (the canonical probe side)
+      assert(!belowJoin.contains("Exchange hashpartitioning"),
+        "canonical side must not shuffle:\n" + belowJoin.take(800))
+      assert("Exchange hashpartitioning".r
+        .findAllIn(plan).size == 1, "only the window may shuffle")
+    }
+  }
+
   test("negativePairs: rejects buckets <= k") {
     intercept[IllegalArgumentException] {
       Sample.negativePairs(Seq(1L).toDF("id"), "id", k = 8, buckets = 8)
