@@ -72,6 +72,25 @@ object Linkage {
       .select(col(dirtyId), col(canonicalId).as("matched_id"), col("score"))
   }
 
+  /** Survivorship / golden-record selection — the step AFTER matching:
+    * when several dirty records resolve to one canonical entity, keep one
+    * winner per entity by the caller's deterministic precedence (longest /
+    * newest / most complete — passed as an explicit column order so the
+    * choice is reproducible across engines), and report how many candidates
+    * the winner beat. One equi-join on the dirty id plus one window
+    * partitioned by the entity — never global; entity groups are
+    * block-bounded by construction (they came out of [[resolve]]). */
+  def survivorship(matches: DataFrame, dirty: DataFrame, dirtyId: String,
+      entityCol: String, precedence: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+    val wOrd = w.orderBy(precedence: _*)
+    matches.join(dirty, dirtyId)
+      .withColumn("n_candidates", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(wOrd))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Incremental linkage — the production shape: a small arrivals batch
     * matched against the big canonical table. Semantics identical to
     * [[resolve]]; the arrivals side carries a broadcast hint, so the

@@ -138,6 +138,25 @@ class LinkageSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("survivorship: one winner per entity by precedence, candidate count kept") {
+    val matches = Seq(
+      (1L, 100L, 900000L), (2L, 100L, 880000L), (3L, 100L, 990000L),
+      (4L, 200L, 700000L)
+    ).toDF("did", "entity", "score")
+    val dirty = Seq(
+      (1L, 50), (2L, 80), (3L, 80), (4L, 10)
+    ).toDF("did", "len")
+    val out = Linkage.survivorship(matches, dirty, "did", "entity",
+        precedence = Seq(col("len").desc, col("did")))
+      .select("entity", "did", "n_candidates", "len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sorted.toSeq
+    // entity 100: len ties at 80 between dids 2 and 3 -> lower did wins;
+    // the len-50 record loses despite its higher score (precedence is the
+    // caller's contract, not the match score)
+    assert(out == Seq((100L, 2L, 3L, 80), (200L, 4L, 1L, 10)))
+  }
+
   test("negativePairs: rejects buckets <= k") {
     intercept[IllegalArgumentException] {
       Sample.negativePairs(Seq(1L).toDF("id"), "id", k = 8, buckets = 8)
