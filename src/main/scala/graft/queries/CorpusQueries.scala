@@ -728,6 +728,40 @@ object CorpusQueries {
         .orderBy("pos")
     },
 
+    // Robust per-language outlier gate (Robust.madOutliers): flag documents
+    // whose length deviates from their language's EXACT median by more than
+    // k=2 MADs — the robust-statistics quality filter (median/MAD shrug off
+    // the very outliers mean/stddev would absorb). Both median layers use
+    // the doubled order statistic med2 (sum of the two middle values), so
+    // the whole decision is integer arithmetic every engine replays
+    // bit-for-bit — no percentile interpolation, no floats. Two
+    // lang-partitioned rank windows + two lang-sized broadcast joins.
+    QueryDef(
+      "q_text_outliers",
+      Some("""WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+               r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) rn,
+                            count(*) OVER (PARTITION BY lang) n FROM d),
+               m AS (SELECT lang, sum(n_chars * ((rn = (n+1)//2)::BIGINT + (rn = (n+2)//2)::BIGINT)) med2
+                     FROM r WHERE rn = (n+1)//2 OR rn = (n+2)//2 GROUP BY lang),
+               dv AS (SELECT d.*, med2, abs(2*n_chars - med2) dev2 FROM d JOIN m USING (lang)),
+               r2 AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY dev2, doc_id) rn,
+                             count(*) OVER (PARTITION BY lang) n FROM dv),
+               m2 AS (SELECT lang, sum(dev2 * ((rn = (n+1)//2)::BIGINT + (rn = (n+2)//2)::BIGINT)) mad4
+                      FROM r2 WHERE rn = (n+1)//2 OR rn = (n+2)//2 GROUP BY lang)
+               SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+                      CAST(dev2 AS BIGINT) AS dev2, CAST(mad4 AS BIGINT) AS mad4
+               FROM dv JOIN m2 USING (lang) WHERE 2*dev2 > 2*mad4
+               ORDER BY doc_id""")) { (s, d) =>
+      import graft.operators.Robust
+      Robust.madOutliers(
+          Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+          stratumCol = "lang", valueCol = "n_chars", idCol = "doc_id", k = 2)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("dev2"), col("mad4"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic negative sampling for contrastive pairs
     // (Sample.negativePairs): every document gets k=3 negatives — the
     // representatives (min id) of the k hash-buckets after its own, mod
