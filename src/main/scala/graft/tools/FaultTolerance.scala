@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
   *    re-reads the layout files and every rank must still equal its key;
   *    Local fails fast (the frozen blocks died with the executors).
   *  - `stream`: Streams.dedupIngestSink over a file-source stream of
-  *    duplicate-laden documents, killed mid-micro-batch — the faulted
+  *    duplicate-laden documents, killed DETERMINISTICALLY between
+  *    micro-batch 0 (committed) and micro-batch 1 (whose input file is
+  *    only written after the SIGKILL lands — input gating) — the faulted
   *    run's admitted set (after stage retry on replacement executors, or
   *    one query restart from its checkpoint if the kill took the query
   *    down) must equal an unfaulted reference run. `mode` is ignored:
@@ -38,7 +40,8 @@ import org.apache.spark.sql.functions._
   *    (per-batch `batch=<id>` overwrite) rather than a Local/Reliable
   *    contrast.
   *  - `embed`: Streams.embedIngestSink over a file-source stream of
-  *    duplicate-laden vectors, killed mid-micro-batch — same recovery
+  *    duplicate-laden vectors, killed with the same input-gated
+  *    deterministic SIGKILL after batch 0 commits — same recovery
   *    contract as `stream` (stage retry or one checkpoint restart), with
   *    TWO equality gates: the faulted admitted vec_id set must equal an
   *    unfaulted reference run's, and the SRP bucket-state table must be
@@ -103,10 +106,29 @@ object FaultTolerance {
 
       val appId = spark.sparkContext.applicationId
 
-      // stream-op fixture dirs, created up front so the kill trigger can
-      // watch the faulted run's admit dir (cheap no-ops for cc/bpe)
+      // stream-op fixture dirs (cheap no-ops for cc/bpe)
       val streamAdmitF =
         java.nio.file.Files.createTempDirectory("graft-ft-admitF").toString
+
+      /** SIGKILL every executor JVM of THIS app (matched by appId so a
+        * concurrent Spark run is never hit) — unannounced process death,
+        * the real failure mode a 1000-executor cluster sees. All of them,
+        * not one: killing a single executor is survivable whenever the
+        * victim happens to hold no live round blocks (observed — task
+        * placement on a 2x1-core cluster can put a whole round on one
+        * executor). The standalone Workers restart replacements within
+        * seconds, so the cluster heals either way; what decides the
+        * outcome is solely WHERE the round state lived.
+        * Returns the comma-joined pid list for the spec's
+        * `killed_executor_pid=` assertion. */
+      def killExecutors(): String =
+        // [C]oarse…: the bracket keeps pgrep -f from matching THIS bash
+        // process (its own cmdline contains the pattern text), which
+        // would SIGKILL the pipeline mid-run and lose the pid echo
+        try scala.sys.process.Process(Seq("bash", "-c",
+          s"pgrep -f '[C]oarseGrainedExecutorBackend.*$appId' " +
+            "| xargs -r -I{} sh -c 'kill -9 {}; echo {}' | paste -sd, -")).!!.trim
+        catch { case e: Throwable => s"ERROR:${e.getMessage}" }
 
       /** True once at least one loop round is fully materialized AND a
         * successor round has started — i.e. the first round's lineage has
@@ -116,21 +138,11 @@ object FaultTolerance {
         * lineage — observed, not hypothetical), which would make the spec
         * flaky. Mode-aware because the two modes keep round state in
         * different places: Local = executor blocks, Reliable = files.
+        * (The stream/embed ops do NOT use this poll — their kill is
+        * synchronous and input-gated, see runOp — so the poll only ever
+        * watches the loop ops' checkpoint/persist state.)
         */
-      def roundStateLive(): Boolean = if (op == "stream" || op == "embed") {
-        // first admitted batch committed to the faulted run's admit dir —
-        // the kill then lands while later micro-batches are in flight
-        val root = java.nio.file.Paths.get(streamAdmitF)
-        java.nio.file.Files.exists(root) && {
-          val s = java.nio.file.Files.walk(root)
-          // COMMITTED part files only (in-flight writes live under
-          // _temporary) — so the kill lands while batch 1+ is in flight
-          try s.iterator().asScala
-            .exists(p => p.getFileName.toString.startsWith("part-") &&
-              !p.toString.contains("_temporary"))
-          finally s.close()
-        }
-      } else mode match {
+      def roundStateLive(): Boolean = mode match {
         case "reliable" =>
           // rdd-N checkpoint dirs with data files on disk: the loop ops
           // (cc/bpe) need TWO (first round truncated AND read — see the
@@ -138,12 +150,17 @@ object FaultTolerance {
           // mode ANY kill time is survivable, so one is the signal
           val need = if (op == "zip") 1 else 2
           val root = java.nio.file.Paths.get(ckDir)
-          val stream = java.nio.file.Files.walk(root)
+          // walk races with concurrent checkpoint writes (files vanish
+          // mid-walk under load) — an exception here must read as "not
+          // yet", never kill the poll thread before the kill fires
           try {
-            stream.iterator().asScala
-              .filter(p => p.getFileName.toString.startsWith("part-"))
-              .map(_.getParent.getFileName.toString).toSet.size >= need
-          } finally stream.close()
+            val stream = java.nio.file.Files.walk(root)
+            try {
+              stream.iterator().asScala
+                .filter(p => p.getFileName.toString.startsWith("part-"))
+                .map(_.getParent.getFileName.toString).toSet.size >= need
+            } finally stream.close()
+          } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => false }
         case _ =>
           // fully-cached persisted RDD(s): the loop ops additionally wait
           // for a SECOND rdd (successor round started); zip's single
@@ -156,28 +173,16 @@ object FaultTolerance {
             infos.length >= (if (op == "zip") 1 else 2)
       }
 
+      // Poll-based kill for the LOOP ops only (cc/bpe/zip): their kill
+      // window is a property of distributed round state the driver can
+      // only observe, not gate. The stream/embed ops gate micro-batch 1's
+      // INPUT on the kill instead (see runOp) — fully deterministic, no
+      // poll, no race.
       val killer = new Thread(() => {
         val kd = System.nanoTime() + 120L * 1000 * 1000 * 1000
         while (!roundStateLive() && System.nanoTime() < kd) Thread.sleep(100)
         println(s"[fault] round_state_live=${roundStateLive()}")
-        // SIGKILL EVERY executor JVM of THIS app (matched by appId so a
-        // concurrent Spark run is never hit) — unannounced process death,
-        // the real failure mode a 1000-executor cluster sees. All of them,
-        // not one: killing a single executor is survivable whenever the
-        // victim happens to hold no live round blocks (observed — task
-        // placement on a 2x1-core cluster can put a whole round on one
-        // executor). The standalone Workers restart replacements within
-        // seconds, so the cluster heals either way; what decides the
-        // outcome is solely WHERE the round state lived.
-        val killed =
-          // [C]oarse…: the bracket keeps pgrep -f from matching THIS bash
-          // process (its own cmdline contains the pattern text), which
-          // would SIGKILL the pipeline mid-run and lose the pid echo
-          try scala.sys.process.Process(Seq("bash", "-c",
-            s"pgrep -f '[C]oarseGrainedExecutorBackend.*$appId' " +
-              "| xargs -r -I{} sh -c 'kill -9 {}; echo {}' | paste -sd, -")).!!.trim
-          catch { case e: Throwable => s"ERROR:${e.getMessage}" }
-        println(s"[fault] killed_executor_pid=$killed")
+        println(s"[fault] killed_executor_pid=${killExecutors()}")
       })
       killer.setDaemon(true)
 
@@ -189,14 +194,19 @@ object FaultTolerance {
       /** The operator body under fault; returns "output_ok"/"output_wrong". */
       def runOp(): String = op match {
         case "stream" =>
-          // Streaming dedup-ingest under executor SIGKILL mid-micro-batch.
-          // The sink's crash contract is replay idempotence (per-batch
-          // `batch=<id>` overwrite + state reads excluding >= batchId), so
-          // the verdict is: faulted admitted set == unfaulted reference —
-          // whether the faulted query survives via stage retry on the
-          // replacement executors or dies and is RESTARTED once from its
-          // checkpoint (both paths are legitimate recoveries; which one
-          // occurs depends on where the kill lands).
+          // Streaming dedup-ingest under executor SIGKILL — DETERMINISTIC
+          // by input gating (r14 verdict #1): only batch 0's input file
+          // exists when the query starts; once batch 0's state is
+          // committed (processAllAvailable returns) every executor is
+          // SIGKILLed synchronously from THIS thread, and only then are
+          // the remaining input files written. Micro-batch 1 therefore
+          // cannot even exist before the kill has landed — no poll, no
+          // race, the kill provably precedes all later batches. Those
+          // batches must then recover on replacement executors (stage
+          // retry) or via ONE query restart from the checkpoint — both
+          // legitimate recoveries of the sink's crash contract (per-batch
+          // `batch=<id>` overwrite + state reads excluding >= batchId).
+          // The verdict: faulted admitted set == unfaulted reference.
           import graft.functions.{TextFunctions => T}
           val nFiles = 6
           val perFile = 60
@@ -204,7 +214,7 @@ object FaultTolerance {
           def textOf(t: Int): String =
             (0 until 20).map(j => f"w${(t * 31 + j * 7) % 997}%03d").mkString(" ")
           val srcDir = java.nio.file.Files.createTempDirectory("graft-ft-src")
-          (0 until nFiles).foreach { f =>
+          def writeSrcFile(f: Int): Unit = {
             val lines = (0 until perFile).map { r =>
               val id = f * perFile + r
               s"""{"id":$id,"text":"${textOf(id % nUnique)}"}"""
@@ -212,7 +222,9 @@ object FaultTolerance {
             java.nio.file.Files.write(srcDir.resolve(f"part$f%02d.json"),
               lines.mkString("\n").getBytes(
                 java.nio.charset.StandardCharsets.UTF_8))
+            ()
           }
+          writeSrcFile(0)
           def startSink(ck: String, bands: String, admit: String) = {
             val docs = spark.readStream.schema("id LONG, text STRING")
               .option("maxFilesPerTrigger", 1).json(srcDir.toString)
@@ -226,6 +238,9 @@ object FaultTolerance {
             java.nio.file.Files.createTempDirectory(s"graft-ft-$tag").toString
           val (ckF, bandsF) = (tmp("ckF"), tmp("bandsF"))
           val q1 = startSink(ckF, bandsF, streamAdmitF)
+          q1.processAllAvailable() // batch 0 commits — nothing can kill it
+          println(s"[fault] killed_executor_pid=${killExecutors()}")
+          (1 until nFiles).foreach(writeSrcFile)
           val survived =
             try { q1.processAllAvailable(); q1.stop(); true }
             catch {
@@ -244,7 +259,6 @@ object FaultTolerance {
           val admittedF = spark.read.parquet(streamAdmitF)
             .select("id").collect().map(_.getLong(0)).toSet
           // unfaulted reference on the healed cluster (kill already fired)
-          killer.join(150000)
           val (ckR, bandsR, admitR) = (tmp("ckR"), tmp("bandsR"), tmp("admitR"))
           val q3 = startSink(ckR, bandsR, admitR)
           q3.processAllAvailable(); q3.stop()
@@ -255,10 +269,13 @@ object FaultTolerance {
           else "output_wrong"
         case "embed" =>
           // Streaming embedding-ingest under executor SIGKILL: the vector
-          // twin of the stream case (r9 VERDICT task 5). Fixture: each of
-          // nUnique deterministic base vectors recurs ~4x across the file
-          // stream under fresh vec_ids — exact dups (cosine 1), so the
-          // admission decisions are bucket-exact and both runs must agree.
+          // twin of the stream case (r9 VERDICT task 5), with the same
+          // DETERMINISTIC input-gated kill (r14 verdict #1): batch 0's
+          // file alone, commit, synchronous SIGKILL, then the rest of the
+          // stream. Fixture: each of nUnique deterministic base vectors
+          // recurs ~4x across the file stream under fresh vec_ids — exact
+          // dups (cosine 1), so the admission decisions are bucket-exact
+          // and both runs must agree.
           val nFiles = 6
           val perFile = 40
           val nUnique = 60
@@ -268,7 +285,7 @@ object FaultTolerance {
           def vecOf(t: Int): Seq[Double] =
             (0 until dim).map(j => ((t * 31 + j * 7) % 97) / 97.0 - 0.5)
           val srcDir = java.nio.file.Files.createTempDirectory("graft-ft-esrc")
-          (0 until nFiles).foreach { f =>
+          def writeVecFile(f: Int): Unit = {
             val lines = (0 until perFile).map { r =>
               val id = f * perFile + r
               s"""{"vec_id":$id,"v":[${vecOf(id % nUnique).mkString(",")}]}"""
@@ -276,7 +293,9 @@ object FaultTolerance {
             java.nio.file.Files.write(srcDir.resolve(f"part$f%02d.json"),
               lines.mkString("\n").getBytes(
                 java.nio.charset.StandardCharsets.UTF_8))
+            ()
           }
+          writeVecFile(0)
           def startEmbedSink(ck: String, buckets: String, admit: String) = {
             val vecs = spark.readStream.schema("vec_id LONG, v ARRAY<DOUBLE>")
               .option("maxFilesPerTrigger", 1).json(srcDir.toString)
@@ -288,6 +307,9 @@ object FaultTolerance {
             java.nio.file.Files.createTempDirectory(s"graft-ft-$tag").toString
           val (ckF, bucketsF) = (tmpE("eckF"), tmpE("ebkF"))
           val q1 = startEmbedSink(ckF, bucketsF, streamAdmitF)
+          q1.processAllAvailable() // batch 0 commits — nothing can kill it
+          println(s"[fault] killed_executor_pid=${killExecutors()}")
+          (1 until nFiles).foreach(writeVecFile)
           val survived =
             try { q1.processAllAvailable(); q1.stop(); true }
             catch {
@@ -314,7 +336,6 @@ object FaultTolerance {
             stateIds.size == stateIds.toSet.size && stateIds.toSet == admittedF
           println(s"[fault] bucket_state_consistent=$stateConsistent")
           // unfaulted reference on the healed cluster (kill already fired)
-          killer.join(150000)
           val (ckR, bucketsR, admitR) = (tmpE("eckR"), tmpE("ebkR"), tmpE("eadR"))
           val q3 = startEmbedSink(ckR, bucketsR, admitR)
           q3.processAllAvailable(); q3.stop()
@@ -379,7 +400,8 @@ object FaultTolerance {
           if (n == size.toLong && bad == 0) "output_ok" else "output_wrong"
       }
 
-      killer.start()
+      val pollKill = op != "stream" && op != "embed"
+      if (pollKill) killer.start() // stream/embed kill synchronously in runOp
       val result =
         try runOp()
         catch {
@@ -388,7 +410,7 @@ object FaultTolerance {
               s"${String.valueOf(e.getMessage).take(200)}")
             "failed_as_expected"
         }
-      killer.join(15000) // let the kill line flush before the verdict
+      if (pollKill) killer.join(15000) // let the kill line flush before the verdict
       println(s"[fault] mode=$mode op=$op verdict=$result")
     } finally spark.stop()
   }
