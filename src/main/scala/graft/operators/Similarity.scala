@@ -394,6 +394,68 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** One NN-descent refinement round over a kNN graph (Dong et al., WWW'11
+    * — "Efficient K-Nearest Neighbor Graph Construction for Generic
+    * Similarity Measures"): each node's candidate set is its current
+    * neighborhood expanded by neighbors-of-neighbors, re-scored with exact
+    * cosine and re-ranked by the same partitioned top-k window. Feed the
+    * output of [[knnGraph]] in and iterate; one round already closes most
+    * of the SRP bucketing's recall gap (the bucket miss a node's true
+    * neighbor fell into is usually reachable through a SHARED neighbor —
+    * the NN-descent observation that "a neighbor of a neighbor is likely a
+    * neighbor").
+    *
+    * Scale shape: the neighborhood is made UNDIRECTED first (forward edges
+    * ∪ reverse edges), with the reverse degree CAPPED at k by a window
+    * over the incoming edges — the standard NN-descent reverse-sample
+    * bound, here deterministic (round(cos,6) desc, src) instead of random,
+    * so the oracle can replay it. A hub node therefore contributes at most
+    * 2k edges in each direction, the middle-node self-join emits ≤ (2k)²
+    * candidates per node — linear in N at fixed k — and the final ranking
+    * is a window partitioned by src, never global. Exactly one exchange
+    * per side of the expansion join (by the middle node) plus the window's
+    * exchange; vectors are fetched by id AFTER dedup so each surviving
+    * candidate pair scores exactly once.
+    *
+    * `emb` must be the SAME (vec_id, v) frame the graph was built from
+    * (zero-norm rows are re-dropped here to keep cosine defined).
+    * Output: (src, dst, cos, rn) with rn in 1..k per src — same schema as
+    * [[knnGraph]], so rounds chain. */
+  def nnDescentRound(
+      graph: DataFrame, // (src, dst, cos, ...) from knnGraph or a prior round
+      emb: DataFrame,   // (vec_id, v: array<double>)
+      k: Int): DataFrame = {
+    val fwd = graph.select(col("src"), col("dst"))
+    // reverse edges, degree-capped at k per target: without the cap a hub
+    // that half the corpus lists as a neighbor would fan Σ deg_in·deg_out
+    // candidates through the expansion join — the quadratic term NN-descent
+    // bounds by sampling, bounded here deterministically instead
+    val revW = Window.partitionBy("dst").orderBy(round(col("cos"), 6).desc, col("src"))
+    val rev = graph.select(col("src"), col("dst"), col("cos"))
+      .withColumn("__rrn", row_number().over(revW))
+      .filter(col("__rrn") <= k)
+      .select(col("dst").as("src"), col("src").as("dst"))
+    val und = fwd.unionAll(rev).distinct()
+    // neighbors-of-neighbors through the middle node, plus the current
+    // edges; distinct BEFORE scoring so each pair scores once
+    val cand = und.as("e1")
+      .join(und.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .unionAll(fwd)
+      .distinct()
+    val vecs = emb.filter(V.l2Norm(col("v")) > 0)
+    val w = Window.partitionBy("src")
+      .orderBy(round(col("cos"), 6).desc, col("dst"))
+    cand
+      .join(vecs.select(col("vec_id").as("src"), col("v").as("sv")), Seq("src"))
+      .join(vecs.select(col("vec_id").as("dst"), col("v").as("dv")), Seq("dst"))
+      .withColumn("cos", V.cosineNative(col("sv"), col("dv")))
+      .select(col("src"), col("dst"), col("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
     * their nearest centroid once (a broadcast join against C centroids —
     * embarrassingly parallel); each query searches only the nprobe

@@ -155,6 +155,34 @@ object PortableSql {
                     ORDER BY round(cos, 6) DESC, dst) AS rn FROM nb)
                 WHERE rn <= $k)"""
 
+  /** One NN-descent refinement round over the kNN graph — mirrors
+    * Similarity.nnDescentRound applied to the [[knnGraphCtes]] graph:
+    * undirected neighborhood (forward ∪ reverse edges, reverse degree
+    * capped at k by the same deterministic window), neighbors-of-neighbors
+    * expansion through the middle node, distinct-before-score, exact
+    * cosine, per-src top-k. Exposes `nnd(src, dst, cos, rn)`. */
+  def nnDescentCtes(k: Int): String =
+    s"""${knnGraphCtes(k)},
+        fwd AS (SELECT src, dst FROM knn),
+        rev AS (SELECT dst AS src, src AS dst FROM (
+                  SELECT src, dst, row_number() OVER (PARTITION BY dst
+                    ORDER BY round(cos, 6) DESC, src) AS rrn FROM knn)
+                WHERE rrn <= $k),
+        und AS (SELECT DISTINCT src, dst FROM (
+                  SELECT src, dst FROM fwd UNION ALL SELECT src, dst FROM rev)),
+        cand AS (SELECT DISTINCT src, dst FROM (
+                   SELECT e1.src AS src, e2.dst AS dst
+                   FROM und e1 JOIN und e2 ON e1.dst = e2.src
+                   WHERE e1.src <> e2.dst
+                   UNION ALL SELECT src, dst FROM fwd)),
+        nd AS (SELECT c.src, c.dst, ${cosine("a.v", "b.v")} AS cos
+               FROM cand c JOIN bkz a ON a.vec_id = c.src
+                           JOIN bkz b ON b.vec_id = c.dst),
+        nnd AS (SELECT src, dst, cos, rn FROM (
+                  SELECT *, row_number() OVER (PARTITION BY src
+                    ORDER BY round(cos, 6) DESC, dst) AS rn FROM nd)
+                WHERE rn <= $k)"""
+
   /** Hamming-<=1 candidate pairs with exact cosine — the oracle answer for
     * lshBucketJoin(multiProbe = true): candidate iff buckets equal or differ
     * in exactly one bit; survivors iff cosine >= threshold. */

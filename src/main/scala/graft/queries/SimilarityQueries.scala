@@ -130,6 +130,30 @@ object SimilarityQueries {
         .orderBy("src", "rn")
     },
 
+    // One NN-descent refinement round over the q_sim_knn graph
+    // (Similarity.nnDescentRound): neighbors-of-neighbors candidate
+    // expansion with the reverse degree capped at k, exact-cosine
+    // re-scoring, same partitioned top-k — the construction step that
+    // turns the SRP-bucketed seed graph into a high-recall kNN graph
+    // (recall vs brute force measured in ScaleUpSpec / SCALE_r15).
+    // Fully deterministic, so the oracle replays the round exactly.
+    QueryDef(
+      "q_sim_nndescent",
+      Some(s"""WITH ${PortableSql.nnDescentCtes(5)}
+          SELECT src, dst, ${Num.oracleRound2("cos")} AS cos,
+                 CAST(rn AS BIGINT) AS rn
+          FROM nnd ORDER BY src, rn""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+      val nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings"))
+      val seed = Similarity.knnGraph(emb, dim = 64, nBits = nBits, k = 5,
+        portable = true)
+      Similarity.nnDescentRound(seed, emb, k = 5)
+        .select(col("src"), col("dst"), Num.round2(col("cos")).as("cos"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("src", "rn")
+    },
+
     // Two-stage ANN retrieval (the production search shape): SRP-LSH
     // recall bounds the candidate set — each query probes its own bucket
     // plus all Hamming-1 neighbors — then an exact-cosine rerank picks

@@ -1,0 +1,99 @@
+package graft.tools
+
+import graft.Tables
+import graft.functions.{VectorFunctions => V}
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Recall artifact for the kNN-graph construction path (r14 verdict #3):
+  * measures recall@k vs brute-force kNN for the SRP-bucketed seed graph
+  * ([[Similarity.knnGraph]]) and each NN-descent refinement round
+  * ([[Similarity.nnDescentRound]]) on the real embeddings table — the
+  * number that justifies (or refutes) paying for a refinement round at
+  * scale.
+  *
+  * Brute-force truth: per-vector top-k over ALL pairs under the SAME
+  * ranking the operators use (round(cos,6) desc, id asc), built as a
+  * broadcast cross join (corpus×corpus rows stream map-side; only the
+  * per-src window shuffles) — feasible at probe scales, and exactly the
+  * O(N²) cost the bucketed path exists to avoid. Recall is computed
+  * distributed (edge-set equi-join), only scalars reach the driver.
+  *
+  * Mirrors the registered q_sim_nndescent exactly: portable buckets,
+  * corpus-derived bit count, k = 5 default.
+  *
+  * Usage: runMain graft.tools.RecallProbe <sfDir> [k] [rounds]
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.drop(1).headOption.map(_.toInt).getOrElse(5)
+    val rounds = args.drop(2).headOption.map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.configure(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(100000).selectExpr("sum(id)").collect()
+
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+      .filter(V.l2Norm(col("v")) > 0)
+      .localCheckpoint(true)
+    val n = emb.count()
+    val nBits = Similarity.lshNBits(n)
+    println(s"[recall-probe] sfDir=$sfDir n=$n k=$k nBits=$nBits rounds=$rounds")
+
+    // brute-force truth: same tie-break as knnGraph's window
+    val truthW = Window.partitionBy("src").orderBy(round(col("cos"), 6).desc, col("dst"))
+    val truth = emb.select(col("vec_id").as("src"), col("v").as("sv"))
+      .crossJoin(broadcast(emb.select(col("vec_id").as("dst"), col("v").as("dv"))))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cos", V.cosineNative(col("sv"), col("dv")))
+      .select("src", "dst", "cos")
+      .withColumn("rn", row_number().over(truthW))
+      .filter(col("rn") <= k)
+      .select("src", "dst")
+      .localCheckpoint(true)
+    val truthEdges = truth.count()
+
+    def recallOf(g: DataFrame): Double =
+      g.select("src", "dst").join(truth, Seq("src", "dst"), "left_semi")
+        .count().toDouble / truthEdges
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // seed graph, materialized so each round's wall is its own cost
+    val (seed, seedWall) = timed {
+      Similarity.knnGraph(emb, dim = 64, nBits = nBits, k = k, portable = true)
+        .localCheckpoint(true)
+    }
+    var g = seed
+    var stats = List(("seed", recallOf(seed), seedWall))
+    (1 to rounds).foreach { r =>
+      val (next, wall) = timed {
+        Similarity.nnDescentRound(g, emb, k = k).localCheckpoint(true)
+      }
+      g = next
+      stats = stats :+ ((s"round$r", recallOf(next), wall))
+    }
+    stats.foreach { case (tag, rec, wall) =>
+      println(f"[recall-probe] $tag: recall@$k=$rec%.4f wall=$wall%.2f s")
+    }
+    val recJson = stats.map { case (t, r, _) => f""""$t":$r%.4f""" }.mkString(",")
+    val wallJson = stats.map { case (t, _, w) => f""""$t":$w%.2f""" }.mkString(",")
+    println(s"""{"metric":"nndescent_recall","sf":"$sfDir","n":$n,"k":$k,""" +
+      s""""nbits":$nBits,"truth_edges":$truthEdges,""" +
+      s""""recall":{$recJson},"wall_s":{$wallJson}}""")
+    spark.stop()
+  }
+}

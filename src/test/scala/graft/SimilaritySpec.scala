@@ -298,6 +298,45 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("nnDescentRound: refinement never loses recall vs the seed graph; budget + schema hold") {
+    import spark.implicits._
+    // sparse buckets (nBits=6 over 60 nodes) so the SRP seed graph has a
+    // real recall gap for the refinement round to close
+    val rows = (0L until 60L).map(i => (i, vec(i.toInt + 9, 32)))
+    val emb = rows.toDF("vec_id", "v")
+    val k = 3
+    val seed = Similarity.knnGraph(emb, dim = 32, nBits = 6, k = k)
+    val refined = Similarity.nnDescentRound(seed, emb, k = k)
+    // same schema as knnGraph, so rounds chain; per-node budget respected
+    assert(refined.columns.toSeq == Seq("src", "dst", "cos", "rn"))
+    val got = refined.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    got.groupBy(_._1).foreach { case (s, es) =>
+      assert(es.size <= k && es.map(_._3).sorted.toSeq == (1 to es.size), s"node $s")
+    }
+    // brute-force truth at the same k and tie-break
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val truth = rows.flatMap { case (id, v) =>
+      rows.filter(_._1 != id)
+        .map { case (j, u) => (id, j, cos(v, u)) }
+        .sortBy { case (_, j, c) => (-math.rint(c * 1e6), j) }
+        .take(k).map { case (s2, d2, _) => (s2, d2) }
+    }.toSet
+    def recallOf(g: org.apache.spark.sql.DataFrame): Double = {
+      val es = g.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (es & truth).size.toDouble / truth.size
+    }
+    val (rSeed, rRef) = (recallOf(seed), recallOf(refined))
+    assert(rRef >= rSeed, s"refinement lost recall: seed=$rSeed refined=$rRef")
+    assert(rRef > rSeed, s"fixture too easy: seed already at $rSeed — lower nBits")
+    // a second round chains on the first's output and keeps its gains
+    val round2 = Similarity.nnDescentRound(refined, emb, k = k)
+    assert(recallOf(round2) >= rRef)
+  }
+
   test("semanticDedup drops in-cell near-dups, keeps min id and distinct vectors") {
     import spark.implicits._
     val originals = (0L until 20L).map(i => (i, vec(i.toInt + 50, 32)))
