@@ -114,10 +114,20 @@ object Multimodal {
 
     // ---- encoders (fixture/test side): spec-conformant files ----------
 
-    /** Fully valid 24-bit PNG of black pixels: signature + IHDR + one
-      * zlib-deflated IDAT (real java.util.zip.Deflater) + IEND, all CRCs
-      * correct — decodable by any standard PNG reader. */
-    def encodePng(width: Int, height: Int): Array[Byte] = {
+    /** PNG Paeth predictor (spec §9, Filtering): nearest of left/above/
+      * upper-left to p = a + b - c, ties breaking a, then b. Shared by the
+      * pattern encoder (forward filter) and [[decodePngPixels]] (inverse). */
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** Assemble a spec-conformant PNG file from pre-filtered scanlines
+      * (`raw` = height rows of 1 filter byte + width*3 RGB bytes):
+      * signature + IHDR (8-bit truecolor) + one real zlib-deflated IDAT +
+      * IEND, all CRCs correct. */
+    private def pngFile(width: Int, height: Int, raw: Array[Byte]): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
       def chunk(typ: String, data: Array[Byte]): Unit = {
         val len = data.length
@@ -136,7 +146,6 @@ object Multimodal {
         (width >>> 24).toByte, (width >>> 16).toByte, (width >>> 8).toByte, width.toByte,
         (height >>> 24).toByte, (height >>> 16).toByte, (height >>> 8).toByte, height.toByte,
         8, 2, 0, 0, 0)) // bit depth 8, color type 2 (truecolor)
-      val raw = new Array[Byte](height * (1 + width * 3)) // filter byte + RGB rows
       val deflater = new java.util.zip.Deflater()
       deflater.setInput(raw); deflater.finish()
       val buf = new Array[Byte](8192)
@@ -146,6 +155,144 @@ object Multimodal {
       chunk("IDAT", z.toByteArray)
       chunk("IEND", Array.emptyByteArray)
       out.toByteArray
+    }
+
+    /** Fully valid 24-bit PNG of black pixels (filter type 0 rows) —
+      * decodable by any standard PNG reader. */
+    def encodePng(width: Int, height: Int): Array[Byte] =
+      pngFile(width, height, new Array[Byte](height * (1 + width * 3)))
+
+    /** Valid 24-bit PNG carrying [[patternValue]] pixels with the row
+      * filter type CYCLING through all five spec filters
+      * ((id + y) % 5: None/Sub/Up/Average/Paeth) — so a decoder must
+      * implement every reconstruction rule, not just the None passthrough
+      * the black fixture exercises. Forward filtering here is the exact
+      * inverse of [[decodePngPixels]]'s reconstruction. */
+    def encodePngPattern(id: Long, width: Int, height: Int): Array[Byte] = {
+      val stride = width * 3
+      val rgb = new Array[Byte](height * stride)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          var c = 0
+          while (c < 3) {
+            rgb((y * width + x) * 3 + c) = patternValue(id, x, y, c).toByte
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val raw = new Array[Byte](height * (stride + 1))
+      y = 0
+      while (y < height) {
+        val ft = (((id % 5) + y) % 5).toInt
+        raw(y * (stride + 1)) = ft.toByte
+        var i = 0
+        while (i < stride) {
+          val v = rgb(y * stride + i) & 0xff
+          val a = if (i >= 3) rgb(y * stride + i - 3) & 0xff else 0
+          val b = if (y > 0) rgb((y - 1) * stride + i) & 0xff else 0
+          val cc = if (y > 0 && i >= 3) rgb((y - 1) * stride + i - 3) & 0xff else 0
+          val f = ft match {
+            case 0 => v
+            case 1 => v - a
+            case 2 => v - b
+            case 3 => v - ((a + b) >> 1)
+            case _ => v - paeth(a, b, cc)
+          }
+          raw(y * (stride + 1) + 1 + i) = f.toByte
+          i += 1
+        }
+        y += 1
+      }
+      pngFile(width, height, raw)
+    }
+
+    /** Real PNG pixel decode (closes the r14 "IHDR-only" gap): full chunk
+      * walk with per-chunk CRC32 verification, IDAT concatenation, zlib
+      * inflate (java.util.zip.Inflater), then per-row filter
+      * RECONSTRUCTION — all five spec filters (None/Sub/Up/Average/Paeth,
+      * PNG spec §9). Claims 8-bit truecolor (color type 2), non-interlaced
+      * — anything else (palette, alpha, 16-bit, Adam7, corrupt CRCs,
+      * truncated IDAT, foreign bytes) returns None, never throws. Output
+      * is the same top-down RGB [[BmpPixels]] grid the BMP decoder emits,
+      * so the box-filter resample downstream is container-agnostic. */
+    def decodePngPixels(b: Array[Byte]): Option[BmpPixels] = {
+      if (b.length < 45 || !PngSig.indices.forall(i => b(i) == PngSig(i))) return None
+      var off = 8
+      var width = 0; var height = 0
+      var ok = true; var headerSeen = false; var ended = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (ok && !ended && off + 12 <= b.length) {
+        val len = be32(b, off)
+        if (len > b.length.toLong - off - 12) ok = false
+        else {
+          val crc = new java.util.zip.CRC32
+          crc.update(b, off + 4, 4 + len.toInt)
+          if (crc.getValue != be32(b, off + 8 + len.toInt)) ok = false
+          else if (ascii(b, off + 4, "IHDR")) {
+            if (len != 13L) ok = false
+            else {
+              width = be32(b, off + 8).toInt
+              height = be32(b, off + 12).toInt
+              val depthType = (b(off + 16) & 0xff, b(off + 17) & 0xff,
+                b(off + 18) & 0xff, b(off + 19) & 0xff, b(off + 20) & 0xff)
+              headerSeen = true
+              if (depthType != ((8, 2, 0, 0, 0)) || width <= 0 || height <= 0)
+                ok = false
+            }
+          } else if (ascii(b, off + 4, "IDAT")) idat.write(b, off + 8, len.toInt)
+          else if (ascii(b, off + 4, "IEND")) ended = true
+          if (ok) off += 12 + len.toInt
+        }
+      }
+      if (!ok || !headerSeen || !ended || idat.size == 0) return None
+      val stride = width * 3
+      val rawLen = height.toLong * (stride + 1)
+      if (rawLen > Int.MaxValue - 8) return None
+      val raw = new Array[Byte](rawLen.toInt)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      try {
+        var got = 0
+        var stalled = false
+        while (got < raw.length && !inf.finished() && !stalled) {
+          val n = inf.inflate(raw, got, raw.length - got)
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true
+          got += n
+        }
+        if (got < raw.length) return None // truncated pixel stream
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+      val rgb = new Array[Byte](height * stride)
+      var y = 0
+      while (y < height) {
+        val ft = raw(y * (stride + 1)) & 0xff
+        if (ft > 4) return None
+        val src = y * (stride + 1) + 1
+        val dst = y * stride
+        var i = 0
+        while (i < stride) {
+          val x = raw(src + i) & 0xff
+          val a = if (i >= 3) rgb(dst + i - 3) & 0xff else 0
+          val up = if (y > 0) rgb(dst - stride + i) & 0xff else 0
+          val ul = if (y > 0 && i >= 3) rgb(dst - stride + i - 3) & 0xff else 0
+          val v = ft match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + up
+            case 3 => x + ((a + up) >> 1)
+            case _ => x + paeth(a, up, ul)
+          }
+          rgb(dst + i) = v.toByte
+          i += 1
+        }
+        y += 1
+      }
+      Some(BmpPixels(width, height, rgb))
     }
 
     /** Valid 24-bit BMP (BITMAPINFOHEADER) of black pixels, rows padded
@@ -442,12 +589,29 @@ object Multimodal {
     * BMP). Runs as one typed mapPartitions — per-partition decoder
     * amortization, rows streamed. */
   def resizeBmpArea(media: Dataset[MediaRecord], targetW: Int, targetH: Int)
+      : Dataset[ResizedMedia] =
+    resizeArea(media, targetW, targetH, HeaderCodec.decodeBmpPixels)
+
+  /** Container-agnostic REAL resample: the same box filter fed by the
+    * pixel-decoder REGISTRY (BMP first by magic, then PNG — each decoder
+    * claims its container and returns None on foreign bytes, so the
+    * orElse chain is a sniff, not a retry loop). This is the entry point
+    * a mixed media table uses; [[resizeBmpArea]] stays as the
+    * single-container registration. */
+  def resizeImageArea(media: Dataset[MediaRecord], targetW: Int, targetH: Int)
+      : Dataset[ResizedMedia] =
+    resizeArea(media, targetW, targetH,
+      b => HeaderCodec.decodeBmpPixels(b).orElse(HeaderCodec.decodePngPixels(b)))
+
+  private def resizeArea(
+      media: Dataset[MediaRecord], targetW: Int, targetH: Int,
+      decode: Array[Byte] => Option[HeaderCodec.BmpPixels])
       : Dataset[ResizedMedia] = {
     require(targetW >= 1 && targetH >= 1)
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
-        HeaderCodec.decodeBmpPixels(r.payload).map { p =>
+        decode(r.payload).map { p =>
           val out = new Array[Byte](targetW * targetH * 3)
           var j = 0
           while (j < targetH) {
@@ -495,6 +659,23 @@ object Multimodal {
       .map { case (id, nc) =>
         MediaRecord(id, "image",
           HeaderCodec.encodeBmpPattern(id,
+            (id % 64 + 1).toInt, (nc % 64 + 1).toInt))
+      }
+  }
+
+  /** Fixture for the PNG pixel path: every document becomes one patterned
+    * PNG (same (doc_id, n_chars) dims arithmetic and [[HeaderCodec
+    * .patternValue]] pixels as [[plantedPatternBmp]], but the payload
+    * round-trips the PNG layout: zlib-deflated IDAT and all five row
+    * filters). The q_mm_resize_real oracle therefore applies verbatim —
+    * same pattern, different container. */
+  def plantedPatternPng(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nc) =>
+        MediaRecord(id, "image",
+          HeaderCodec.encodePngPattern(id,
             (id % 64 + 1).toInt, (nc % 64 + 1).toInt))
       }
   }

@@ -450,6 +450,55 @@ object ScalarQueries {
         .orderBy("media_id", "cell_y", "cell_x")
     },
 
+    // REAL PNG decode + resample (closes the r14 "IHDR-only" image gap):
+    // the same planted pattern and box-filter as q_mm_resize_real, but the
+    // payload is a spec-conformant PNG — zlib-deflated IDAT the engine
+    // must INFLATE and per-row filter bytes cycling all five spec filters
+    // (None/Sub/Up/Average/Paeth) it must RECONSTRUCT before resampling.
+    // Decode goes through the container registry (resizeImageArea: BMP
+    // then PNG by magic). The oracle is identical to q_mm_resize_real's —
+    // it re-derives every channel value from (doc_id, n_chars) arithmetic
+    // and never sees bytes — so a pass proves the deflate->filter->pixel
+    // round-trip byte-exactly.
+    QueryDef(
+      "q_mm_resize_png",
+      Some(s"""WITH d AS (SELECT doc_id AS id,
+                       CAST(doc_id % 64 + 1 AS BIGINT) AS w,
+                       CAST(n_chars % 64 + 1 AS BIGINT) AS h
+                FROM documents),
+          cells AS (SELECT id, w, h, cx, cy
+                    FROM d,
+                         (SELECT unnest(generate_series(0, 7)) AS cx),
+                         (SELECT unnest(generate_series(0, 3)) AS cy)),
+          box AS (SELECT id, cx, cy,
+                         (cx * w) // 8 AS x0,
+                         GREATEST((cx * w) // 8 + 1, ((cx + 1) * w) // 8) AS x1,
+                         (cy * h) // 4 AS y0,
+                         GREATEST((cy * h) // 4 + 1, ((cy + 1) * h) // 4) AS y1
+                  FROM cells)
+          SELECT id AS media_id,
+                 CAST(cx AS INT) AS cell_x, CAST(cy AS INT) AS cell_y,
+                 CAST(${bmpChan(0)} AS INT) AS r,
+                 CAST(${bmpChan(1)} AS INT) AS g,
+                 CAST(${bmpChan(2)} AS INT) AS b
+          FROM box ORDER BY media_id, cell_y, cell_x""")) { (s, d) =>
+      import s.implicits._
+      val media = graft.multimodal.Multimodal
+        .plantedPatternPng(Tables.documents(s, d))
+      graft.multimodal.Multimodal.resizeImageArea(media, targetW = 8, targetH = 4)
+        .flatMap { rm =>
+          for (cy <- 0 until 4; cx <- 0 until 8) yield {
+            val base = (cy * 8 + cx) * 3
+            (rm.media_id, cx, cy,
+              rm.payload(base) & 0xff,
+              rm.payload(base + 1) & 0xff,
+              rm.payload(base + 2) & 0xff)
+          }
+        }
+        .toDF("media_id", "cell_x", "cell_y", "r", "g", "b")
+        .orderBy("media_id", "cell_y", "cell_x")
+    },
+
     // REAL audio feature extraction: every document becomes a mono 16-bit
     // PCM WAV with an arithmetic sawtooth payload, the engine decodes the
     // actual RIFF/PCM byte layout (chunk walk, little-endian i16) and

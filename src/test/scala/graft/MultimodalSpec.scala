@@ -162,6 +162,72 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
       .decodeBmpPixels(Multimodal.HeaderCodec.encodePng(4, 4)).isEmpty)
   }
 
+  test("patterned PNG decode reconstructs all five row filters; ImageIO independently agrees") {
+    import Multimodal.HeaderCodec._
+    // heights >= 5 so the (id%5 + y) % 5 filter cycle hits every spec
+    // filter; ids shift the phase so each filter also appears as row 0
+    // (no above-row) somewhere; width 1 exercises the no-left-pixel edge
+    for ((id, w, h) <- Seq((0L, 7, 6), (1L, 5, 5), (2L, 1, 9), (3L, 13, 5), (4L, 64, 8))) {
+      val bytes = encodePngPattern(id, w, h)
+      val p = decodePngPixels(bytes).get
+      assert(p.width == w && p.height == h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert((p.rgb((y * w + x) * 3 + c) & 0xff) == patternValue(id, x, y, c),
+          s"id=$id ($x,$y,$c)")
+      // independent JDK decoder (javax.imageio) must see the same pixels —
+      // validates our ENCODER's filtering against a foreign implementation,
+      // and therefore our decoder by the equality above
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y)
+        assert(((argb >> 16) & 0xff) == patternValue(id, x, y, 0), s"iio R ($x,$y)")
+        assert(((argb >> 8) & 0xff) == patternValue(id, x, y, 1), s"iio G ($x,$y)")
+        assert((argb & 0xff) == patternValue(id, x, y, 2), s"iio B ($x,$y)")
+      }
+    }
+    // black PNG (filter 0 rows) decodes to zeros
+    val black = decodePngPixels(encodePng(4, 3)).get
+    assert(black.rgb.forall(_ == 0) && black.width == 4 && black.height == 3)
+  }
+
+  test("decodePngPixels refuses corrupt, truncated and foreign payloads") {
+    import Multimodal.HeaderCodec._
+    val good = encodePngPattern(11L, 9, 7)
+    assert(decodePngPixels(good).isDefined)
+    // corrupt one IDAT payload byte: the chunk CRC must reject it
+    val corrupt = good.clone()
+    corrupt(45) = (corrupt(45) ^ 0x5a).toByte
+    assert(decodePngPixels(corrupt).isEmpty)
+    // truncate mid-IDAT: chunk walk stops, no IEND -> None, never throws
+    assert(decodePngPixels(good.take(good.length - 20)).isEmpty)
+    // foreign containers and junk refuse
+    assert(decodePngPixels(encodeBmpPattern(1L, 4, 4)).isEmpty)
+    assert(decodePngPixels("not a png at all".getBytes).isEmpty)
+    // the header-only parser still accepts the good file (metadata path)
+    assert(parse(good).contains(Parsed("png", 9, 7, 0, 0, 0L)))
+  }
+
+  test("resizeImageArea: PNG and BMP of the same pattern resample identically") {
+    import spark.implicits._
+    val dims = Seq((3, 2), (8, 4), (13, 9), (1, 7))
+    val media = dims.zipWithIndex.flatMap { case ((w, h), i) =>
+      Seq(
+        Multimodal.MediaRecord(i.toLong, "image",
+          Multimodal.HeaderCodec.encodePngPattern(i.toLong, w, h)),
+        // same id+dims as BMP under a shifted media_id for comparison
+        Multimodal.MediaRecord(100L + i, "image",
+          Multimodal.HeaderCodec.encodeBmpPattern(i.toLong, w, h)))
+    } :+ Multimodal.MediaRecord(999L, "audio",
+      Multimodal.HeaderCodec.encodeWav(8000, 1, 4))
+    val got = Multimodal.resizeImageArea(media.toDS(), 8, 4).collect()
+      .map(r => r.media_id -> r.payload.toSeq).toMap
+    dims.indices.foreach { i =>
+      assert(got(i.toLong) == got(100L + i), s"png/bmp divergence at dims ${dims(i)}")
+    }
+    // the WAV record is dropped by the registry, not zero-filled
+    assert(!got.contains(999L) && got.size == dims.size * 2)
+  }
+
   test("resizeBmpArea golden bytes: 2x2 box-average, 1x1 upsample repeat, non-BMP dropped") {
     import spark.implicits._
     val media = Seq(
