@@ -380,6 +380,72 @@ object Streams {
   def admittedDocs(spark: SparkSession, admittedPath: String): DataFrame =
     spark.read.parquet(admittedPath)
 
+  /** Streaming record linkage — the ER twin of [[dedupIngestSink]]: each
+    * arrivals micro-batch is resolved against the (static, big) canonical
+    * table via [[graft.operators.Linkage.resolveIncremental]] — the
+    * arrivals side carries the broadcast hint, so the canonical table is
+    * probed MAP-SIDE and never shuffled, per micro-batch — and the
+    * accepted matches (dirtyId, matched_id, score) are admitted to a
+    * persisted store. Arrivals that matched nothing at `minScore` go to
+    * the optional quarantine (the reference's malformed-line quarantine
+    * shape, applied to entity resolution: unmatched records await human
+    * review or a canonical-table refresh).
+    *
+    * Crash contract: linkage against a static canonical table is
+    * stateless across batches, so exactly-once reduces to per-batch
+    * `batch=<id>` overwrite — a replayed batch rewrites its own directory
+    * and converges. The caller must keep `canonical` DETERMINISTIC across
+    * retries (a parquet table is; a non-deterministic derivation is not —
+    * same contract as the resolve itself). A durable
+    * `checkpointLocation` gives stable batch ids across restarts (same
+    * discipline as the dedup/embed sinks).
+    *
+    * `arrivals` must already carry `dirtyId`, `blockCol` and every
+    * field's dirty column (compute the blocking key upstream with the
+    * same normalization as the canonical side). */
+  def linkageIngestSink(
+      arrivals: DataFrame,
+      canonical: DataFrame,
+      canonicalId: String,
+      dirtyId: String,
+      blockCol: String,
+      fields: Seq[graft.operators.Linkage.Field],
+      minScore: Long,
+      matchedPath: String,
+      unmatchedPath: Option[String] = None,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = checkpointLocation.foldLeft(
+      arrivals.writeStream.outputMode("append"))(
+      (w, p) => w.option("checkpointLocation", p))
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist() // read twice: resolve + quarantine anti-join
+        try {
+          graft.operators.Linkage
+            .resolveIncremental(canonical, b, canonicalId, dirtyId, blockCol,
+              fields, minScore)
+            .write.mode("overwrite").parquet(s"$matchedPath/batch=$batchId")
+          unmatchedPath.foreach { up =>
+            // anti-join against the JUST-WRITTEN matches (read back, not
+            // recomputed — the resolve's window ran once)
+            val matched = spark.read.parquet(s"$matchedPath/batch=$batchId")
+              .select(dirtyId)
+            b.join(matched, Seq(dirtyId), "left_anti")
+              .write.mode("overwrite").parquet(s"$up/batch=$batchId")
+          }
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** All matches admitted by [[linkageIngestSink]] so far, with the batch
+    * that admitted each. */
+  def linkageMatches(spark: SparkSession, matchedPath: String): DataFrame =
+    spark.read.parquet(matchedPath)
+
   /** Streaming EMBEDDING ingest with ANN admission control — the vector
     * twin of [[dedupIngestSink]]: every micro-batch of (vec_id,
     * v: array<double>) is near-dup-checked against the vectors admitted

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * is decided solely by WHERE the lost round state lived (blocks vs
   * files).
   *
-  * Usage: runMain graft.tools.FaultTolerance <local|reliable> [cc|bpe|zip|stream|embed] [size]
+  * Usage: runMain graft.tools.FaultTolerance <local|reliable> [cc|bpe|zip|stream|embed|linkage] [size]
   *
   *  - `cc`  (default): Dedup.duplicateClusters on a `size`-long chain —
   *    every label must come out as the chain head.
@@ -345,6 +345,85 @@ object FaultTolerance {
           if (admittedF.nonEmpty && admittedF == admittedR && stateConsistent)
             "output_ok"
           else "output_wrong"
+        case "linkage" =>
+          // Streaming record-linkage ingest under executor SIGKILL — the ER
+          // twin of the stream/embed cases, same input-gated deterministic
+          // kill. The sink's crash contract is the simplest of the three
+          // (stateless across batches vs the static canonical table +
+          // per-batch overwrite), and this proves it end to end: the
+          // faulted run's matched store must equal an unfaulted reference.
+          import graft.operators.Linkage
+          val nFiles = 6
+          val perFile = 40
+          val nCanon = 120L
+          def ctextOf(c: Long): String =
+            s"blk${c % 40} alpha${c % 7} beta${c % 11} tail$c"
+          def dtextOf(d: Long): String = {
+            val t = ctextOf(d % nCanon); t.take(t.length - 2)
+          }
+          val canonical = spark.range(nCanon)
+            .select(col("id").as("cid"),
+              concat(lit("blk"), pmod(col("id"), lit(40))).as("blk"),
+              concat_ws(" ",
+                concat(lit("blk"), pmod(col("id"), lit(40))),
+                concat(lit("alpha"), pmod(col("id"), lit(7))),
+                concat(lit("beta"), pmod(col("id"), lit(11))),
+                concat(lit("tail"), col("id"))).as("ctext"))
+          val srcDir = java.nio.file.Files.createTempDirectory("graft-ft-lsrc")
+          def writeLnkFile(f: Int): Unit = {
+            val lines = (0 until perFile).map { r =>
+              val id = f * perFile + r
+              s"""{"d_id":$id,"blk":"blk${id % 40}","dtext":"${dtextOf(id.toLong)}"}"""
+            }
+            java.nio.file.Files.write(srcDir.resolve(f"part$f%02d.json"),
+              lines.mkString("\n").getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+            ()
+          }
+          writeLnkFile(0)
+          def startLnkSink(ck: String, matched: String) = {
+            val arr = spark.readStream
+              .schema("d_id LONG, blk STRING, dtext STRING")
+              .option("maxFilesPerTrigger", 1).json(srcDir.toString)
+            graft.streaming.Streams.linkageIngestSink(
+              arr, canonical, canonicalId = "cid", dirtyId = "d_id",
+              blockCol = "blk",
+              fields = Seq(Linkage.Field("ctext", "dtext", 1000)),
+              minScore = 600000L, matchedPath = matched,
+              checkpointLocation = Some(ck))
+          }
+          def tmpL(tag: String): String =
+            java.nio.file.Files.createTempDirectory(s"graft-ft-$tag").toString
+          val ckF = tmpL("lckF")
+          val q1 = startLnkSink(ckF, streamAdmitF)
+          q1.processAllAvailable() // batch 0 commits — nothing can kill it
+          println(s"[fault] killed_executor_pid=${killExecutors()}")
+          (1 until nFiles).foreach(writeLnkFile)
+          val survived =
+            try { q1.processAllAvailable(); q1.stop(); true }
+            catch {
+              case e: Throwable =>
+                println(s"[fault] stream_query_failed=${e.getClass.getSimpleName}")
+                try q1.stop() catch { case _: Throwable => () }
+                false
+            }
+          if (!survived) {
+            val q2 = startLnkSink(ckF, streamAdmitF)
+            q2.processAllAvailable(); q2.stop()
+          }
+          println(s"[fault] stream_survived_kill=$survived")
+          def matchSet(path: String): Set[(Long, Long, Long)] =
+            spark.read.parquet(path).select("d_id", "matched_id", "score")
+              .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+          val matchedF = matchSet(streamAdmitF)
+          // unfaulted reference on the healed cluster (kill already fired)
+          val (ckR, matchedR) = (tmpL("lckR"), tmpL("lmaR"))
+          val q3 = startLnkSink(ckR, matchedR)
+          q3.processAllAvailable(); q3.stop()
+          val refSet = matchSet(matchedR)
+          println(s"[fault] n_matched=${matchedF.size} ref=${refSet.size}")
+          if (matchedF.nonEmpty && matchedF == refSet) "output_ok"
+          else "output_wrong"
         case "bpe" =>
           // deterministic Zipf-ish vocabulary (same generator family as
           // Profile's bpe fixture): enough words that learnMerges spans
@@ -400,7 +479,7 @@ object FaultTolerance {
           if (n == size.toLong && bad == 0) "output_ok" else "output_wrong"
       }
 
-      val pollKill = op != "stream" && op != "embed"
+      val pollKill = op != "stream" && op != "embed" && op != "linkage"
       if (pollKill) killer.start() // stream/embed kill synchronously in runOp
       val result =
         try runOp()

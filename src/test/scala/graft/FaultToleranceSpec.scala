@@ -96,6 +96,14 @@ class FaultToleranceSpec extends AnyFunSuite {
     assert(log.contains("verdict=output_ok"), log)
   }
 
+  test("streaming linkage-ingest: matched store survives executor SIGKILL (per-batch overwrite replay)") {
+    // the ER sink's crash contract is stateless-per-batch resolve against
+    // the static canonical table + batch=<id> overwrite; the verdict is
+    // matched-set equality with an unfaulted reference run
+    val log = run("reliable", "linkage")
+    assert(log.contains("verdict=output_ok"), log)
+  }
+
   test("streaming embed-ingest: admitted vectors + SRP bucket state survive executor SIGKILL") {
     // verdict folds in BOTH gates: admitted-vec_id equality with an
     // unfaulted run AND bucket-state/admitted-store consistency

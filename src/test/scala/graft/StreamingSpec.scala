@@ -650,6 +650,52 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(admitted(301L) === 1 && admitted(1L) === 0)
   }
 
+  test("linkage ingest: per-batch map-side resolve, union == one batch resolve, quarantine gets the rest") {
+    import spark.implicits._
+    import graft.operators.Linkage
+    val dir = java.nio.file.Files.createTempDirectory("graft-linkage-sink").toString
+    val canonical = Seq(
+      (10L, "blkA", "alpha beta gamma canonical body"),
+      (11L, "blkA", "alpha beta delta other canonical"),
+      (12L, "blkB", "epsilon zeta eta third body"),
+      (13L, "blkC", "theta iota kappa fourth body")
+    ).toDF("doc_id", "blk", "ctext")
+    val fields = Seq(Linkage.Field("ctext", "dtext", 1000))
+    val arrivalsAll = Seq(
+      (100L, "blkA", "alpha beta gamma canonical bod"),  // near 10
+      (101L, "blkB", "epsilon zeta eta third bo"),       // near 12
+      (102L, "blkC", "theta iota kappa fourth b"),       // near 13
+      (103L, "blkZ", "entirely foreign record text"))    // no block -> quarantine
+    val input = MemoryStream[(Long, String, String)](spark)
+    val arr = input.toDF().toDF("dirty_id", "blk", "dtext")
+    val q = Streams.linkageIngestSink(arr, canonical,
+      canonicalId = "doc_id", dirtyId = "dirty_id", blockCol = "blk",
+      fields = fields, minScore = 600000L,
+      matchedPath = s"$dir/matched", unmatchedPath = Some(s"$dir/unmatched"))
+    // arrivals split across two micro-batches
+    input.addData(arrivalsAll.take(2))
+    q.processAllAvailable()
+    input.addData(arrivalsAll.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("dirty_id", "matched_id", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = toSet(Streams.linkageMatches(spark, s"$dir/matched"))
+    val want = toSet(Linkage.resolve(canonical, arrivalsAll.toDF("dirty_id", "blk", "dtext"),
+      "doc_id", "dirty_id", "blk", fields, 600000L))
+    assert(got == want && got.map(_._1) == Set(100L, 101L, 102L), s"got $got want $want")
+    // quarantine holds exactly the unmatched arrival, with its payload
+    val quarantined = spark.read.parquet(s"$dir/unmatched")
+      .select("dirty_id", "dtext").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(quarantined == Set((103L, "entirely foreign record text")))
+    // the matched store is batch-partitioned (replay overwrites its own dir)
+    val batches = Streams.linkageMatches(spark, s"$dir/matched")
+      .select("batch").distinct().collect().map(_.getInt(0)).toSet
+    assert(batches == Set(0, 1))
+  }
+
   test("scd2Sink over micro-batches == batch scd2FromChangelog over the full log") {
     import spark.implicits._
     val statePath = java.nio.file.Files
