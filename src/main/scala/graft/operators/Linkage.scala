@@ -32,7 +32,20 @@ object Linkage {
     * division is computed as (x − pmod(x,y))/y: the numerator is exactly
     * divisible, both operands stay far below 2^53, so the double division
     * is exact and the result casts back to BIGINT losslessly — the same
-    * value DuckDB's `//` produces. */
+    * value DuckDB's `//` produces.
+    *
+    * ASCII INVARIANT (cross-engine portability caveat): Spark's
+    * `levenshtein` counts CODEPOINT edits while DuckDB's counts BYTE
+    * edits (levenshtein('한국어','한국에') = 1 in Spark, 2 in DuckDB);
+    * `length` is codepoint-based in both. The exact-integer portability
+    * claim therefore holds only while the scored strings are pure ASCII
+    * (byte == codepoint). The registered q_er_* fixtures enforce this
+    * with an in-plan assert_true guard on every scoring window
+    * (LinkageQueries.asciiWindow) so a future non-ASCII corpus fails
+    * with a named contract error instead of a silent score divergence;
+    * non-oracle production use on multilingual text is fine — the Spark
+    * side is self-consistent — but any DuckDB replay must apply a
+    * codepoint-preserving ASCII transform on both sides first. */
   def sim1000(a: Column, b: Column): Column = {
     val x = lit(1000L) * levenshtein(a, b).cast("long")
     val y = greatest(length(a), length(b), lit(1)).cast("long")
@@ -54,22 +67,28 @@ object Linkage {
   def resolve(canonical: DataFrame, dirty: DataFrame,
       canonicalId: String, dirtyId: String, blockCol: String,
       fields: Seq[Field], minScore: Long): DataFrame = {
+    // Internal surrogate aliasing: callers may legitimately use the SAME
+    // column names on both sides (same id name, a field scored against a
+    // column of its own name) — col(name) after the join would then be
+    // ambiguous and fail with an opaque AnalysisException. Projecting each
+    // input onto __cid/__did/__c_i/__d_i surrogates BEFORE the join makes
+    // any caller naming work.
     val c = canonical.select(
-      (col(canonicalId) +: col(blockCol).as("__blk_c") +:
-        fields.map(f => col(f.canonicalCol))): _*)
+      (col(canonicalId).as("__cid") +: col(blockCol).as("__blk_c") +:
+        fields.zipWithIndex.map { case (f, i) => col(f.canonicalCol).as(s"__c_$i") }): _*)
     val d = dirty.select(
-      (col(dirtyId) +: col(blockCol).as("__blk_d") +:
-        fields.map(f => col(f.dirtyCol))): _*)
-    val score = fields.map(f =>
-        lit(f.weight.toLong) * sim1000(col(f.canonicalCol), col(f.dirtyCol)))
+      (col(dirtyId).as("__did") +: col(blockCol).as("__blk_d") +:
+        fields.zipWithIndex.map { case (f, i) => col(f.dirtyCol).as(s"__d_$i") }): _*)
+    val score = fields.zipWithIndex.map { case (f, i) =>
+        lit(f.weight.toLong) * sim1000(col(s"__c_$i"), col(s"__d_$i")) }
       .reduce(_ + _)
-    val w = Window.partitionBy(col(dirtyId))
-      .orderBy(col("score").desc, col(canonicalId))
+    val w = Window.partitionBy(col("__did"))
+      .orderBy(col("score").desc, col("__cid"))
     d.join(c, col("__blk_d") === col("__blk_c"))
       .withColumn("score", score)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("score") >= minScore)
-      .select(col(dirtyId), col(canonicalId).as("matched_id"), col("score"))
+      .select(col("__did").as(dirtyId), col("__cid").as("matched_id"), col("score"))
   }
 
   /** Survivorship / golden-record selection — the step AFTER matching:

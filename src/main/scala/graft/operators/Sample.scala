@@ -41,11 +41,13 @@ object Sample {
       .drop("__s_rn")
   }
 
-  /** Deterministic WEIGHT-PROPORTIONAL top-k per stratum (priority
-    * sampling): the Efraimidis–Spirakis order statistic u^(1/w) linearized
-    * into exact integers — priority = ⌊hash(id)·2^20 / w⌋, the k smallest
-    * priorities win (a heavier row divides its hash by a larger weight, so
-    * it sinks toward the front proportionally). The float-free key makes
+  /** Deterministic WEIGHT-PROPORTIONAL top-k per stratum: sequential-
+    * Poisson priority sampling (Ohlsson's u/w order statistic — NOT the
+    * Efraimidis–Spirakis u^(1/w) scheme, whose inclusion probabilities
+    * differ) as a deterministic integer approximation — priority =
+    * ⌊hash(id)·2^20 / w⌋, the k smallest priorities win (a heavier row
+    * divides its hash by a larger weight, so it sinks toward the front
+    * proportionally). The float-free key makes
     * the sample engine-portable: hash < 2^20 ⇒ hash·2^20 < 2^41, the
     * integer division ((x − pmod)/y) is exact in doubles, and ties break on
     * id. One partitioned window per stratum — never global. The canonical

@@ -203,6 +203,26 @@ object Similarity {
     math.min(maxBits, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
   }
 
+  /** Corpus-gated SHUFFLE_HASH dial — the ONE gate shared by BOTH
+    * candidate joins (the jaccard prefix join AND the containment
+    * expansion join) and mirrored by tools/JaccardProbe: hint
+    * SHUFFLE_HASH once the caller's corpusRows says broadcast is already
+    * out of reach (>= 20k docs, ~10 MB of index-prefix rows — the r14
+    * A/B: −18% end-to-end at 100x, SCALE_r14 shj_dial_ab_100x), avoiding
+    * sort-merge's input sorts; the per-partition hash build stays ~1k
+    * docs' rows by the explicit repartition, bounded at any corpus size.
+    *
+    * Env override for probes, BOTH ways (1 forces the hint, 0 forces the
+    * planner default): `SPARK_GRAFT_CAND_SHJ`, with the original
+    * `SPARK_GRAFT_JACCARD_SHJ` honored as an alias — note that either
+    * name governs BOTH candidate joins, not just the jaccard one. */
+  private[graft] def shjGate(corpusRows: Option[Long]): Boolean =
+    sys.env.get("SPARK_GRAFT_CAND_SHJ")
+      .orElse(sys.env.get("SPARK_GRAFT_JACCARD_SHJ")) match {
+      case Some(v) => v == "1"
+      case None    => corpusRows.exists(_ >= 20000L)
+    }
+
   /** LSH near-dup pairs over an embedding table: bucket by SRP bits, compare
     * only within buckets, keep pairs with cosine >= threshold. The self-join
     * is an equi-join on the bucket id — shuffle-partitioned, no cross join.
@@ -1020,14 +1040,9 @@ object Similarity {
     //    executor memory even at 1000x.
     // The dial is the same corpus-sized gate as the eager-checkpoint one:
     // hint only when the caller's corpusRows says broadcast is already
-    // out of reach (>= 20k docs; the threshold crosses at ~10 MB of
-    // index-prefix rows). SPARK_GRAFT_JACCARD_SHJ overrides both ways
-    // for probes (1 forces the hint, 0 forces planner default).
-    val useShj = sys.env.get("SPARK_GRAFT_JACCARD_SHJ") match {
-      case Some(v) => v == "1"
-      case None    => corpusRows.exists(_ >= 20000L)
-    }
-    val bSide = if (useShj) b.hint("SHUFFLE_HASH") else b
+    // out of reach (see shjGate — ONE helper governs this join, the
+    // containment expansion join, and the JaccardProbe mirror).
+    val bSide = if (shjGate(corpusRows)) b.hint("SHUFFLE_HASH") else b
     val cand = a.repartition(p, col("lang"), col("band"), col("token"))
       .join(bSide, Seq("lang", "band", "token"))
       .filter(col("n_b") < col("n_a") ||
@@ -1238,13 +1253,10 @@ object Similarity {
       .map(n => math.max(1L, math.min(cap.toLong, n / 1000 + 1)).toInt)
       .getOrElse(cap)
     // same corpus-gated SHUFFLE_HASH dial as the jaccard candidate join
-    // (rationale and measurements there): avoid SMJ's input sorts once
-    // broadcast is out of reach; per-partition build stays ~1k docs' rows
-    val useShj = sys.env.get("SPARK_GRAFT_JACCARD_SHJ") match {
-      case Some(v) => v == "1"
-      case None    => corpusRows.exists(_ >= 20000L)
-    }
-    val bSide = if (useShj) b.hint("SHUFFLE_HASH") else b
+    // (rationale and measurements there; shjGate is the one shared gate):
+    // avoid SMJ's input sorts once broadcast is out of reach;
+    // per-partition build stays ~1k docs' rows
+    val bSide = if (shjGate(corpusRows)) b.hint("SHUFFLE_HASH") else b
     val cand = a.repartition(p, col("lang"), col("token"))
       .join(bSide, Seq("lang", "token"))
       .filter(col("doc_a") =!= col("doc_b"))

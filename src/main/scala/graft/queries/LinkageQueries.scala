@@ -70,14 +70,30 @@ object LinkageQueries {
   private def tok2(c: String) =
     expr(s"substring(concat_ws(' ', slice(split($c, ' '), 1, 2)), 1, 40)")
 
+  /** In-plan ASCII contract guard for a scoring window column: Spark's
+    * `levenshtein` counts CODEPOINT edits, DuckDB's counts BYTE edits, so
+    * the q_er_* oracles are exact only while every scored window is pure
+    * ASCII (byte == codepoint — see the invariant note on
+    * [[Linkage.sim1000]]). assert_true returns NULL on pass, so the
+    * isNull-gated `when` keeps the guard in the plan; a future corpus
+    * generator emitting multi-byte text inside a window fails HERE with a
+    * named contract error instead of a silent cross-engine score
+    * divergence flipping best-match winners. */
+  private def asciiWindow(c: org.apache.spark.sql.Column, name: String) =
+    when(assert_true(octet_length(c) === length(c),
+      lit(s"q_er_* contract: scoring window $name must be pure ASCII " +
+        "(DuckDB levenshtein counts bytes, Spark counts codepoints)")).isNull, c)
+
   /** Canonical side: blocking key + the two scoring windows. */
   def canonicalView(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select("doc_id", "text", "lang", "source")
       .withColumn("blk", concat_ws("|",
         col("lang"), col("source"), tok2("text")))
-      .withColumn("head_c", lower(substring(col("text"), 1, 40)))
-      .withColumn("tail_c",
-        lower(expr("substring(text, greatest(length(text) - 39, 1), 40)")))
+      .withColumn("head_c",
+        asciiWindow(lower(substring(col("text"), 1, 40)), "head_c"))
+      .withColumn("tail_c", asciiWindow(
+        lower(expr("substring(text, greatest(length(text) - 39, 1), 40)")),
+        "tail_c"))
 
   /** Dirty side (mirror of [[dirtySelectSql]]): deterministic
     * tail-truncation noise, then the same blocking key + scoring windows
@@ -91,9 +107,11 @@ object LinkageQueries {
           .as("dtext"))
       .withColumn("blk", concat_ws("|",
         col("lang"), col("source"), tok2("dtext")))
-      .withColumn("head_d", lower(substring(col("dtext"), 1, 40)))
-      .withColumn("tail_d",
-        lower(expr("substring(dtext, greatest(length(dtext) - 39, 1), 40)")))
+      .withColumn("head_d",
+        asciiWindow(lower(substring(col("dtext"), 1, 40)), "head_d"))
+      .withColumn("tail_d", asciiWindow(
+        lower(expr("substring(dtext, greatest(length(dtext) - 39, 1), 40)")),
+        "tail_d"))
 
   private val fields = Seq(
     Linkage.Field("head_c", "head_d", 500),

@@ -146,9 +146,11 @@ object SortSetQueries {
     // 30 documents per language, where a document's chance of selection
     // scales with its length — the token-budget subcorpus primitive
     // (sampling by n_chars approximates sampling by token count). The
-    // priority key ⌊hash(id)·2^20 / weight⌋ is the Efraimidis–Spirakis
-    // order statistic in exact integer form, so both engines rank — and
-    // tie-break — identically; one partitioned window, no global sort.
+    // priority key ⌊hash(id)·2^20 / weight⌋ is the sequential-Poisson
+    // (u/w, Ohlsson) order statistic in exact integer form — a
+    // deterministic approximation of weight-proportional sampling — so
+    // both engines rank and tie-break identically; one partitioned
+    // window, no global sort.
     QueryDef(
       "q_sample_weighted",
       Some(s"""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM (

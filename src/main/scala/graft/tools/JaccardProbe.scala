@@ -185,9 +185,9 @@ object JaccardProbe {
         .withColumn("band",
           explode(array(col("b_band") - 1, col("b_band"), col("b_band") + 1)))
         .drop("b_band")
-      // mirror the operator's corpus-gated SHUFFLE_HASH dial (env-overridable)
-      val bSide = if (sys.env.get("SPARK_GRAFT_JACCARD_SHJ").map(_ == "1")
-          .getOrElse(nDocs >= 20000L)) b.hint("SHUFFLE_HASH") else b
+      // the operator's corpus-gated SHUFFLE_HASH dial (shared shjGate —
+      // same threshold and env override as both candidate joins)
+      val bSide = if (Similarity.shjGate(Some(nDocs))) b.hint("SHUFFLE_HASH") else b
       val c = a.repartition(p, col("lang"), col("band"), col("token"))
         .join(bSide, Seq("lang", "band", "token"))
         .filter(col("n_b") < col("n_a") ||

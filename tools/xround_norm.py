@@ -10,10 +10,10 @@ each round's per-query minima by its own calibration factor before
 comparing, so the NEXT judge separates host from code from the
 artifacts alone.
 
-Normalization model: t_norm = t / (cal_round / cal_reference), where
-cal_round is the round's min-across-passes calibration and the
-reference is the SLOWER-ROUND-agnostic fixed quiet baseline (cpu 0.25,
-shuffle 1.0). Two normalized ratios are reported (CPU-normalized and
+Normalization model: the per-axis window factor is simply the ratio of
+the two rounds' min-across-passes calibrations (new/prev) — no fixed
+baseline is involved; any constant reference would cancel algebraically.
+Two normalized ratios are reported (CPU-normalized and
 shuffle-normalized); a query is host-attributable when its raw ratio
 falls inside the band the two calibrations span, code-attributable when
 it moves outside BOTH. The model assumes a query's sensitivity lies
@@ -24,9 +24,6 @@ Usage: xround_norm.py OUT.json PREV_BENCH_LOCAL.json NEW_BENCH_LOCAL.json
 """
 import json
 import sys
-
-QUIET_CPU = 0.25
-QUIET_SHUFFLE = 1.0
 
 
 def load(path):
@@ -42,8 +39,8 @@ def main():
     out, prev_p, new_p = sys.argv[1], sys.argv[2], sys.argv[3]
     prev, pc, ps = load(prev_p)
     new, nc, ns = load(new_p)
-    cpu_f = (nc / QUIET_CPU) / (pc / QUIET_CPU)   # new-window/prev-window CPU factor
-    sh_f = (ns / QUIET_SHUFFLE) / (ps / QUIET_SHUFFLE)
+    cpu_f = nc / pc   # new-window/prev-window CPU factor
+    sh_f = ns / ps
     rows = {}
     code_moved = []
     for k in sorted(set(prev) & set(new)):
