@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 /** Measured AQE-vs-salting comparison for the q_join_skew shape — turns
   * the salting default into a recorded choice instead of a guess.
   *
-  * Runs the 85%-hot-key fact-dim join three ways at SPARK_GRAFT_SF_DIR
-  * with broadcast disabled (simulating a dim too large to broadcast — the
+  * Runs a hot-key fact-dim join three ways at SPARK_GRAFT_SF_DIR with
+  * broadcast disabled (simulating a dim too large to broadcast — the
   * only setting where the question exists):
   *   plain_noaqe — shuffled join, AQE skew split OFF (the problem)
   *   plain_aqe   — shuffled join, AQE skew split ON (tuned thresholds:
@@ -16,8 +16,13 @@ import org.apache.spark.sql.functions._
   *   salted      — Joins.saltedJoin with 8 salts (static mitigation)
   * Prints one JSON line with min-across-runs seconds per variant.
   *
-  *   SPARK_GRAFT_SF_DIR=/tmp/sf1x10 SPARK_GRAFT_SHUFFLE=128 \
-  *     sbt "runMain graft.tools.SkewBench"
+  * SPARK_GRAFT_HOT_PCT (default 30) sets the share of fact rows landing
+  * on the single hot key, assigned by a deterministic event_id hash so
+  * the share is exact-in-expectation at any scale (r14 verdict #6 asked
+  * for a genuinely hot ~30% key at 100x; 85 reproduces the r12 shape).
+  *
+  *   SPARK_GRAFT_SF_DIR=/tmp/scale100x SPARK_GRAFT_SHUFFLE=1024 \
+  *     SPARK_GRAFT_HOT_PCT=30 tools/jrun.sh graft.tools.SkewBench
   */
 object SkewBench {
 
@@ -37,9 +42,11 @@ object SkewBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val hotPct = sys.env.getOrElse("SPARK_GRAFT_HOT_PCT", "30").toInt
     def fact: DataFrame = graft.Tables.events(spark, sfDir)
       .withColumn("nkey",
-        when(col("value") < 150, lit(0L)).otherwise(col("user_id") % 25))
+        when(pmod(xxhash64(col("event_id")), lit(100)) < hotPct, lit(0L))
+          .otherwise(col("user_id") % 25))
     def dim: DataFrame = graft.Tables.nation(spark, sfDir)
       .select(col("n_nationkey").cast("long").as("nkey"), col("n_name"))
 
@@ -64,7 +71,7 @@ object SkewBench {
         graft.operators.Joins.saltedJoin(
           fact, dim, "nkey", salts = 8, saltSource = col("event_id"))))
     val js = results.map { case (k, v) => s""""$k": ${f"$v%.3f"}""" }.mkString(", ")
-    println(s"""{"metric": "skew_bench", "sf_dir": "$sfDir", "shuffle": $shuffle, $js}""")
+    println(s"""{"metric": "skew_bench", "sf_dir": "$sfDir", "shuffle": $shuffle, "hot_pct": $hotPct, $js}""")
     spark.stop()
   }
 }
