@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   * is the explicit fallback for the shapes AQE doesn't cover (aggregations
   * over a hot key, broadcast-ineligible skew). Both operators here are pure
   * plan rewrites — no data assumptions beyond the salt factor.
+  *
+  * Measured posture (SCALE_r15 skew_ab_100x, 100x events, broadcast off,
+  * hot key at 5/30/85% of fact rows): static salting won every point
+  * (0.97/1.02/1.63 s) with AQE skew-split close behind (1.06/1.24/1.70 s)
+  * and the unmitigated join degrading with skew (1.31/2.44/5.66 s) — so
+  * salt KNOWN-hot keys, and rely on AQE as the zero-code default for
+  * unknown distributions; never run a hot-key join with both off.
   */
 object Skew {
 
