@@ -444,18 +444,31 @@ object Similarity {
   def nnDescentRound(
       graph: DataFrame, // (src, dst, cos, ...) from knnGraph or a prior round
       emb: DataFrame,   // (vec_id, v: array<double>)
-      k: Int): DataFrame = {
-    val fwd = graph.select(col("src"), col("dst"))
+      k: Int,
+      mode: CheckpointMode = CheckpointMode.Local): DataFrame = {
+    // The incoming graph feeds FOUR plan branches (fwd, the reverse-cap
+    // window, and — through und — both sides of the expansion self-join);
+    // without lineage truncation the entire seed pipeline (SRP bucket
+    // exchange + per-node candidate window) re-executes per branch —
+    // measured 185 s vs ~60 s at the 100x probe. The graph is k·N narrow
+    // rows (two longs + a double), so materializing it is cheap at any
+    // corpus size; same CheckpointMode contract as the other multi-branch
+    // operators (see [[CheckpointMode]]).
+    val lin = new Lineage(graph.sparkSession, mode)
+    val (g, _) = lin.tracked(graph.select(col("src"), col("dst"), col("cos")))
+    val fwd = g.select(col("src"), col("dst"))
     // reverse edges, degree-capped at k per target: without the cap a hub
     // that half the corpus lists as a neighbor would fan Σ deg_in·deg_out
     // candidates through the expansion join — the quadratic term NN-descent
     // bounds by sampling, bounded here deterministically instead
     val revW = Window.partitionBy("dst").orderBy(round(col("cos"), 6).desc, col("src"))
-    val rev = graph.select(col("src"), col("dst"), col("cos"))
+    val rev = g.select(col("src"), col("dst"), col("cos"))
       .withColumn("__rrn", row_number().over(revW))
       .filter(col("__rrn") <= k)
       .select(col("dst").as("src"), col("src").as("dst"))
-    val und = fwd.unionAll(rev).distinct()
+    // und is ≤ 2kN narrow rows read by BOTH sides of the expansion join —
+    // truncated too, so the union+distinct runs once
+    val (und, _) = lin.tracked(fwd.unionAll(rev).distinct())
     // neighbors-of-neighbors through the middle node, plus the current
     // edges; distinct BEFORE scoring so each pair scores once
     val cand = und.as("e1")
