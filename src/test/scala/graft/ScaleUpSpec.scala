@@ -166,6 +166,36 @@ class ScaleUpSpec extends AnyFunSuite with SparkTest {
       s"derived bits: per-node candidates should stay bounded: $d1 -> $d4")
   }
 
+  test("nnDescentRound expansion candidates: bounded per node as the corpus grows 4x") {
+    import graft.operators.Similarity
+    // The q_sim_nndescent scale posture made executable: the expansion's
+    // per-node candidate count is bounded by the degree structure —
+    // <= (2k)^2 + k via the reverse-degree cap — INDEPENDENT of corpus
+    // size, so total work is linear in N at fixed k. Measured as the
+    // per-src output of the round at k = corpus size (keeps every
+    // candidate the rank window would truncate) over a fixed SEED degree
+    // k. A hub-heavy graph without the cap would grow this with N.
+    val dim = 16
+    def emb(n: Int) = spark.range(n.toLong).select(
+      col("id").as("vec_id"),
+      array((0 until dim).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(100000L)).cast("double") /
+          lit(100000.0)) - lit(0.5)): _*).as("v"))
+    val k = 4
+    def meanCands(n: Int): Double = {
+      val nBits = Similarity.lshNBits(n.toLong, 8L)
+      val seed = Similarity.knnGraph(emb(n), dim, nBits, k = k)
+      Similarity.nnDescentRound(seed, emb(n), k = n)
+        .groupBy("src").count()
+        .agg(avg("count")).collect()(0).getDouble(0)
+    }
+    val (c1, c4) = (meanCands(1024), meanCands(4096))
+    assert(c1 <= (2 * k) * (2 * k) + k + 1,
+      s"per-node candidates must respect the (2k)^2+k bound: $c1")
+    assert(c4 / c1 < 1.5,
+      s"per-node expansion candidates should stay ~flat as N grows 4x: $c1 -> $c4")
+  }
+
   test("SemDeDup radix tree: constant driver state + bundle width as the corpus grows 16x") {
     import graft.operators.Similarity
     import spark.implicits._
