@@ -24,13 +24,22 @@ import org.apache.spark.sql.functions._
   * Mirrors the registered q_sim_nndescent exactly: portable buckets,
   * corpus-derived bit count, k = 5 default.
   *
-  * Usage: runMain graft.tools.RecallProbe <sfDir> [k] [rounds]
+  * A fourth arg `planted` replaces the raw table with a PLANTED-CLUSTER
+  * derivation of it (clusters of 4: ids with vec_id%4!=0 become small
+  * deterministic jitters of their cluster base vec_id - vec_id%4) —
+  * uniform random embeddings are the worst case for both LSH recall and
+  * neighbor transitivity (no manifold structure), so the planted mode
+  * shows the recall lift a refinement round buys on data with REAL
+  * neighborhood structure (the ADVICE r15 open item).
+  *
+  * Usage: runMain graft.tools.RecallProbe <sfDir> [k] [rounds] [planted]
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.drop(1).headOption.map(_.toInt).getOrElse(5)
     val rounds = args.drop(2).headOption.map(_.toInt).getOrElse(2)
+    val planted = args.drop(3).headOption.contains("planted")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.configure(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -41,13 +50,27 @@ object RecallProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(100000).selectExpr("sum(id)").collect()
 
-    val emb = Tables.embeddings(spark, sfDir)
+    val raw = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
       .filter(V.l2Norm(col("v")) > 0)
-      .localCheckpoint(true)
+    val emb = (if (!planted) raw
+      else {
+        // clusters of 4: member m of cluster c reuses c's base vector with
+        // a deterministic per-component jitter — in-cluster cosine ~0.999,
+        // so each node's true top-3 are its cluster mates
+        val base = raw.filter(col("vec_id") % 4 === 0)
+          .select(col("vec_id").as("bid"), col("v").as("bv"))
+        raw.select(col("vec_id"),
+            (col("vec_id") - pmod(col("vec_id"), lit(4))).as("bid"))
+          .join(base, Seq("bid"))
+          .select(col("vec_id"), expr(
+            "transform(bv, (x, i) -> x + (vec_id % 4) * 0.003 * " +
+              "(CASE WHEN pmod(xxhash64(vec_id, i), 2) = 0 THEN 1.0 ELSE -1.0 END))"
+          ).as("v"))
+      }).localCheckpoint(true)
     val n = emb.count()
     val nBits = Similarity.lshNBits(n)
-    println(s"[recall-probe] sfDir=$sfDir n=$n k=$k nBits=$nBits rounds=$rounds")
+    println(s"[recall-probe] sfDir=$sfDir n=$n k=$k nBits=$nBits rounds=$rounds planted=$planted")
 
     // brute-force truth: same tie-break as knnGraph's window
     val truthW = Window.partitionBy("src").orderBy(round(col("cos"), 6).desc, col("dst"))
@@ -92,7 +115,7 @@ object RecallProbe {
     val recJson = stats.map { case (t, r, _) => f""""$t":$r%.4f""" }.mkString(",")
     val wallJson = stats.map { case (t, _, w) => f""""$t":$w%.2f""" }.mkString(",")
     println(s"""{"metric":"nndescent_recall","sf":"$sfDir","n":$n,"k":$k,""" +
-      s""""nbits":$nBits,"truth_edges":$truthEdges,""" +
+      s""""nbits":$nBits,"planted":$planted,"truth_edges":$truthEdges,""" +
       s""""recall":{$recJson},"wall_s":{$wallJson}}""")
     spark.stop()
   }

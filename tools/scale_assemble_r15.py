@@ -214,6 +214,17 @@ def main():
                     "transitivity to exploit (see ADVICE open item).",
             "1x": jline(f"{D}/recall_1x.json"),
             "10x": jline(f"{D}/recall_10x.json"),
+            "planted_note": "the planted-cluster mode (RecallProbe "
+                "'planted': clusters of 4 jittered clones) raises ABSOLUTE "
+                "recall (structure is found: seed 0.75 at 1x / 0.65 at 10x "
+                "vs 0.37/0.12 on raw random) but the per-round LIFT stays "
+                "small — near-identical cluster mates are already "
+                "co-bucketed by SRP, so there is little for "
+                "neighbor-of-neighbor expansion to recover on THIS fixture "
+                "either; the remaining misses are the random cross-cluster "
+                "tail of top-5.",
+            "1x_planted": jline(f"{D}/recall_1x_planted.json"),
+            "10x_planted": jline(f"{D}/recall_10x_planted.json"),
         },
         "skew_ab_100x": {
             "what": "r14 verdict #6: salted(8) vs AQE-skew-join vs plain at "
