@@ -249,10 +249,20 @@ object Multimodal {
         }
       }
       if (!ok || !headerSeen || !ended || idat.size == 0) return None
-      val stride = width * 3
-      val rawLen = height.toLong * (stride + 1)
-      if (rawLen > Int.MaxValue - 8) return None
-      val raw = new Array[Byte](rawLen.toInt)
+      // Size math in Long BEFORE any allocation: width >= 2^30 overflows an
+      // Int stride negative, which made the old Int.MaxValue check pass and
+      // new Array throw NegativeArraySizeException — violating the
+      // never-throws contract. The 64 MiB cap also rejects dimension bombs
+      // (a tiny CRC-valid payload declaring multi-GB dims would otherwise
+      // allocate before the inflate could fail).
+      val strideL = 3L * width
+      // division-form bound: height * (stride+1) can overflow even Long at
+      // Int.MaxValue dims, so never form the product before checking
+      if (strideL + 1L > (1L << 26) ||
+        height.toLong > (1L << 26) / (strideL + 1L)) return None
+      val rawLenL = height.toLong * (strideL + 1L)
+      val stride = strideL.toInt
+      val raw = new Array[Byte](rawLenL.toInt)
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
       try {

@@ -440,12 +440,37 @@ object Similarity {
     * `emb` must be the SAME (vec_id, v) frame the graph was built from
     * (zero-norm rows are re-dropped here to keep cosine defined).
     * Output: (src, dst, cos, rn) with rn in 1..k per src — same schema as
-    * [[knnGraph]], so rounds chain. */
+    * [[knnGraph]], so rounds chain.
+    *
+    * `prescoreFactor > 0` inserts an int8 PRE-SCORE between expansion and
+    * exact scoring (the [[quantRerankTopK]] codec: per-vector symmetric
+    * `round(x / (max|x|/127))` codes, integer dot, cosine-normalized by
+    * precomputed float norms): every candidate pair is scored on 64-BYTE
+    * codes and only the top `prescoreFactor * k` per src fetch full
+    * float vectors for the exact rerank. The expansion emits up to (2k)²
+    * candidates per node but only O(k) survive to the final ranking, so
+    * the wide exchange — full 64-dim vectors riding every candidate pair,
+    * the measured 100x cost driver — shrinks to the survivor set; the
+    * code columns riding the full pair set are 8x narrower. The gate is
+    * candidate-ORDERING only (both engines derive identical codes — IEEE
+    * double division + shared HALF_UP round — and the integer dot is
+    * exact), so the result is deterministic and the DuckDB oracle replays
+    * it exactly; recall vs brute force is the spec-measured contract, as
+    * with [[quantRerankTopK]].
+    *
+    * `revDegreeCap` overrides the reverse-degree cap independently of the
+    * output budget `k` (default -1 = cap at k). NN-descent's reverse
+    * sample rate and its k are distinct dials (Dong WWW'11 §2.3 samples
+    * rho*k reverse edges); ScaleUpSpec also uses this to count the FULL
+    * candidate set (k = corpus size) while the cap stays at production
+    * value. */
   def nnDescentRound(
       graph: DataFrame, // (src, dst, cos, ...) from knnGraph or a prior round
       emb: DataFrame,   // (vec_id, v: array<double>)
       k: Int,
-      mode: CheckpointMode = CheckpointMode.Local): DataFrame = {
+      mode: CheckpointMode = CheckpointMode.Local,
+      prescoreFactor: Int = 0,
+      revDegreeCap: Int = -1): DataFrame = {
     // The incoming graph feeds FOUR plan branches (fwd, the reverse-cap
     // window, and — through und — both sides of the expansion self-join);
     // without lineage truncation the entire seed pipeline (SRP bucket
@@ -461,10 +486,11 @@ object Similarity {
     // that half the corpus lists as a neighbor would fan Σ deg_in·deg_out
     // candidates through the expansion join — the quadratic term NN-descent
     // bounds by sampling, bounded here deterministically instead
+    val cap = if (revDegreeCap > 0) revDegreeCap else k
     val revW = Window.partitionBy("dst").orderBy(round(col("cos"), 6).desc, col("src"))
     val rev = g.select(col("src"), col("dst"), col("cos"))
       .withColumn("__rrn", row_number().over(revW))
-      .filter(col("__rrn") <= k)
+      .filter(col("__rrn") <= cap)
       .select(col("dst").as("src"), col("src").as("dst"))
     // und is ≤ 2kN narrow rows read by BOTH sides of the expansion join —
     // truncated too, so the union+distinct runs once
@@ -480,7 +506,43 @@ object Similarity {
     val vecs = emb.filter(V.l2Norm(col("v")) > 0)
     val w = Window.partitionBy("src")
       .orderBy(round(col("cos"), 6).desc, col("dst"))
-    cand
+    // pre-score gate (see scaladoc): the survivor set that proceeds to
+    // the full-vector joins — either every candidate (exact path) or the
+    // per-src top prescoreFactor*k by quantized cosine
+    val surv =
+      if (prescoreFactor <= 0) cand
+      else {
+        // the same two-step projection discipline as quantRerankTopK (the
+        // scale must be a NAMED column or Catalyst re-evaluates the
+        // array_max per element inside the transform lambda); codes are
+        // array<byte> — 1 byte/element in Tungsten, so the pair exchange
+        // carries 64 B of codes instead of 512 B of doubles
+        val q = vecs
+          .select(col("vec_id"), col("v"),
+            (array_max(transform(col("v"), x => abs(x))) / lit(127.0)).as("qs"))
+          .select(col("vec_id"), col("qs"), V.l2Norm(col("v")).as("qn"),
+            transform(col("v"), x => round(x / col("qs")).cast("byte")).as("qc"))
+          .filter(col("qs") > 0) // same rows as the l2Norm guard
+        // exact integer dot (byte codes promoted before multiply so
+        // 127*127 can't wrap a tinyint); dim * 127^2 stays inside Long
+        val qdot = aggregate(
+          zip_with(col("sqc"), col("dqc"),
+            (a, b) => a.cast("long") * b.cast("long")), lit(0L), _ + _)
+        val wPre = Window.partitionBy("src")
+          .orderBy(round(col("approx"), 6).desc, col("dst"))
+        cand
+          .join(q.select(col("vec_id").as("src"), col("qc").as("sqc"),
+            col("qs").as("sqs"), col("qn").as("sqn")), Seq("src"))
+          .join(q.select(col("vec_id").as("dst"), col("qc").as("dqc"),
+            col("qs").as("dqs"), col("qn").as("dqn")), Seq("dst"))
+          .withColumn("approx",
+            qdot.cast("double") * col("sqs") * col("dqs") /
+              (col("sqn") * col("dqn")))
+          .withColumn("__qrn", row_number().over(wPre))
+          .filter(col("__qrn") <= k * prescoreFactor)
+          .select(col("src"), col("dst"))
+      }
+    surv
       .join(vecs.select(col("vec_id").as("src"), col("v").as("sv")), Seq("src"))
       .join(vecs.select(col("vec_id").as("dst"), col("v").as("dv")), Seq("dst"))
       .withColumn("cos", V.cosineNative(col("sv"), col("dv")))

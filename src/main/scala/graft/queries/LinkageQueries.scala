@@ -79,8 +79,12 @@ object LinkageQueries {
     * generator emitting multi-byte text inside a window fails HERE with a
     * named contract error instead of a silent cross-engine score
     * divergence flipping best-match winners. */
-  private def asciiWindow(c: org.apache.spark.sql.Column, name: String) =
-    when(assert_true(octet_length(c) === length(c),
+  private[graft] def asciiWindow(c: org.apache.spark.sql.Column, name: String) =
+    // coalesce(..., true): a NULL text makes the equality NULL, and
+    // AssertTrue RAISES on a NULL condition — an unguarded NULL document
+    // would fail with a misleading "must be pure ASCII" error instead of
+    // propagating NULL through the window like every other string op
+    when(assert_true(coalesce(octet_length(c) === length(c), lit(true)),
       lit(s"q_er_* contract: scoring window $name must be pure ASCII " +
         "(DuckDB levenshtein counts bytes, Spark counts codepoints)")).isNull, c)
 

@@ -159,9 +159,37 @@ object PortableSql {
     * Similarity.nnDescentRound applied to the [[knnGraphCtes]] graph:
     * undirected neighborhood (forward ∪ reverse edges, reverse degree
     * capped at k by the same deterministic window), neighbors-of-neighbors
-    * expansion through the middle node, distinct-before-score, exact
-    * cosine, per-src top-k. Exposes `nnd(src, dst, cos, rn)`. */
-  def nnDescentCtes(k: Int): String =
+    * expansion through the middle node, distinct-before-score, then (when
+    * `prescoreFactor > 0`) the int8 pre-score gate — identical codec to
+    * the q_sim_quant_rerank oracle: per-vector scale max|x|/127, HALF_UP
+    * integer codes, exact integer dot normalized by float norms, per-src
+    * top prescoreFactor*k by the rounded quantized cosine — and finally
+    * exact cosine + per-src top-k over the survivors. Exposes
+    * `nnd(src, dst, cos, rn)`. */
+  def nnDescentCtes(k: Int, prescoreFactor: Int = 0): String = {
+    val exactSrc =
+      if (prescoreFactor <= 0) "cand"
+      else s"""(SELECT src, dst FROM (
+                 SELECT pre.*, row_number() OVER (PARTITION BY src
+                   ORDER BY round(approx, 6) DESC, dst) AS qrn FROM pre)
+               WHERE qrn <= ${k * prescoreFactor})"""
+    val preCtes =
+      if (prescoreFactor <= 0) ""
+      else s""",
+        qz AS (SELECT vec_id,
+                      list_max(list_transform(v, x -> abs(x))) / 127.0 AS qs,
+                      sqrt(list_sum(list_transform(v, x -> x * x))) AS qn,
+                      v
+               FROM bkz),
+        qc AS (SELECT vec_id, qs, qn,
+                      list_transform(v, x -> CAST(round(x / qs) AS BIGINT)) AS code
+               FROM qz WHERE qs > 0),
+        pre AS (SELECT c.src, c.dst,
+                       CAST(list_sum(list_transform(generate_series(1, len(a.code)),
+                              ci -> a.code[ci] * b.code[ci])) AS DOUBLE)
+                         * a.qs * b.qs / (a.qn * b.qn) AS approx
+                FROM cand c JOIN qc a ON a.vec_id = c.src
+                            JOIN qc b ON b.vec_id = c.dst)"""
     s"""${knnGraphCtes(k)},
         fwd AS (SELECT src, dst FROM knn),
         rev AS (SELECT dst AS src, src AS dst FROM (
@@ -174,14 +202,15 @@ object PortableSql {
                    SELECT e1.src AS src, e2.dst AS dst
                    FROM und e1 JOIN und e2 ON e1.dst = e2.src
                    WHERE e1.src <> e2.dst
-                   UNION ALL SELECT src, dst FROM fwd)),
+                   UNION ALL SELECT src, dst FROM fwd))$preCtes,
         nd AS (SELECT c.src, c.dst, ${cosine("a.v", "b.v")} AS cos
-               FROM cand c JOIN bkz a ON a.vec_id = c.src
+               FROM $exactSrc c JOIN bkz a ON a.vec_id = c.src
                            JOIN bkz b ON b.vec_id = c.dst),
         nnd AS (SELECT src, dst, cos, rn FROM (
                   SELECT *, row_number() OVER (PARTITION BY src
                     ORDER BY round(cos, 6) DESC, dst) AS rn FROM nd)
                 WHERE rn <= $k)"""
+  }
 
   /** Hamming-<=1 candidate pairs with exact cosine — the oracle answer for
     * lshBucketJoin(multiProbe = true): candidate iff buckets equal or differ

@@ -132,14 +132,19 @@ object SimilarityQueries {
 
     // One NN-descent refinement round over the q_sim_knn graph
     // (Similarity.nnDescentRound): neighbors-of-neighbors candidate
-    // expansion with the reverse degree capped at k, exact-cosine
-    // re-scoring, same partitioned top-k — the construction step that
-    // turns the SRP-bucketed seed graph into a high-recall kNN graph
-    // (recall vs brute force measured in ScaleUpSpec / SCALE_r15).
-    // Fully deterministic, so the oracle replays the round exactly.
+    // expansion with the reverse degree capped at k, an int8 pre-score
+    // gate (the q_sim_quant_rerank codec — candidate pairs are scored on
+    // 64-byte codes and only the top 3k per src fetch full vectors; the
+    // wide full-vector exchange was the measured 100x cost driver), then
+    // exact-cosine re-scoring and the same partitioned top-k — the
+    // construction step that turns the SRP-bucketed seed graph into a
+    // high-recall kNN graph (recall vs brute force measured in
+    // ScaleUpSpec / SCALE artifacts). Both stages are deterministic
+    // (identical codes in both engines, exact integer dot), so the oracle
+    // replays the gated round exactly.
     QueryDef(
       "q_sim_nndescent",
-      Some(s"""WITH ${PortableSql.nnDescentCtes(5)}
+      Some(s"""WITH ${PortableSql.nnDescentCtes(5, prescoreFactor = 3)}
           SELECT src, dst, ${Num.oracleRound2("cos")} AS cos,
                  CAST(rn AS BIGINT) AS rn
           FROM nnd ORDER BY src, rn""")) { (s, d) =>
@@ -148,7 +153,7 @@ object SimilarityQueries {
       val nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings"))
       val seed = Similarity.knnGraph(emb, dim = 64, nBits = nBits, k = 5,
         portable = true)
-      Similarity.nnDescentRound(seed, emb, k = 5)
+      Similarity.nnDescentRound(seed, emb, k = 5, prescoreFactor = 3)
         .select(col("src"), col("dst"), Num.round2(col("cos")).as("cos"),
           col("rn").cast("long").as("rn"))
         .orderBy("src", "rn")

@@ -429,9 +429,19 @@ object Streams {
             .write.mode("overwrite").parquet(s"$matchedPath/batch=$batchId")
           unmatchedPath.foreach { up =>
             // anti-join against the JUST-WRITTEN matches (read back, not
-            // recomputed — the resolve's window ran once)
-            val matched = spark.read.parquet(s"$matchedPath/batch=$batchId")
-              .select(dirtyId)
+            // recomputed — the resolve's window ran once). A zero-match
+            // batch (every arrival below minScore or blockless) can leave
+            // NO visible part files under batch=<id> (with AQE an empty
+            // result plans to 0 partitions), and that read raises
+            // AnalysisException — unguarded it would fail the batch, and
+            // checkpoint replay would deterministically fail the same way,
+            // wedging the sink. Same empty-dir guard as dedupIngestSink's
+            // existing-state read: no matches = everything quarantines.
+            val matched =
+              (try Some(spark.read.parquet(s"$matchedPath/batch=$batchId"))
+              catch { case _: org.apache.spark.sql.AnalysisException => None })
+                .map(_.select(dirtyId))
+                .getOrElse(b.limit(0).select(dirtyId))
             b.join(matched, Seq(dirtyId), "left_anti")
               .write.mode("overwrite").parquet(s"$up/batch=$batchId")
           }

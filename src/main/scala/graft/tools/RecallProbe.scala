@@ -24,22 +24,39 @@ import org.apache.spark.sql.functions._
   * Mirrors the registered q_sim_nndescent exactly: portable buckets,
   * corpus-derived bit count, k = 5 default.
   *
-  * A fourth arg `planted` replaces the raw table with a PLANTED-CLUSTER
-  * derivation of it (clusters of 4: ids with vec_id%4!=0 become small
-  * deterministic jitters of their cluster base vec_id - vec_id%4) —
-  * uniform random embeddings are the worst case for both LSH recall and
-  * neighbor transitivity (no manifold structure), so the planted mode
-  * shows the recall lift a refinement round buys on data with REAL
-  * neighborhood structure (the ADVICE r15 open item).
+  * A fourth arg selects a derived fixture over the raw table:
   *
-  * Usage: runMain graft.tools.RecallProbe <sfDir> [k] [rounds] [planted]
+  *  - `planted` — clusters of 4: ids with vec_id%4!=0 become small
+  *    deterministic jitters of their cluster base vec_id - vec_id%4.
+  *    Uniform random embeddings are the worst case for both LSH recall
+  *    and neighbor transitivity (no manifold structure); planted mode
+  *    shows the lift on data with real neighborhood structure. Its limit
+  *    (r15 verdict): jittered clones co-bucket, so the SEED already finds
+  *    them — it demonstrates LSH recall, not transitivity.
+  *  - `chained` — ELONGATED clusters wider than one SRP bucket (r15
+  *    verdict #5, the fixture NN-descent can actually win on): chains of
+  *    8, member m of chain c placed at angle m·θ (θ=0.2 rad) along the
+  *    great circle from c's base vector toward a deterministic
+  *    norm-matched ±1 direction, so cos(member_i, member_j) ≈
+  *    cos((i−j)·0.2) — adjacent mates at ~0.98, chain ends ~80° apart.
+  *    Each node's true top-k are its chain NEIGHBORS, but the chain
+  *    spans many SRP buckets, so the seed graph only sees the mates that
+  *    share (or Hamming-1-share) its bucket; recovering the rest needs
+  *    exactly the neighbor-of-a-neighbor step a refinement round adds.
+  *
+  * Rounds run with prescoreFactor = 3 — the registered q_sim_nndescent
+  * production dial — so the recall artifact prices the SHIPPED operator,
+  * int8 gate included.
+  *
+  * Usage: runMain graft.tools.RecallProbe <sfDir> [k] [rounds] [planted|chained]
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.drop(1).headOption.map(_.toInt).getOrElse(5)
     val rounds = args.drop(2).headOption.map(_.toInt).getOrElse(2)
-    val planted = args.drop(3).headOption.contains("planted")
+    val mode = args.drop(3).headOption.getOrElse("raw")
+    require(Set("raw", "planted", "chained")(mode), s"unknown mode $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.configure(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -53,8 +70,9 @@ object RecallProbe {
     val raw = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
       .filter(V.l2Norm(col("v")) > 0)
-    val emb = (if (!planted) raw
-      else {
+    val emb = (mode match {
+      case "raw" => raw
+      case "planted" =>
         // clusters of 4: member m of cluster c reuses c's base vector with
         // a deterministic per-component jitter — in-cluster cosine ~0.999,
         // so each node's true top-3 are its cluster mates
@@ -67,10 +85,31 @@ object RecallProbe {
             "transform(bv, (x, i) -> x + (vec_id % 4) * 0.003 * " +
               "(CASE WHEN pmod(xxhash64(vec_id, i), 2) = 0 THEN 1.0 ELSE -1.0 END))"
           ).as("v"))
-      }).localCheckpoint(true)
+      case "chained" =>
+        // chains of 8: v_m = cos(m·θ)·u + sin(m·θ)·w with u the chain
+        // base vector and w a deterministic ±1 direction scaled by
+        // rms(u) = |u|/√64 so |w| = |u| exactly; u·w ≈ 0 in 64-dim, so
+        // cos(v_i, v_j) ≈ cos((i−j)·θ). θ = 0.2 rad: adjacent mates
+        // ~0.98, the chain's 1.4 rad sweep crosses many SRP hyperplanes —
+        // structure WIDER than one bucket by construction
+        val theta = 0.2
+        val base = raw.filter(col("vec_id") % 8 === 0)
+          .select(col("vec_id").as("bid"), col("v").as("bv"))
+        raw.select(col("vec_id"),
+            (col("vec_id") - pmod(col("vec_id"), lit(8))).as("bid"),
+            pmod(col("vec_id"), lit(8)).cast("double").as("m"))
+          .join(base, Seq("bid"))
+          .select(col("vec_id"), col("bid"), col("m"), col("bv"),
+            (V.l2Norm(col("bv")) / lit(8.0)).as("rms"))
+          .select(col("vec_id"), expr(
+            s"transform(bv, (x, i) -> cos(m * $theta) * x + " +
+              s"sin(m * $theta) * rms * " +
+              "(CASE WHEN pmod(xxhash64(bid, i), 2) = 0 THEN 1.0 ELSE -1.0 END))"
+          ).as("v"))
+    }).localCheckpoint(true)
     val n = emb.count()
     val nBits = Similarity.lshNBits(n)
-    println(s"[recall-probe] sfDir=$sfDir n=$n k=$k nBits=$nBits rounds=$rounds planted=$planted")
+    println(s"[recall-probe] sfDir=$sfDir n=$n k=$k nBits=$nBits rounds=$rounds mode=$mode")
 
     // brute-force truth: same tie-break as knnGraph's window
     val truthW = Window.partitionBy("src").orderBy(round(col("cos"), 6).desc, col("dst"))
@@ -104,7 +143,10 @@ object RecallProbe {
     var stats = List(("seed", recallOf(seed), seedWall))
     (1 to rounds).foreach { r =>
       val (next, wall) = timed {
-        Similarity.nnDescentRound(g, emb, k = k).localCheckpoint(true)
+        // prescoreFactor = 3 mirrors the registered q_sim_nndescent — the
+        // artifact prices the shipped operator, int8 gate included
+        Similarity.nnDescentRound(g, emb, k = k, prescoreFactor = 3)
+          .localCheckpoint(true)
       }
       g = next
       stats = stats :+ ((s"round$r", recallOf(next), wall))
@@ -115,7 +157,8 @@ object RecallProbe {
     val recJson = stats.map { case (t, r, _) => f""""$t":$r%.4f""" }.mkString(",")
     val wallJson = stats.map { case (t, _, w) => f""""$t":$w%.2f""" }.mkString(",")
     println(s"""{"metric":"nndescent_recall","sf":"$sfDir","n":$n,"k":$k,""" +
-      s""""nbits":$nBits,"planted":$planted,"truth_edges":$truthEdges,""" +
+      s""""nbits":$nBits,"mode":"$mode","prescore_factor":3,""" +
+      s""""truth_edges":$truthEdges,""" +
       s""""recall":{$recJson},"wall_s":{$wallJson}}""")
     spark.stop()
   }

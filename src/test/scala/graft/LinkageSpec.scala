@@ -162,4 +162,22 @@ class LinkageSpec extends AnyFunSuite with SparkTest {
       Sample.negativePairs(Seq(1L).toDF("id"), "id", k = 8, buckets = 8)
     }
   }
+
+  test("asciiWindow: NULL text propagates NULL; non-ASCII still raises the contract error (r15 ADVICE)") {
+    import org.apache.spark.sql.functions.col
+    // AssertTrue raises on a NULL condition, so an unguarded NULL window
+    // used to fail with a misleading "must be pure ASCII" error
+    val got = Seq[(Long, String)]((1L, "plain ascii"), (2L, null))
+      .toDF("id", "t")
+      .select(col("id"), graft.queries.LinkageQueries.asciiWindow(col("t"), "t").as("w"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSet
+    assert(got == Set((1L, "plain ascii"), (2L, null)))
+    val err = intercept[Exception] {
+      Seq("café").toDF("t")
+        .select(graft.queries.LinkageQueries.asciiWindow(col("t"), "t"))
+        .collect()
+    }
+    assert(err.getMessage.contains("pure ASCII"), s"wrong error: ${err.getMessage}")
+  }
 }

@@ -173,8 +173,11 @@ class ScaleUpSpec extends AnyFunSuite with SparkTest {
     // <= (2k)^2 + k via the reverse-degree cap — INDEPENDENT of corpus
     // size, so total work is linear in N at fixed k. Measured as the
     // per-src output of the round at k = corpus size (keeps every
-    // candidate the rank window would truncate) over a fixed SEED degree
-    // k. A hub-heavy graph without the cap would grow this with N.
+    // candidate the rank window would truncate) with revDegreeCap PINNED
+    // at the production k — r15's version passed k = n as BOTH budget and
+    // cap, so the cap under test was effectively disabled and the bound
+    // held only because random in-degrees stayed near k (r15 ADVICE).
+    // A hub-heavy graph without the cap would grow this with N.
     val dim = 16
     def emb(n: Int) = spark.range(n.toLong).select(
       col("id").as("vec_id"),
@@ -185,7 +188,7 @@ class ScaleUpSpec extends AnyFunSuite with SparkTest {
     def meanCands(n: Int): Double = {
       val nBits = Similarity.lshNBits(n.toLong, 8L)
       val seed = Similarity.knnGraph(emb(n), dim, nBits, k = k)
-      Similarity.nnDescentRound(seed, emb(n), k = n)
+      Similarity.nnDescentRound(seed, emb(n), k = n, revDegreeCap = k)
         .groupBy("src").count()
         .agg(avg("count")).collect()(0).getDouble(0)
     }

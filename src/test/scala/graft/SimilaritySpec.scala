@@ -335,6 +335,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     // a second round chains on the first's output and keeps its gains
     val round2 = Similarity.nnDescentRound(refined, emb, k = k)
     assert(recallOf(round2) >= rRef)
+
+    // int8 pre-score gate (the q_sim_nndescent production dial): schema +
+    // per-node budget hold, and the gate is ordering-only — at factor 3
+    // the survivor budget (9) exceeds this fixture's candidate depth
+    // where quantization could reorder, so recall stays within noise of
+    // the exact path and never below the seed
+    val gated = Similarity.nnDescentRound(seed, emb, k = k, prescoreFactor = 3)
+    assert(gated.columns.toSeq == Seq("src", "dst", "cos", "rn"))
+    gated.collect().map(r => (r.getLong(0), r.getInt(3)))
+      .groupBy(_._1).foreach { case (s, es) =>
+        assert(es.size <= k && es.map(_._2).sorted.toSeq == (1 to es.size), s"node $s")
+      }
+    val rGated = recallOf(gated)
+    assert(rGated >= rSeed, s"gated round lost recall vs seed: $rSeed -> $rGated")
+    assert((rGated - rRef).abs <= 0.1,
+      s"gate should be ordering-only at factor 3: exact=$rRef gated=$rGated")
   }
 
   test("semanticDedup drops in-cell near-dups, keeps min id and distinct vectors") {

@@ -696,6 +696,38 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(batches == Set(0, 1))
   }
 
+  test("linkage ingest: a ZERO-match batch quarantines everything instead of wedging (r15 ADVICE)") {
+    import spark.implicits._
+    import graft.operators.Linkage
+    // every arrival is blockless, so the resolve writes no visible part
+    // files under batch=0 — the quarantine read-back must fall back to an
+    // empty matched set (AnalysisException guard), not fail the batch and
+    // wedge the checkpoint replay
+    val dir = java.nio.file.Files.createTempDirectory("graft-linkage-empty").toString
+    val canonical = Seq((10L, "blkA", "alpha beta gamma canonical body"))
+      .toDF("doc_id", "blk", "ctext")
+    val fields = Seq(Linkage.Field("ctext", "dtext", 1000))
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = Streams.linkageIngestSink(
+      input.toDF().toDF("dirty_id", "blk", "dtext"), canonical,
+      canonicalId = "doc_id", dirtyId = "dirty_id", blockCol = "blk",
+      fields = fields, minScore = 600000L,
+      matchedPath = s"$dir/matched", unmatchedPath = Some(s"$dir/unmatched"))
+    input.addData(Seq((200L, "blkZ", "foreign one"), (201L, "blkY", "foreign two")))
+    q.processAllAvailable()
+    // a later batch WITH a match still works after the empty one
+    input.addData(Seq((202L, "blkA", "alpha beta gamma canonical bod")))
+    q.processAllAvailable()
+    q.stop()
+    assert(q.exception.isEmpty, s"sink wedged: ${q.exception}")
+    val quarantined = spark.read.parquet(s"$dir/unmatched")
+      .select("dirty_id").collect().map(_.getLong(0)).toSet
+    assert(quarantined == Set(200L, 201L))
+    val matched = Streams.linkageMatches(spark, s"$dir/matched")
+      .select("dirty_id").collect().map(_.getLong(0)).toSet
+    assert(matched == Set(202L))
+  }
+
   test("scd2Sink over micro-batches == batch scd2FromChangelog over the full log") {
     import spark.implicits._
     val statePath = java.nio.file.Files

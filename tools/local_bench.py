@@ -41,8 +41,13 @@ def main():
         "total_median_s": round(sum(q["median_s"] for q in queries.values()), 1),
         "run_totals_s": [round(d["value"], 1) for d in passes],
         "calibrations": [
+            # launch_s (r15 verdict #3): empty-32-task-job probe for the
+            # scheduler/job-launch axis that dominates sub-second queries;
+            # absent in pre-r16 passes
             {"cpu_s": round(d["calibration_s"], 3),
-             "shuffle_s": round(d["calibration_shuffle_s"], 3)}
+             "shuffle_s": round(d["calibration_shuffle_s"], 3),
+             **({"launch_s": round(d["calibration_launch_s"], 4)}
+                if "calibration_launch_s" in d else {})}
             for d in passes
         ],
         "failed": sorted({f for d in passes for f in d.get("failed", [])}),
