@@ -107,6 +107,37 @@ object Bench {
     // 0). Failures are collected by name, reported in BOTH output lines,
     // and fail the process — the artifact can under-report nothing.
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Diag mode (SPARK_GRAFT_DIAG=1, attribution-only — never set on
+    // recorded runs): after each query's cleanup, print one JSON line of
+    // JVM/filesystem state so between-repeat anomalies are attributable
+    // by arithmetic (r15 verdict #2: q_dedup_clusters' 100x steady runs
+    // were 1.3-1.6x SLOWER than its first run — the opposite of every
+    // other query — and the artifact could only say "unexplained").
+    val diag = sys.env.get("SPARK_GRAFT_DIAG").contains("1")
+    def gcTotals(): (Long, Long) = {
+      import scala.jdk.CollectionConverters._
+      val beans = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala
+      (beans.map(_.getCollectionTime).sum, beans.map(_.getCollectionCount).sum)
+    }
+    def jitMs(): Long = java.lang.management.ManagementFactory
+      .getCompilationMXBean.getTotalCompilationTime
+    def codeCacheMb(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getUsed).sum >> 20
+    }
+    def localDirBytes(): Long = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+      def size(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).map(_.map(size).sum).getOrElse(0L)
+        else f.length()
+      Option(tmp.listFiles).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("blockmgr-") ||
+          f.getName.startsWith("spark-"))
+        .map(size).sum
+    }
     val results = runs.flatMap { case (name, fn) =>
       // q_layout_compact_exec MUTATES its fixture to the converged state;
       // under REPEAT>1 every later repeat would time a no-op audit instead
@@ -125,6 +156,8 @@ object Bench {
       // charge it work its own first run never did.
       if (name.contains("#") && !name.startsWith("q_corpus_bpe_apply#"))
         QueryMemos.reset()
+      val (gcMs0, gcN0) = if (diag) gcTotals() else (0L, 0L)
+      val jit0 = if (diag) jitMs() else 0L
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true } catch {
@@ -150,6 +183,17 @@ object Bench {
       // predecessors' cleanup (measured: removes 2-5x tail inflation on
       // queries that follow global sorts / large broadcasts)
       System.gc()
+      if (diag) {
+        val (gcMs1, gcN1) = gcTotals()
+        val mem = java.lang.management.ManagementFactory.getMemoryMXBean
+        val heap = mem.getHeapMemoryUsage
+        println(s"""{"diag":"$name","wall_s":${"%.3f".format(dt)},""" +
+          s""""gc_ms":${gcMs1 - gcMs0},"gc_n":${gcN1 - gcN0},""" +
+          s""""jit_ms":${jitMs() - jit0},"code_cache_mb":${codeCacheMb()},""" +
+          s""""heap_used_after_gc_mb":${heap.getUsed >> 20},""" +
+          s""""heap_committed_mb":${heap.getCommitted >> 20},""" +
+          s""""spark_local_dir_mb":${localDirBytes() >> 20}}""")
+      }
       // A failed query's partial elapsed time is NOT a measurement of
       // anything — including it would mix successful and aborted timings
       // in the per-query map and inflate/deflate the total arbitrarily

@@ -37,6 +37,13 @@ object VectorFunctions {
     column(graft.expressions.CosineSimilarity(expression(a), expression(b)))
   }
 
+  /** Exact integer dot of two `array<byte>` int8 code columns via the
+    * native codegen expression — the quantized pre-score hot loop. */
+  def int8Dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.Int8Dot(expression(a), expression(b)))
+  }
+
   def l2Dist(a: Column, b: Column): Column =
     sqrt(aggregate(
       zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x))

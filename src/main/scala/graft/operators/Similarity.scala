@@ -100,8 +100,12 @@ object Similarity {
     require(k >= 1 && candidateFactor >= 1)
     def scaleOf(v: Column): Column =
       array_max(transform(v, x => abs(x))) / lit(127.0)
+    // codes as array<byte>: 1 byte/element in Tungsten (the whole point of
+    // the int8 store — the old array<long> spelling stored 8x wider), and
+    // the integer dot runs in the Int8Dot codegen loop instead of the
+    // interpreted zip_with path (same values: |round(x/scale)| <= 127)
     def quantize(v: Column, scale: Column): Column =
-      transform(v, x => round(x / scale).cast("long"))
+      transform(v, x => round(x / scale).cast("byte"))
     // the int8 store carries per-vector (scale, float norm) metadata —
     // computed ONCE at quantize time; the coarse score then approximates
     // COSINE (dot/|q||c|), the same ordering the rerank refines. Scoring
@@ -133,8 +137,7 @@ object Similarity {
         quantize(col("qv"), col("q_scale")).as("qq"))
       .filter(col("q_scale") > 0)
     // integer dot: |code| <= 127, so dim * 127^2 stays far inside Long
-    val intDot = aggregate(
-      zip_with(col("qq"), col("cq"), (a, b) => a * b), lit(0L), _ + _)
+    val intDot = V.int8Dot(col("qq"), col("cq"))
     val coarse = corpusQ
       .crossJoin(broadcast(queriesQ))
       .withColumn("approx",
@@ -523,11 +526,10 @@ object Similarity {
           .select(col("vec_id"), col("qs"), V.l2Norm(col("v")).as("qn"),
             transform(col("v"), x => round(x / col("qs")).cast("byte")).as("qc"))
           .filter(col("qs") > 0) // same rows as the l2Norm guard
-        // exact integer dot (byte codes promoted before multiply so
-        // 127*127 can't wrap a tinyint); dim * 127^2 stays inside Long
-        val qdot = aggregate(
-          zip_with(col("sqc"), col("dqc"),
-            (a, b) => a.cast("long") * b.cast("long")), lit(0L), _ + _)
+        // exact integer dot via the native codegen expression — the HOF
+        // aggregate-over-zip_with form ran interpreted and cost more than
+        // the full-vector exchange it was saving (measured 4-6x at 100x)
+        val qdot = V.int8Dot(col("sqc"), col("dqc"))
         val wPre = Window.partitionBy("src")
           .orderBy(round(col("approx"), 6).desc, col("dst"))
         cand

@@ -132,19 +132,24 @@ object SimilarityQueries {
 
     // One NN-descent refinement round over the q_sim_knn graph
     // (Similarity.nnDescentRound): neighbors-of-neighbors candidate
-    // expansion with the reverse degree capped at k, an int8 pre-score
-    // gate (the q_sim_quant_rerank codec — candidate pairs are scored on
-    // 64-byte codes and only the top 3k per src fetch full vectors; the
-    // wide full-vector exchange was the measured 100x cost driver), then
-    // exact-cosine re-scoring and the same partitioned top-k — the
-    // construction step that turns the SRP-bucketed seed graph into a
-    // high-recall kNN graph (recall vs brute force measured in
-    // ScaleUpSpec / SCALE artifacts). Both stages are deterministic
-    // (identical codes in both engines, exact integer dot), so the oracle
-    // replays the gated round exactly.
+    // expansion with the reverse degree capped at k, exact-cosine
+    // re-scoring, same partitioned top-k — the construction step that
+    // turns the SRP-bucketed seed graph into a high-recall kNN graph
+    // (recall vs brute force measured in ScaleUpSpec / SCALE artifacts).
+    // Fully deterministic, so the oracle replays the round exactly.
+    // prescoreFactor stays 0 here ON MEASUREMENT: the int8 gate
+    // (nnDescentRound's dial, tools/NnDescentAB) trades two extra joins +
+    // a per-src window for an 8x-narrower candidate exchange, and at
+    // dim=64/k=5 on page-cached local shuffle the A/B puts the gate
+    // SLOWER at every probed scale (100x round min 9.5 s gated vs 7.5 s
+    // exact; 1x steady 3.6 vs 2.7) — the exchange it narrows is cheaper
+    // than the stages it adds. The dial exists for the geometry where it
+    // wins: high-dim vectors (768-dim = 6 KB/row riding every candidate
+    // pair vs 96x-narrower codes) or network-shuffle clusters where
+    // exchange bytes, not stage count, dominate.
     QueryDef(
       "q_sim_nndescent",
-      Some(s"""WITH ${PortableSql.nnDescentCtes(5, prescoreFactor = 3)}
+      Some(s"""WITH ${PortableSql.nnDescentCtes(5)}
           SELECT src, dst, ${Num.oracleRound2("cos")} AS cos,
                  CAST(rn AS BIGINT) AS rn
           FROM nnd ORDER BY src, rn""")) { (s, d) =>
@@ -153,7 +158,7 @@ object SimilarityQueries {
       val nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings"))
       val seed = Similarity.knnGraph(emb, dim = 64, nBits = nBits, k = 5,
         portable = true)
-      Similarity.nnDescentRound(seed, emb, k = 5, prescoreFactor = 3)
+      Similarity.nnDescentRound(seed, emb, k = 5)
         .select(col("src"), col("dst"), Num.round2(col("cos")).as("cos"),
           col("rn").cast("long").as("rn"))
         .orderBy("src", "rn")

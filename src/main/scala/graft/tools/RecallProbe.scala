@@ -44,10 +44,6 @@ import org.apache.spark.sql.functions._
   *    share (or Hamming-1-share) its bucket; recovering the rest needs
   *    exactly the neighbor-of-a-neighbor step a refinement round adds.
   *
-  * Rounds run with prescoreFactor = 3 — the registered q_sim_nndescent
-  * production dial — so the recall artifact prices the SHIPPED operator,
-  * int8 gate included.
-  *
   * Usage: runMain graft.tools.RecallProbe <sfDir> [k] [rounds] [planted|chained]
   */
 object RecallProbe {
@@ -143,10 +139,9 @@ object RecallProbe {
     var stats = List(("seed", recallOf(seed), seedWall))
     (1 to rounds).foreach { r =>
       val (next, wall) = timed {
-        // prescoreFactor = 3 mirrors the registered q_sim_nndescent — the
-        // artifact prices the shipped operator, int8 gate included
-        Similarity.nnDescentRound(g, emb, k = k, prescoreFactor = 3)
-          .localCheckpoint(true)
+        // exact rounds — mirrors the registered q_sim_nndescent (the int8
+        // pre-score dial measured slower at this dim/scale, see NnDescentAB)
+        Similarity.nnDescentRound(g, emb, k = k).localCheckpoint(true)
       }
       g = next
       stats = stats :+ ((s"round$r", recallOf(next), wall))
@@ -157,7 +152,7 @@ object RecallProbe {
     val recJson = stats.map { case (t, r, _) => f""""$t":$r%.4f""" }.mkString(",")
     val wallJson = stats.map { case (t, _, w) => f""""$t":$w%.2f""" }.mkString(",")
     println(s"""{"metric":"nndescent_recall","sf":"$sfDir","n":$n,"k":$k,""" +
-      s""""nbits":$nBits,"mode":"$mode","prescore_factor":3,""" +
+      s""""nbits":$nBits,"mode":"$mode",""" +
       s""""truth_edges":$truthEdges,""" +
       s""""recall":{$recJson},"wall_s":{$wallJson}}""")
     spark.stop()
