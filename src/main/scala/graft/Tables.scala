@@ -90,6 +90,19 @@ object Tables {
   // invokes this during warmup so its timed body measures the JOIN, not the
   // table build; the query body calls it too, so Verify and ad-hoc use stay
   // self-contained.
+  // Bucket-count dial for the persisted bucketed layouts: ~rows/perBucket
+  // buckets, floor 8. A bucketed join's parallelism IS the bucket count —
+  // the whole point of the layout is that nothing re-shuffles, so there is
+  // no exchange to re-partition at read time. r16 finding (SCALE_r16
+  // embed_incremental_attribution): with the count pinned at 8, the 100x
+  // probe join ran as an 8-task serial section (12 s of a 16 s query) and
+  // the 10x->100x decade ratio read 11.5x for 10x data — parallelism, not
+  // candidate growth. The floor keeps sf0.01/sf0.1 layouts (and plan
+  // digests) identical to r15; at 100 TB the same rule yields thousands of
+  // buckets, which is the deployment posture the scaladocs below describe.
+  private def bucketCount(rows: Long, perBucket: Long): Int =
+    math.max(8L, rows / perBucket).toInt
+
   private val bucketedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
 
@@ -98,14 +111,15 @@ object Tables {
       import org.apache.spark.sql.functions.col
       val tag = dirTag(d)
       val (ordsT, custT) = (s"graft_orders_bkt_$tag", s"graft_cust_bkt_$tag")
+      val nB = bucketCount(rowCount(s, d, "orders"), 250000L)
       if (!s.catalog.tableExists(ordsT))
         graft.sources.Warehouse.writeBucketed(
           orders(s, d).select(col("o_custkey").as("custkey"), col("o_totalprice")),
-          ordsT, "custkey", 8)
+          ordsT, "custkey", nB)
       if (!s.catalog.tableExists(custT))
         graft.sources.Warehouse.writeBucketed(
           customer(s, d).select(col("c_custkey").as("custkey")),
-          custT, "custkey", 8)
+          custT, "custkey", nB)
       (ordsT, custT)
     })
 
@@ -114,8 +128,8 @@ object Tables {
   // (bucketBy = the arrival join's keys), so every arrival batch joins
   // with ZERO corpus-side exchange; only the (small) batch shuffles to the
   // bucket layout. Without this, each batch re-shuffles the entire
-  // persisted state — corpus-sized work per arrival. Bucket count 8 at
-  // test scale (a deployment dial; thousands at 100 TB). Same warmup
+  // persisted state — corpus-sized work per arrival. Bucket count scales
+  // with the corpus via bucketCount (thousands at 100 TB). Same warmup
   // policy as bucketedOrdersCustomer: Bench pre-builds so the timed body
   // measures the probe join, not the state write.
   private val bandTableCache =
@@ -138,8 +152,10 @@ object Tables {
           .filter(col("id") % 5 =!= 0)
         val bands = graft.operators.Similarity
           .bandTable(existing, k = 16, nBands = 4, portable = true)
+        // bands ~= 4 per existing doc; ~100k band rows per bucket
         graft.sources.Warehouse.writeBucketedMulti(
-          bands, t, Seq("band_idx", "band_hash"), 8)
+          bands, t, Seq("band_idx", "band_hash"),
+          bucketCount(rowCount(s, d, "documents") * 4L, 100000L))
       }
       t
     })
@@ -164,11 +180,14 @@ object Tables {
         val existing = embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .filter(col("vec_id") % 5 =!= 0)
+        // ~2.5k 512-byte vectors per bucket: 1x/10x stay at the floor
+        // (layout unchanged vs r15), 100x gets 64-way probe parallelism
+        val nB = bucketCount(rowCount(s, d, "embeddings"), 2500L)
         graft.sources.Warehouse.writeBucketed(
           graft.operators.Similarity.bucketTable(
             existing, dim = 64, nBits, portable = true),
-          bktT, "bucket", 8)
-        graft.sources.Warehouse.writeBucketed(existing, vecT, "vec_id", 8)
+          bktT, "bucket", nB)
+        graft.sources.Warehouse.writeBucketed(existing, vecT, "vec_id", nB)
       }
       (bktT, vecT)
     })
