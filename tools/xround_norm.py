@@ -86,6 +86,12 @@ def main():
                    "and since r16 job-launch); a query is code-attributable "
                    "only when it moves >30% on EVERY available normalized "
                    "axis above the noise floor"),
+        "number_policy": ("UNIFORM (r15 verdict #2): every number here is the "
+                          "min across that round's 5 full first-run passes "
+                          "(BENCH_LOCAL min_s — repeat rows never feed this "
+                          "artifact); the 100x scale tables use min over ALL "
+                          "observations, first and in-JVM steady alike "
+                          "(SCALE_r16 number_policy_100x)"),
         "code_attributable": sorted(code_moved),
         "queries": rows,
     }
