@@ -452,14 +452,25 @@ object Similarity {
     * codes and only the top `prescoreFactor * k` per src fetch full
     * float vectors for the exact rerank. The expansion emits up to (2k)²
     * candidates per node but only O(k) survive to the final ranking, so
-    * the wide exchange — full 64-dim vectors riding every candidate pair,
-    * the measured 100x cost driver — shrinks to the survivor set; the
-    * code columns riding the full pair set are 8x narrower. The gate is
-    * candidate-ORDERING only (both engines derive identical codes — IEEE
-    * double division + shared HALF_UP round — and the integer dot is
-    * exact), so the result is deterministic and the DuckDB oracle replays
-    * it exactly; recall vs brute force is the spec-measured contract, as
-    * with [[quantRerankTopK]].
+    * the wide exchange — full float vectors riding every candidate pair
+    * — shrinks to the survivor set; the code columns riding the full
+    * pair set are 8x narrower. The gate is candidate-ORDERING only (both
+    * engines derive identical codes — IEEE double division + shared
+    * HALF_UP round — and the integer dot is exact), so the result is
+    * deterministic and the DuckDB oracle replays it exactly; recall vs
+    * brute force is the spec-measured contract, as with
+    * [[quantRerankTopK]].
+    *
+    * WHEN TO TURN IT ON (measured, tools/NnDescentAB, r16): the gate
+    * trades two extra joins + a per-src pre-rank window for the narrower
+    * exchange, so it pays only when exchange BYTES dominate. At dim=64
+    * it loses at every probed scale (200k vectors: 9.5 s gated vs 7.5 s
+    * exact); at dim=768 it loses at 20k vectors (3.3 vs 2.9 s) and WINS
+    * 4.4x at 200k vectors (27.2 vs 120.6 s, where the exact path moves
+    * ~120 GB of 6 KB vectors through the candidate exchange). Rule of
+    * thumb: enable when candidatePairs x vectorBytes reaches the
+    * shuffle-bandwidth-bound regime — high-dim embeddings at corpus
+    * scale, or any network-shuffle cluster.
     *
     * `revDegreeCap` overrides the reverse-degree cap independently of the
     * output budget `k` (default -1 = cap at k). NN-descent's reverse

@@ -44,7 +44,9 @@ import org.apache.spark.sql.functions._
   *    share (or Hamming-1-share) its bucket; recovering the rest needs
   *    exactly the neighbor-of-a-neighbor step a refinement round adds.
   *
-  * Usage: runMain graft.tools.RecallProbe <sfDir> [k] [rounds] [planted|chained]
+  * Usage: runMain graft.tools.RecallProbe <sfDir> [k] [rounds] [planted|chained] [theta]
+  * (theta — chained mode's per-step angle in radians, default 0.2 —
+  * sweeps chain elongation vs per-round recall lift)
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
@@ -53,6 +55,7 @@ object RecallProbe {
     val rounds = args.drop(2).headOption.map(_.toInt).getOrElse(2)
     val mode = args.drop(3).headOption.getOrElse("raw")
     require(Set("raw", "planted", "chained")(mode), s"unknown mode $mode")
+    val theta = args.drop(4).headOption.map(_.toDouble).getOrElse(0.2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.configure(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -88,7 +91,6 @@ object RecallProbe {
         // cos(v_i, v_j) ≈ cos((i−j)·θ). θ = 0.2 rad: adjacent mates
         // ~0.98, the chain's 1.4 rad sweep crosses many SRP hyperplanes —
         // structure WIDER than one bucket by construction
-        val theta = 0.2
         val base = raw.filter(col("vec_id") % 8 === 0)
           .select(col("vec_id").as("bid"), col("v").as("bv"))
         raw.select(col("vec_id"),
@@ -105,7 +107,7 @@ object RecallProbe {
     }).localCheckpoint(true)
     val n = emb.count()
     val nBits = Similarity.lshNBits(n)
-    println(s"[recall-probe] sfDir=$sfDir n=$n k=$k nBits=$nBits rounds=$rounds mode=$mode")
+    println(s"[recall-probe] sfDir=$sfDir n=$n k=$k nBits=$nBits rounds=$rounds mode=$mode theta=$theta")
 
     // brute-force truth: same tie-break as knnGraph's window
     val truthW = Window.partitionBy("src").orderBy(round(col("cos"), 6).desc, col("dst"))
@@ -152,7 +154,7 @@ object RecallProbe {
     val recJson = stats.map { case (t, r, _) => f""""$t":$r%.4f""" }.mkString(",")
     val wallJson = stats.map { case (t, _, w) => f""""$t":$w%.2f""" }.mkString(",")
     println(s"""{"metric":"nndescent_recall","sf":"$sfDir","n":$n,"k":$k,""" +
-      s""""nbits":$nBits,"mode":"$mode",""" +
+      s""""nbits":$nBits,"mode":"$mode","theta":$theta,""" +
       s""""truth_edges":$truthEdges,""" +
       s""""recall":{$recJson},"wall_s":{$wallJson}}""")
     spark.stop()

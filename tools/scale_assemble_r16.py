@@ -259,6 +259,17 @@ def main():
             "100x": jline(f"{D}/nndescent_ab_100x.json"),
             "1x": jline(f"{D}/nndescent_ab_1x.json"),
             "quant_rerank_100x_steady_before_after_s": [7.39, 2.94],
+            "crossover": "the dial's full pricing (dim arg added to "
+                "NnDescentAB): at dim=64 the gate loses at every probed "
+                "scale; at dim=768 it loses at 20k vectors (3.35 vs "
+                "2.88 s) and WINS 4.4x at 200k vectors (27.2 vs 120.6 s "
+                "— the exact path moves ~120 GB of 6 KB vectors through "
+                "the candidate exchange). Enable when candidate-pairs x "
+                "vector-bytes is shuffle-bound: high-dim embeddings at "
+                "corpus scale, or network-shuffle clusters. The shipped "
+                "dim=64 q_sim_nndescent correctly stays exact.",
+            "10x_dim768": jline(f"{D}/nndescent_ab_10x_d768.json"),
+            "100x_dim768": jline(f"{D}/nndescent_ab_100x_d768.json"),
         },
         "nndescent_recall": {
             "what": "recall@5 vs brute-force kNN for the SRP seed graph and "
@@ -273,6 +284,19 @@ def main():
             "10x_planted": jline(f"{D}/recall_10x_planted.json"),
             "1x_chained": jline(f"{D}/recall_1x_chained.json"),
             "10x_chained": jline(f"{D}/recall_10x_chained.json"),
+            "10x_chained_4rounds": jline(f"{D}/recall_10x_chained_r4.json"),
+            "10x_chained_theta0.1": jline(f"{D}/recall_10x_chained_t0.1.json"),
+            "10x_chained_theta0.3": jline(f"{D}/recall_10x_chained_t0.3.json"),
+            "chained_findings": "lift grows with elongation (theta sweep at "
+                "10x, seed->r1->r2: theta 0.1: 0.862->0.926->0.941; 0.2: "
+                "0.656->0.770->0.824; 0.3: 0.486->0.605->0.672) — the more "
+                "the cluster structure crosses SRP buckets, the lower the "
+                "seed recall and the LARGER the per-round transitivity "
+                "recovery, the r15 verdict #5 hypothesis confirmed in both "
+                "directions. Convergence: rounds 3-4 add +0.011/+0.002 "
+                "(0.824->0.835->0.837) — two rounds capture ~90% of the "
+                "recoverable lift, matching the operator's documented "
+                "posture.",
         },
         "embed_incremental_attribution": {
             "what": "r15 verdict #6: q_dedup_embed_incremental's 10x->100x "
