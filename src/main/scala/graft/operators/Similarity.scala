@@ -178,11 +178,13 @@ object Similarity {
   def srpBucket(vec: Column, dim: Int, nBits: Int, portable: Boolean = false): Column = {
     val sign: (Int, Int) => Double =
       if (portable) Portable.srpSign else hyperplaneSign
-    val bits: Seq[Column] = (0 until nBits).map { j =>
-      val plane = array((0 until dim).map(i => lit(sign(j, i))): _*)
-      when(V.dot(vec, plane) > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
+    // one fused codegen loop over a plan-constant sign matrix — the
+    // previous per-bit aggregate(zip_with) trees ran nBits interpreted
+    // HOF passes per corpus row (see graft.expressions.SrpBucket; FP
+    // semantics bit-identical, oracle buckets unchanged)
+    val signs = Array.tabulate(nBits, dim)((j, i) => sign(j, i))
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.SrpBucket(expression(vec), signs))
   }
 
   /** Bits for [[lshBucketJoin]] sized from the corpus: 2^nBits buckets
