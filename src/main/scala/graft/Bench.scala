@@ -149,13 +149,37 @@ object Bench {
       // must see the session state its FIRST run saw, or it records a memo
       // hit standing in for the work — q_corpus_bpe's r15 "100x steady"
       // row was a bpeMergeCache hit (0.077 s) vs the 11.8 s learn.
-      // q_corpus_bpe_apply is the one exception: its documented cost model
-      // is apply-ONLY (the learn is paid once by q_corpus_bpe, the
-      // production train-once/apply-everywhere shape), and its first run
-      // already consumed the warm memo — resetting before ITS repeat would
-      // charge it work its own first run never did.
-      if (name.contains("#") && !name.startsWith("q_corpus_bpe_apply#"))
-        QueryMemos.reset()
+      // q_corpus_bpe_apply's exemption is MEMO-SPECIFIC (r16 ADVICE — the
+      // old whole-reset skip also spared countCache and relied on bpe
+      // having run immediately before): its documented cost model is
+      // apply-ONLY (the learn is paid once by q_corpus_bpe, the production
+      // train-once/apply-everywhere shape), so only bpeMergeCache is
+      // spared for its repeats; every other memo still resets. If its
+      // first run ever stops following a learn-bearing query, it pays the
+      // learn VISIBLY on run 1 and the min-policy row stays apply-only.
+      if (name.contains("#"))
+        QueryMemos.reset(except =
+          if (name.startsWith("q_corpus_bpe_apply#")) Set("bpeMergeCache")
+          else Set.empty)
+      // Repeat-row JIT-storm mitigation (r16 verdict #7): 1/76 steady rows
+      // absorbed a 70 s C2 recompilation flood (jit_ms 73-80 s vs 10-32 s;
+      // gc/heap/code-cache flat). Two untimed steps before each REPEAT
+      // body (first runs keep their by-design cold cost): (a) plan +
+      // Janino-compile every WholeStageCodegen subtree so source->class
+      // compilation is out of the timed body and the compile cache is hot;
+      // (b) wait for the JVM JIT queue to QUIESCE, so a C2 flood triggered
+      // by the previous query's code finishes before the clock starts —
+      // storms that would have landed mid-measurement get absorbed here.
+      if (name.contains("#")) {
+        try graft.tools.CodegenPrewarm.prewarm(fn(spark, sfDir))
+        catch { case _: Throwable => () }
+        var lastJit = jitMs(); var quietMs = 0; var waitedMs = 0
+        while (quietMs < 200 && waitedMs < 10000) {
+          Thread.sleep(50); waitedMs += 50
+          val j = jitMs()
+          if (j - lastJit < 5) quietMs += 50 else { quietMs = 0; lastJit = j }
+        }
+      }
       val (gcMs0, gcN0) = if (diag) gcTotals() else (0L, 0L)
       val jit0 = if (diag) jitMs() else 0L
       val t0 = System.nanoTime()

@@ -17,14 +17,23 @@ package graft
   */
 object QueryMemos {
   private val clears =
-    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+    new java.util.concurrent.ConcurrentHashMap[String, () => Unit]()
 
-  /** Memo owners register their clear action once, at memo creation. */
-  private[graft] def register(clear: () => Unit): Unit = {
-    clears.add(clear); ()
+  /** Memo owners register their clear action once, at memo creation,
+    * under a stable name so exemptions can be MEMO-specific (r16 ADVICE:
+    * a query-name-keyed blanket exemption silently spared unrelated
+    * memos and depended on registration order). */
+  private[graft] def register(name: String, clear: () => Unit): Unit = {
+    clears.put(name, clear); ()
   }
 
-  /** Clear every registered query-level memo (called by Bench between
-    * SPARK_GRAFT_REPEAT runs; safe any time — memos refill on demand). */
-  def reset(): Unit = clears.forEach(_.apply())
+  /** Clear registered query-level memos (called by Bench between
+    * SPARK_GRAFT_REPEAT runs; safe any time — memos refill on demand).
+    * `except` names memos to spare, for queries whose documented cost
+    * model rides a warm memo by design (q_corpus_bpe_apply's apply-only
+    * shape keeps bpeMergeCache; everything else still resets). */
+  def reset(except: Set[String] = Set.empty): Unit =
+    clears.forEach { (name, clear) =>
+      if (!except.contains(name)) clear()
+    }
 }

@@ -47,7 +47,7 @@ object Tables {
   // The analyzed-plan cache above is NOT registered: plan analysis is
   // session infrastructure every long-running session keeps, and the
   // table-prep memos below are one-time layout builds amortized by design.
-  QueryMemos.register(() => countCache.clear())
+  QueryMemos.register("countCache", () => countCache.clear())
 
   def rowCount(spark: SparkSession, dir: String, name: String): Long =
     countCache.computeIfAbsent((spark, dir, name),
@@ -90,18 +90,45 @@ object Tables {
   // invokes this during warmup so its timed body measures the JOIN, not the
   // table build; the query body calls it too, so Verify and ad-hoc use stay
   // self-contained.
-  // Bucket-count dial for the persisted bucketed layouts: ~rows/perBucket
-  // buckets, floor 8. A bucketed join's parallelism IS the bucket count —
-  // the whole point of the layout is that nothing re-shuffles, so there is
-  // no exchange to re-partition at read time. r16 finding (SCALE_r16
-  // embed_incremental_attribution): with the count pinned at 8, the 100x
-  // probe join ran as an 8-task serial section (12 s of a 16 s query) and
-  // the 10x->100x decade ratio read 11.5x for 10x data — parallelism, not
-  // candidate growth. The floor keeps sf0.01/sf0.1 layouts (and plan
-  // digests) identical to r15; at 100 TB the same rule yields thousands of
-  // buckets, which is the deployment posture the scaladocs below describe.
-  private def bucketCount(rows: Long, perBucket: Long): Int =
-    math.max(8L, rows / perBucket).toInt
+  // Bucket-count dial for the persisted bucketed layouts, derived from
+  // BYTES per bucket (r16 ADVICE: the former per-table row divisors —
+  // 2.5k vectors / 100k band rows / 250k orders — were three hand-tuned
+  // restatements of the same ~1-8 MB/bucket intent, each silently encoding
+  // a guessed row width). One rule now: measure the layout's actual
+  // average UnsafeRow width from a bounded sample and target
+  // `targetBucketBytes` per bucket, floor 8. A bucketed join's parallelism
+  // IS the bucket count — nothing re-shuffles at read time, so there is no
+  // exchange to re-partition (r16 finding, SCALE_r16
+  // embed_incremental_attribution: pinned at 8, the 100x probe join ran as
+  // an 8-task serial section and the decade ratio read 11.5x). The floor
+  // keeps the sf0.001/sf0.01/sf0.1 spec-scale layouts (and plan digests)
+  // identical to r16.
+  //
+  // 2 MiB is the LOCAL-FIXTURE dial, chosen to reproduce r16's measured
+  // 100x layouts within ~2x (embed 80->53, bands 20->38, orders 60->229
+  // buckets) so probe parallelism stays at-or-above local core count. A
+  // 100 TB deployment raises it to the usual 128 MiB-1 GiB bucket-file
+  // band — the DERIVATION (bytes / target, width measured not guessed) is
+  // the invariant, the constant is the deployment knob.
+  private[graft] val targetBucketBytes: Long = 2L << 20
+
+  /** Measured average in-memory (UnsafeRow) bytes per row of `df`, from a
+    * bounded prefix sample — the "column-size stats" feeding
+    * [[bucketCountByBytes]]. One tiny job; callers are one-time memoized
+    * table prep. */
+  private[graft] def avgRowBytes(df: org.apache.spark.sql.DataFrame,
+      sample: Int = 2048): Long = {
+    val sizes = df.limit(sample).queryExecution.toRdd.map {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+        u.getSizeInBytes.toLong
+      case r => r.numFields * 8L // non-Unsafe fallback: fixed-width guess
+    }.collect() // bounded: <= sample longs
+    if (sizes.isEmpty) 8L else math.max(1L, sizes.sum / sizes.length)
+  }
+
+  private[graft] def bucketCountByBytes(
+      df: org.apache.spark.sql.DataFrame, rows: Long): Int =
+    math.max(8L, rows * avgRowBytes(df) / targetBucketBytes).toInt
 
   private val bucketedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
@@ -111,11 +138,11 @@ object Tables {
       import org.apache.spark.sql.functions.col
       val tag = dirTag(d)
       val (ordsT, custT) = (s"graft_orders_bkt_$tag", s"graft_cust_bkt_$tag")
-      val nB = bucketCount(rowCount(s, d, "orders"), 250000L)
+      val ordersProj =
+        orders(s, d).select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val nB = bucketCountByBytes(ordersProj, rowCount(s, d, "orders"))
       if (!s.catalog.tableExists(ordsT))
-        graft.sources.Warehouse.writeBucketed(
-          orders(s, d).select(col("o_custkey").as("custkey"), col("o_totalprice")),
-          ordsT, "custkey", nB)
+        graft.sources.Warehouse.writeBucketed(ordersProj, ordsT, "custkey", nB)
       if (!s.catalog.tableExists(custT))
         graft.sources.Warehouse.writeBucketed(
           customer(s, d).select(col("c_custkey").as("custkey")),
@@ -152,10 +179,10 @@ object Tables {
           .filter(col("id") % 5 =!= 0)
         val bands = graft.operators.Similarity
           .bandTable(existing, k = 16, nBands = 4, portable = true)
-        // bands ~= 4 per existing doc; ~100k band rows per bucket
+        // bands ~= 4 per existing doc -> rows estimate = 4 x doc count
         graft.sources.Warehouse.writeBucketedMulti(
           bands, t, Seq("band_idx", "band_hash"),
-          bucketCount(rowCount(s, d, "documents") * 4L, 100000L))
+          bucketCountByBytes(bands, rowCount(s, d, "documents") * 4L))
       }
       t
     })
@@ -180,9 +207,10 @@ object Tables {
         val existing = embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .filter(col("vec_id") % 5 =!= 0)
-        // ~2.5k 512-byte vectors per bucket: 1x/10x stay at the floor
-        // (layout unchanged vs r15), 100x gets 64-way probe parallelism
-        val nB = bucketCount(rowCount(s, d, "embeddings"), 2500L)
+        // sized from the WIDE side (the ~520 B/row vector table — both
+        // tables share nB): 1x/10x stay at the floor, 100x gets ~53-way
+        // probe parallelism (r16's measured fix was 80; same band)
+        val nB = bucketCountByBytes(existing, rowCount(s, d, "embeddings"))
         graft.sources.Warehouse.writeBucketed(
           graft.operators.Similarity.bucketTable(
             existing, dim = 64, nBits, portable = true),

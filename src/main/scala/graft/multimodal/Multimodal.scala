@@ -369,8 +369,20 @@ object Multimodal {
       val compression = le32(b, 30)
       if (hdrSize != 40 || bpp != 24 || compression != 0L) return None
       if (width <= 0 || height <= 0) return None
-      val rowSize = ((width * 3 + 3) / 4) * 4
-      if (dataOff < 54 || dataOff.toLong + rowSize.toLong * height > b.length)
+      // Size math in Long BEFORE any allocation — same guard class as
+      // decodePngPixels: width in [~2^29.4, 2^31) overflows width*3
+      // negative, the negative rowSize*height then slips past the bounds
+      // check and new Array[Byte](width*height*3) throws
+      // NegativeArraySizeException from a ~54-byte crafted header,
+      // violating the never-throws contract (decodeImageAuto tries THIS
+      // decoder first on every blob). The 64 MiB decoded-size cap also
+      // rejects dimension bombs whose declared pixel data the buffer
+      // could never back.
+      val rowSizeL = (3L * width + 3L) / 4L * 4L
+      if (rowSizeL > (1L << 26) ||
+        height.toLong > (1L << 26) / rowSizeL) return None
+      val rowSize = rowSizeL.toInt
+      if (dataOff < 54 || dataOff.toLong + rowSizeL * height > b.length)
         return None
       val rgb = new Array[Byte](width * height * 3)
       var y = 0

@@ -174,7 +174,21 @@ object Similarity {
     * `portable = true` derives the hyperplane signs from md5 instead of the
     * JVM integer mix (Portable.srpSign) — identical runtime cost (signs are
     * plan-time literals either way) but reproducible by the DuckDB oracle,
-    * whose checked BIGINT arithmetic cannot replay the wrapping mix. */
+    * whose checked BIGINT arithmetic cannot replay the wrapping mix.
+    *
+    * Degenerate-input contract (pinned by ExpressionSpec): a NULL vector
+    * and a vector whose length != dim both map to bucket 0L, and the
+    * output is NON-nullable — the exact semantics of the original
+    * per-bit when/otherwise fold. The nullability is load-bearing: a
+    * nullable bucket join key lets Catalyst infer isnotnull filters that
+    * push asymmetrically into [[lshBucketJoin]]/[[knnGraph]]'s
+    * probe-vs-plain branches and break their one-corpus-exchange
+    * ReuseExchange contract (the r16 regression). Rows bucketed to 0L by
+    * the degenerate rule still never emit pairs: cosine against a NULL
+    * vector is NULL, which fails every consumer's `cos >= threshold`
+    * filter; zero-NORM vectors (whose cosine is NaN — and NaN compares
+    * HIGH in both Spark and DuckDB) are dropped by knnGraph's explicit
+    * norm guard before bucketing. */
   def srpBucket(vec: Column, dim: Int, nBits: Int, portable: Boolean = false): Column = {
     val sign: (Int, Int) => Double =
       if (portable) Portable.srpSign else hyperplaneSign

@@ -28,7 +28,7 @@ object CorpusQueries {
     (org.apache.spark.sql.SparkSession, String), Seq[(Long, String, String, Long)]]()
   // query-level memo: a bench REPEAT must re-pay the learn (r15 verdict
   // #1 — the memoized repeat recorded 0.077 s standing in for the work)
-  graft.QueryMemos.register(() => bpeMergeCache.clear())
+  graft.QueryMemos.register("bpeMergeCache", () => bpeMergeCache.clear())
 
   private def learnedMerges(s: org.apache.spark.sql.SparkSession, d: String)
       : Seq[(Long, String, String, Long)] =

@@ -120,8 +120,22 @@ object PortableSql {
 
   /** SRP bucket of vector column `v` with a dynamic bit count `nbitsExpr`
     * (SQL scalar) — mirrors Similarity.srpBucket(portable = true). */
-  def srpBucket(v: String, nbitsExpr: String): String =
-    s"""list_sum(list_transform(generate_series(0, CAST($nbitsExpr AS BIGINT) - 1), sj -> CASE WHEN list_sum(list_transform(generate_series(1, 64), si -> $v[si] * (CASE WHEN strpos('01234567', substring(md5('srp_' || CAST(sj AS VARCHAR) || '_' || CAST(si - 1 AS VARCHAR)), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END))) > 0 THEN CAST(power(2, sj) AS BIGINT) ELSE 0 END))"""
+  def srpBucket(v: String, nbitsExpr: String, dim: Int = 64): String =
+    s"""list_sum(list_transform(generate_series(0, CAST($nbitsExpr AS BIGINT) - 1), sj -> CASE WHEN list_sum(list_transform(generate_series(1, $dim), si -> $v[si] * (CASE WHEN strpos('01234567', substring(md5('srp_' || CAST(sj AS VARCHAR) || '_' || CAST(si - 1 AS VARCHAR)), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END))) > 0 THEN CAST(power(2, sj) AS BIGINT) ELSE 0 END))"""
+
+  /** Deterministic high-dim extension of the 64-dim embedding to `dim`
+    * components — the SQL twin of the Spark-side
+    * SimilarityQueries.extendDimSql fixture expression (integer
+    * congruential mix of (vec_id, i), exact in BIGINT on both engines;
+    * the final CAST/divide/shift is the same IEEE double arithmetic).
+    * Components land in [-0.5, 0.5), matching the synthetic embedding
+    * distribution, so the 768-dim geometry is "real" high-dim data, not
+    * 64 informative + 704 constant dims. */
+  def extendDimSql(vecId: String, v: String, dim: Int): String =
+    if (dim <= 64) v
+    else s"""list_concat($v, list_transform(generate_series(64, ${dim - 1}),
+         xi -> (CAST(($vecId * 2654435761 + xi * 40503) % 100003 AS DOUBLE)
+                / 100003.0) - 0.5))"""
 
   /** lshNBits as SQL over a row count scalar — mirrors Similarity.lshNBits
     * (ceil(log2(max(1, n/64))) clamped to [4, 24]; exact-power inputs agree
@@ -130,19 +144,22 @@ object PortableSql {
     s"LEAST(24, GREATEST(4, CAST(ceil(log2(GREATEST($countExpr // 64, 1))) AS BIGINT)))"
 
   /** Shared CTEs for the SRP-LSH family over embeddings: e(vec_id, v),
-    * bk(vec_id, v, bucket) with corpus-sized dynamic bit count. */
-  def srpCtes: String =
+    * bk(vec_id, v, bucket) with corpus-sized dynamic bit count. dim > 64
+    * extends each vector with the deterministic [[extendDimSql]]
+    * components (the high-dim fixture of q_sim_nndescent_highdim). */
+  def srpCtes(dim: Int = 64): String =
     s"""n AS (SELECT ${lshNBits("count(*)")} AS nbits FROM embeddings),
-        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        bk AS (SELECT vec_id, v, ${srpBucket("v", "(SELECT nbits FROM n)")} AS bucket FROM e)"""
+        e AS (SELECT vec_id, ${extendDimSql("vec_id",
+      "list_transform(embedding, x -> CAST(x AS DOUBLE))", dim)} AS v FROM embeddings),
+        bk AS (SELECT vec_id, v, ${srpBucket("v", "(SELECT nbits FROM n)", dim)} AS bucket FROM e)"""
 
   /** kNN-graph CTEs shared by q_sim_knn and q_dedup_knn_e2e: bk filtered by
     * the zero-norm guard (mirrors Similarity.knnGraph's filter — cosine is
     * undefined for the zero vector, and NaN ordering differs across
     * engines), then the per-src top-k among same-or-Hamming-1 bucket mates.
     * Exposes `knn(src, dst, cos, rn)` with rn in 1..k. */
-  def knnGraphCtes(k: Int): String =
-    s"""$srpCtes,
+  def knnGraphCtes(k: Int, dim: Int = 64): String =
+    s"""${srpCtes(dim)},
         bkz AS (SELECT * FROM bk
                 WHERE list_sum(list_transform(v, zx -> zx * zx)) > 0),
         nb AS (SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -166,7 +183,7 @@ object PortableSql {
     * top prescoreFactor*k by the rounded quantized cosine — and finally
     * exact cosine + per-src top-k over the survivors. Exposes
     * `nnd(src, dst, cos, rn)`. */
-  def nnDescentCtes(k: Int, prescoreFactor: Int = 0): String = {
+  def nnDescentCtes(k: Int, prescoreFactor: Int = 0, dim: Int = 64): String = {
     val exactSrc =
       if (prescoreFactor <= 0) "cand"
       else s"""(SELECT src, dst FROM (
@@ -190,7 +207,7 @@ object PortableSql {
                          * a.qs * b.qs / (a.qn * b.qn) AS approx
                 FROM cand c JOIN qc a ON a.vec_id = c.src
                             JOIN qc b ON b.vec_id = c.dst)"""
-    s"""${knnGraphCtes(k)},
+    s"""${knnGraphCtes(k, dim)},
         fwd AS (SELECT src, dst FROM knn),
         rev AS (SELECT dst AS src, src AS dst FROM (
                   SELECT src, dst, row_number() OVER (PARTITION BY dst
@@ -289,7 +306,7 @@ object PortableSql {
   /** q_sim_lsh: SRP-bucketed near-dup pairs (Hamming<=1 probe, exact
     * cosine >= minCosine), round2'ed. */
   def srpLshOracle(minCosine: Double): String =
-    s"""WITH $srpCtes,
+    s"""WITH ${srpCtes()},
         ${srpPairs(minCosine)}
         SELECT id_a, id_b, ${Num.oracleRound2("cos")} AS cos
         FROM kept ORDER BY id_a, id_b"""
@@ -298,7 +315,7 @@ object PortableSql {
     * query and corpus buckets) then exact-cosine top-k rerank; ranking
     * ties on round(cos, 6) then vec_id, same as the IVF oracle. */
   def lshRerankOracle(topK: Int): String =
-    s"""WITH $srpCtes,
+    s"""WITH ${srpCtes()},
         q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb
               FROM bk WHERE vec_id % 100 = 0),
         c AS (SELECT vec_id, v AS cv, bucket FROM bk WHERE vec_id % 100 <> 0),
@@ -313,7 +330,7 @@ object PortableSql {
   /** q_dedup_embed: survivors after dropping every id that appears as the
     * larger partner of a pair with cosine >= minCosine (keepFromPairs). */
   def embedDedupOracle(minCosine: Double): String =
-    s"""WITH $srpCtes,
+    s"""WITH ${srpCtes()},
         ${srpPairs(minCosine)}
         SELECT vec_id FROM e
         WHERE vec_id NOT IN (SELECT id_b FROM kept)
@@ -391,7 +408,7 @@ object PortableSql {
     * >= minCosine. Mirrors Similarity.incrementalEmbedDedup stage by
     * stage. */
   def embedDedupIncrementalOracle(minCosine: Double): String =
-    s"""WITH $srpCtes
+    s"""WITH ${srpCtes()}
         SELECT i.vec_id AS id, e.vec_id AS matched_id
         FROM bk i JOIN bk e
           ON bit_count(xor(i.bucket, e.bucket)) <= 1

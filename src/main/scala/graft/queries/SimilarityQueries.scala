@@ -12,6 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
+  /** Deterministic high-dim extension of the 64-dim embedding to `dim`
+    * components — the Spark twin of PortableSql.extendDimSql (same
+    * integer congruential mix in exact BIGINT arithmetic, same IEEE
+    * cast/divide/shift), so the DuckDB oracle re-derives the identical
+    * 768-dim fixture. Components in [-0.5, 0.5) like the synthetic
+    * embeddings: real high-dim geometry, not padding. */
+  private def extendDim(dim: Int) = expr(
+    s"concat(v, transform(sequence(64, ${dim - 1}), " +
+      "xi -> (CAST((vec_id * 2654435761L + xi * 40503L) % 100003L AS DOUBLE)" +
+      " / 100003.0) - 0.5))")
+
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-10: 5 query vectors (broadcast) vs the corpus.
@@ -159,6 +170,36 @@ object SimilarityQueries {
       val seed = Similarity.knnGraph(emb, dim = 64, nBits = nBits, k = 5,
         portable = true)
       Similarity.nnDescentRound(seed, emb, k = 5)
+        .select(col("src"), col("dst"), Num.round2(col("cos")).as("cos"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("src", "rn")
+    },
+
+    // HIGH-DIM NN-descent round with the int8 pre-score gate ON — the
+    // geometry the gate exists for (r16 A/B, SCALE_r16.nndescent_ab: at
+    // dim=768 the gate wins 4.4x at 200k vectors, where the exact path
+    // moves ~120 GB of 6 KB float vectors through the candidate exchange
+    // and the gate's 768-BYTE codes are 8x narrower + survivor-only float
+    // fetch; at dim=64 the same dial LOSES and q_sim_nndescent ships
+    // exact). The fixture extends each corpus vector to 768 dims with the
+    // deterministic portable mix (extendDim/PortableSql.extendDimSql) so
+    // the oracle replays seed graph, expansion, int8 pre-rank and exact
+    // rerank bit-for-bit — the registry now exercises BOTH sides of the
+    // measured crossover, not just the probe tool.
+    QueryDef(
+      "q_sim_nndescent_highdim",
+      Some(s"""WITH ${PortableSql.nnDescentCtes(5, prescoreFactor = 3, dim = 768)}
+          SELECT src, dst, ${Num.oracleRound2("cos")} AS cos,
+                 CAST(rn AS BIGINT) AS rn
+          FROM nnd ORDER BY src, rn""")) { (s, d) =>
+      val dim = 768
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"), extendDim(dim).as("v"))
+      val nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings"))
+      val seed = Similarity.knnGraph(emb, dim = dim, nBits = nBits, k = 5,
+        portable = true)
+      Similarity.nnDescentRound(seed, emb, k = 5, prescoreFactor = 3)
         .select(col("src"), col("dst"), Num.round2(col("cos")).as("cos"),
           col("rn").cast("long").as("rn"))
         .orderBy("src", "rn")

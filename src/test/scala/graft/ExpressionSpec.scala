@@ -3,6 +3,7 @@ package graft
 import graft.expressions.CosineSimilarity
 import graft.functions.{VectorFunctions => V}
 import graft.operators.Skew
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -402,6 +403,78 @@ class ExpressionSpec extends AnyFunSuite with SparkTest {
           e => struct(e.getField("_1").as("c_id"), e.getField("_2").as("centroid")))))).as("got"),
       col("want")).collect()
     got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  // ---- SrpBucket: the fused SRP hot loop (r16 sweep-in, specced r17) ----
+
+  /** The replaced HOF formulation, reconstructed verbatim (pre-r16
+    * Similarity.srpBucket): per bit j, when(dot(v, plane_j) > 0, 1L<<j)
+    * .otherwise(0L), OR-reduced. The parity tests below pin the native
+    * expression to this, including the degenerate inputs the HOF shape
+    * implied (NULL vector -> 0L, length mismatch -> 0L via zip_with
+    * null-padding). */
+  private def hofSrpBucket(vec: Column, dim: Int, nBits: Int,
+      sign: (Int, Int) => Double): Column = {
+    val bits: Seq[Column] = (0 until nBits).map { j =>
+      val plane = array((0 until dim).map(i => lit(sign(j, i))): _*)
+      when(V.dot(vec, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  // the default (non-portable) sign source, mirrored from
+  // Similarity.hyperplaneSign (private there by design)
+  private def jvmMixSign(j: Int, i: Int): Double = {
+    val x = j * 1315423911L + i * 2654435761L
+    val mixed = (x ^ (x >>> 16)) * 0x45d9f3bL
+    if (((mixed >>> 8) & 1L) == 0L) 1.0 else -1.0
+  }
+
+  test("graft_srp_bucket matches the HOF formulation bit-for-bit, both sign families") {
+    import graft.operators.Similarity
+    for ((portable, sign) <- Seq(
+        (false, jvmMixSign _), (true, graft.functions.Portable.srpSign _))) {
+      val df = vecs.select(
+        Similarity.srpBucket(col("v"), 16, 20, portable).as("native"),
+        hofSrpBucket(col("v"), 16, 20, sign).as("hof"))
+      assert(df.filter(col("native") =!= col("hof")).count() == 0,
+        s"portable=$portable")
+    }
+  }
+
+  test("graft_srp_bucket codegen and interpreted paths agree") {
+    import graft.operators.Similarity
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      val got = Seq("true", "false").map { cg =>
+        spark.conf.set("spark.sql.codegen.wholeStage", cg)
+        vecs.select(Similarity.srpBucket(col("v"), 16, 12).as("b"))
+          .collect().map(_.getLong(0)).toSeq
+      }
+      assert(got(0) == got(1))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
+  test("graft_srp_bucket degenerate inputs: NULL and length-mismatch map to 0L, non-nullable out") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val df = Seq(
+      (1L, Some(Seq.fill(16)(0.5))), // well-formed
+      (2L, None),                    // NULL vector
+      (3L, Some(Seq(1.0, 2.0))),     // shorter than dim
+      (4L, Some(Seq.fill(32)(1.0))), // longer than dim
+      (5L, Some(Seq.empty[Double]))  // empty
+    ).toDF("id", "v")
+      .select(col("id"), Similarity.srpBucket(col("v"), 16, 12).as("b"))
+    // the old fold's when/otherwise(0L) made the column non-nullable;
+    // Catalyst inferring isnotnull on a nullable bucket is exactly what
+    // split the SRP family's shared exchange in r16 (VERDICT #1)
+    assert(!df.schema("b").nullable,
+      "bucket column must be non-nullable or join-key isnotnull inference " +
+        "splits the lshBucketJoin/knnGraph shared subtree")
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(2) == 0L && m(3) == 0L && m(4) == 0L && m(5) == 0L, m.toString)
+    assert(m(1) != 0L) // all-positive vector: every dot > 0 somewhere
   }
 
   test("salted aggregation equals the plain aggregation") {

@@ -236,6 +236,36 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     assert(decodePngPixels(withDims(Int.MaxValue, Int.MaxValue)).isEmpty)
   }
 
+  test("decodeBmpPixels refuses dimension bombs without throwing (r16 ADVICE)") {
+    import Multimodal.HeaderCodec._
+    // rebuild a BMP header with crafted dims over a tiny payload: width in
+    // [~715827883, 2^31) overflows width*3 negative, the negative
+    // rowSize*height then PASSED the old bounds check and reached
+    // new Array[Byte](width*height*3) with a negative size — and
+    // decodeImageAuto tries the BMP decoder FIRST on every blob
+    def withDims(width: Int, height: Int): Array[Byte] = {
+      val out = encodeBmp(4, 3).clone()
+      def putLe32(off: Int, v: Int): Unit = {
+        out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+        out(off + 2) = (v >>> 16).toByte; out(off + 3) = (v >>> 24).toByte
+      }
+      putLe32(18, width); putLe32(22, height)
+      out
+    }
+    // sanity: the rewrite machinery itself produces decodable files
+    assert(decodeBmpPixels(withDims(4, 3)).isDefined)
+    // Int-overflow rowSize (the exact ADVICE class): refuse, don't throw
+    assert(decodeBmpPixels(withDims(715827883, 2)).isEmpty)
+    assert(decodeBmpPixels(withDims(1 << 30, 2)).isEmpty)
+    // valid dims past the 64 MiB decoded-size cap: refuse before allocating
+    assert(decodeBmpPixels(withDims(10000, 10000)).isEmpty)
+    // Long-product overflow paths stay safe too
+    assert(decodeBmpPixels(withDims(Int.MaxValue, Int.MaxValue)).isEmpty)
+    // and the auto path (BMP decoder first) stays silent on the same bytes
+    assert(Multimodal.HeaderCodec
+      .decodeBmpPixels(withDims(715827883, 3)).isEmpty)
+  }
+
   test("resizeImageArea: PNG and BMP of the same pattern resample identically") {
     import spark.implicits._
     val dims = Seq((3, 2), (8, 4), (13, 9), (1, 7))

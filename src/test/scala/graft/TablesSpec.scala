@@ -62,6 +62,33 @@ class TablesSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("bucketCountByBytes: measured-width derivation, floor at spec scales (r16 ADVICE)") {
+    import org.apache.spark.sql.functions.col
+    // measured widths are sane: an (id, 64-dim double array) row is wide
+    // (~520 B + UnsafeRow headers), an (id, price) row is narrow (< 64 B) —
+    // the whole point of replacing guessed per-table row divisors
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_totalprice"))
+    val wideB = Tables.avgRowBytes(emb)
+    val narrowB = Tables.avgRowBytes(ord)
+    assert(wideB > 500 && wideB < 700, s"embedding row width $wideB")
+    assert(narrowB >= 16 && narrowB < 64, s"orders row width $narrowB")
+    // spec-scale layouts are pinned at the floor (unchanged vs r16): every
+    // fixture table at sf<=0.1 is under 8 x targetBucketBytes
+    assert(Tables.bucketCountByBytes(emb, emb.count()) == 8)
+    assert(Tables.bucketCountByBytes(ord, ord.count()) == 8)
+    // and the derivation scales with BYTES, not a per-table row constant:
+    // the same 1M-row count needs ~64x more buckets for the wide layout
+    val wide1M = Tables.bucketCountByBytes(emb, 1000000L)
+    val narrow1M = Tables.bucketCountByBytes(ord, 1000000L)
+    assert(wide1M > 8 * narrow1M,
+      s"wide=$wide1M narrow=$narrow1M — width must drive the count")
+    assert(wide1M.toLong * Tables.targetBucketBytes / wideB >= 900000L,
+      "bucket count must track rows*width/target")
+  }
+
   test("events rejects an unknown ts encoding instead of mis-reading it") {
     val dir = Files.createTempDirectory("graft-enc-bad").toString
     Tables.events(spark, sf).withColumn("ts", col("ts").cast("string"))
