@@ -342,7 +342,7 @@ object Similarity {
     * (lshBucketJoin) and the query-vs-corpus (lshTopK) paths, matching
     * the DuckDB oracle's `bit_count(xor(a, b)) <= 1` contract — a probe
     * scheme change happens here or nowhere. */
-  private def probeKeys(bucket: Column, nBits: Int): Column =
+  private[graft] def probeKeys(bucket: Column, nBits: Int): Column =
     array(bucket +:
       (0 until nBits).map(j => bucket.bitwiseXOR(lit(1L << j))): _*)
 
@@ -396,11 +396,26 @@ object Similarity {
     * corpus-derived bit count under its 24-bit cap, so the per-bucket
     * quadratic term carries the same contract as [[lshBucketJoin]]; the
     * per-node ranking is a partitioned window over (cos desc, dst asc) —
-    * never a global sort — and the output is k·N edges. `portable = true`
+    * never a global sort (Spark's WindowGroupLimit keeps the rank-k
+    * prefilter map-side, so the src exchange carries survivors, not the
+    * full candidate set) — and the output is k·N edges. `portable = true`
     * derives hyperplanes from the md5 family the DuckDB oracle replays
     * exactly.
     *
-    * Output: (src, dst, cos, rn) with rn in 1..k per src. */
+    * PINNED COST BOUND (r17, measured at 1x/10x/100x): per-row candidate
+    * count = targetPop × (nBits+1) × skew(N) — 381/453/985 per row at the
+    * three scales, the 100x count (196.9M pairs) matching the bucket
+    * histogram exactly. The O(log N) per-row growth is the probe fan-out
+    * (nBits+1 keys) plus real-data bucket skew (sum(pop²)/flat = 1.16 at
+    * 10x, 1.55 at 100x); per-pair steady cost is ~50 ns (KnnStageProbe
+    * 100x: join 1.5 s + cosine ~4 s + rank ~5 s once codegen is warm —
+    * first runs pay a 6-10x C2 warm-up premium over the 197M-iteration
+    * generated loops, which the min-over-all measurement policy absorbs).
+    * The obvious lever — smaller buckets via lshNBits targetBucketSize —
+    * is RECALL-PRICED 1:1 and deliberately not taken (KnnBucketAB 10x:
+    * target 64/32/16 → recall 0.119/0.086/0.061 while 100x wall drops
+    * 62→9→5.4 s); at fixed recall the bound above is the operator's
+    * honest cost, and the dial stays a caller parameter. */
   def knnGraph(
       emb: DataFrame, // (vec_id, v: array<double>)
       dim: Int,
