@@ -183,49 +183,78 @@ object PortableSql {
     * top prescoreFactor*k by the rounded quantized cosine — and finally
     * exact cosine + per-src top-k over the survivors. Exposes
     * `nnd(src, dst, cos, rn)`. */
-  def nnDescentCtes(k: Int, prescoreFactor: Int = 0, dim: Int = 64): String = {
-    val exactSrc =
-      if (prescoreFactor <= 0) "cand"
-      else s"""(SELECT src, dst FROM (
-                 SELECT pre.*, row_number() OVER (PARTITION BY src
-                   ORDER BY round(approx, 6) DESC, dst) AS qrn FROM pre)
-               WHERE qrn <= ${k * prescoreFactor})"""
-    val preCtes =
-      if (prescoreFactor <= 0) ""
-      else s""",
-        qz AS (SELECT vec_id,
+  def nnDescentCtes(k: Int, prescoreFactor: Int = 0, dim: Int = 64): String =
+    s"""${knnGraphCtes(k, dim)}${if (prescoreFactor > 0) s",\n$quantCtes" else ""},
+        ${nnDescentRoundCtes("knn", "nnd", k, prescoreFactor)}"""
+
+  /** Chained rounds: seed graph -> `rounds` successive NN-descent rounds,
+    * final table `nnd<rounds>` — the oracle twin of iterating
+    * Similarity.nnDescentRound (each round's output schema matches its
+    * input, so the CTE chain composes the same way the Scala does). */
+  def nnDescentChainCtes(k: Int, rounds: Int, prescoreFactor: Int = 0,
+      dim: Int = 64): String = {
+    val chain = (1 to rounds).map { r =>
+      val in = if (r == 1) "knn" else s"nnd${r - 1}"
+      nnDescentRoundCtes(in, s"nnd$r", k, prescoreFactor, sfx = s"_$r")
+    }.mkString(",\n")
+    s"""${knnGraphCtes(k, dim)}${if (prescoreFactor > 0) s",\n$quantCtes" else ""},
+        $chain"""
+  }
+
+  /** int8 code table of the corpus (shared by every gated round):
+    * per-vector symmetric scale max|x|/127, HALF_UP integer codes, float
+    * norms — the quantRerankTopK codec. */
+  private def quantCtes: String =
+    s"""qz AS (SELECT vec_id,
                       list_max(list_transform(v, x -> abs(x))) / 127.0 AS qs,
                       sqrt(list_sum(list_transform(v, x -> x * x))) AS qn,
                       v
                FROM bkz),
         qc AS (SELECT vec_id, qs, qn,
                       list_transform(v, x -> CAST(round(x / qs) AS BIGINT)) AS code
-               FROM qz WHERE qs > 0),
-        pre AS (SELECT c.src, c.dst,
+               FROM qz WHERE qs > 0)"""
+
+  /** CTEs for ONE NN-descent round from graph CTE `in`(src, dst, cos) to
+    * `out`(src, dst, cos, rn); `sfx` uniquifies the intermediates so
+    * rounds chain in one WITH clause. Requires [[quantCtes]] in scope
+    * when `prescoreFactor > 0`. */
+  private def nnDescentRoundCtes(in: String, out: String, k: Int,
+      prescoreFactor: Int = 0, sfx: String = ""): String = {
+    val (fwd, rev, und, cand, pre, nd) =
+      (s"fwd$sfx", s"rev$sfx", s"und$sfx", s"cand$sfx", s"pre$sfx", s"nd$sfx")
+    val exactSrc =
+      if (prescoreFactor <= 0) cand
+      else s"""(SELECT src, dst FROM (
+                 SELECT $pre.*, row_number() OVER (PARTITION BY src
+                   ORDER BY round(approx, 6) DESC, dst) AS qrn FROM $pre)
+               WHERE qrn <= ${k * prescoreFactor})"""
+    val preCtes =
+      if (prescoreFactor <= 0) ""
+      else s""",
+        $pre AS (SELECT c.src, c.dst,
                        CAST(list_sum(list_transform(generate_series(1, len(a.code)),
                               ci -> a.code[ci] * b.code[ci])) AS DOUBLE)
                          * a.qs * b.qs / (a.qn * b.qn) AS approx
-                FROM cand c JOIN qc a ON a.vec_id = c.src
+                FROM $cand c JOIN qc a ON a.vec_id = c.src
                             JOIN qc b ON b.vec_id = c.dst)"""
-    s"""${knnGraphCtes(k, dim)},
-        fwd AS (SELECT src, dst FROM knn),
-        rev AS (SELECT dst AS src, src AS dst FROM (
+    s"""$fwd AS (SELECT src, dst FROM $in),
+        $rev AS (SELECT dst AS src, src AS dst FROM (
                   SELECT src, dst, row_number() OVER (PARTITION BY dst
-                    ORDER BY round(cos, 6) DESC, src) AS rrn FROM knn)
+                    ORDER BY round(cos, 6) DESC, src) AS rrn FROM $in)
                 WHERE rrn <= $k),
-        und AS (SELECT DISTINCT src, dst FROM (
-                  SELECT src, dst FROM fwd UNION ALL SELECT src, dst FROM rev)),
-        cand AS (SELECT DISTINCT src, dst FROM (
+        $und AS (SELECT DISTINCT src, dst FROM (
+                  SELECT src, dst FROM $fwd UNION ALL SELECT src, dst FROM $rev)),
+        $cand AS (SELECT DISTINCT src, dst FROM (
                    SELECT e1.src AS src, e2.dst AS dst
-                   FROM und e1 JOIN und e2 ON e1.dst = e2.src
+                   FROM $und e1 JOIN $und e2 ON e1.dst = e2.src
                    WHERE e1.src <> e2.dst
-                   UNION ALL SELECT src, dst FROM fwd))$preCtes,
-        nd AS (SELECT c.src, c.dst, ${cosine("a.v", "b.v")} AS cos
+                   UNION ALL SELECT src, dst FROM $fwd))$preCtes,
+        $nd AS (SELECT c.src, c.dst, ${cosine("a.v", "b.v")} AS cos
                FROM $exactSrc c JOIN bkz a ON a.vec_id = c.src
                            JOIN bkz b ON b.vec_id = c.dst),
-        nnd AS (SELECT src, dst, cos, rn FROM (
+        $out AS (SELECT src, dst, cos, rn FROM (
                   SELECT *, row_number() OVER (PARTITION BY src
-                    ORDER BY round(cos, 6) DESC, dst) AS rn FROM nd)
+                    ORDER BY round(cos, 6) DESC, dst) AS rn FROM $nd)
                 WHERE rn <= $k)"""
   }
 

@@ -205,6 +205,35 @@ object SimilarityQueries {
         .orderBy("src", "rn")
     },
 
+    // CHAINED gated rounds at dim=768 — the production ANN-index build
+    // shape (Dong WWW'11 iterates to convergence; the chained-fixture
+    // recall curve seed 0.656 -> round1 0.770 -> round2 0.824 in
+    // SCALE_r16 showed two rounds close most of the bucketing's recall
+    // gap). Each round re-pays only the int8 pre-score on its expanded
+    // candidates; the oracle composes the same round CTE twice
+    // (PortableSql.nnDescentChainCtes), so every intermediate — seed,
+    // round-1 survivors, round-2 rank — is replayed exactly.
+    QueryDef(
+      "q_sim_nndescent_chain",
+      Some(s"""WITH ${PortableSql.nnDescentChainCtes(5, rounds = 2,
+                prescoreFactor = 3, dim = 768)}
+          SELECT src, dst, ${Num.oracleRound2("cos")} AS cos,
+                 CAST(rn AS BIGINT) AS rn
+          FROM nnd2 ORDER BY src, rn""")) { (s, d) =>
+      val dim = 768
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"), extendDim(dim).as("v"))
+      val nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings"))
+      val seed = Similarity.knnGraph(emb, dim = dim, nBits = nBits, k = 5,
+        portable = true)
+      val r1 = Similarity.nnDescentRound(seed, emb, k = 5, prescoreFactor = 3)
+      Similarity.nnDescentRound(r1, emb, k = 5, prescoreFactor = 3)
+        .select(col("src"), col("dst"), Num.round2(col("cos")).as("cos"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("src", "rn")
+    },
+
     // Two-stage ANN retrieval (the production search shape): SRP-LSH
     // recall bounds the candidate set — each query probes its own bucket
     // plus all Hamming-1 neighbors — then an exact-cosine rerank picks
