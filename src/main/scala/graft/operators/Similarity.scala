@@ -201,6 +201,22 @@ object Similarity {
     column(graft.expressions.SrpBucket(expression(vec), signs))
   }
 
+
+  /** Bucket exchange with the partition count PINNED to the session's
+    * shuffle parallelism. The bucket self-joins EXPLODE their input:
+    * candidate-pair output is ~targetPop x (nBits+1) x the row count, so
+    * the exchange's byte size wildly under-states the downstream stage's
+    * work — AQE's byte-based partition coalescing (r17 finding) collapsed
+    * the 100x gated-seed scoring stage to a HANDFUL of tasks (34 tasks,
+    * one running the whole 451 s wall with 9.7 GB of sort spill: int8
+    * codes compress ~10x better than floats, so the coalescer saw 0.5 GB
+    * and threw the parallelism away). An explicit numPartitions makes the
+    * repartition non-coalescable while staying config-driven (the scale
+    * probes set spark.sql.shuffle.partitions per scale). */
+  private def pinnedByBucket(df: DataFrame): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, col("bucket"))
+
   /** Bits for [[lshBucketJoin]] sized from the corpus: 2^nBits buckets
     * targeting `targetBucketSize` expected rows per bucket, so in-bucket
     * pair work stays ~corpus × targetBucketSize (linear, not quadratic)
@@ -261,8 +277,8 @@ object Similarity {
       portable: Boolean = false): DataFrame = {
     // exchange on the join key: materializes the bucket bits once instead
     // of letting CollapseProject recompute 16 dot products per joined row
-    val bucketed = emb.withColumn("bucket", srpBucket(col("v"), dim, nBits, portable))
-      .repartition(col("bucket"))
+    val bucketed = pinnedByBucket(
+      emb.withColumn("bucket", srpBucket(col("v"), dim, nBits, portable)))
     val a = bucketed.select(
       col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"))
     // single-probe keeps b a plain projection so the join reuses the one
@@ -402,6 +418,18 @@ object Similarity {
     * derives hyperplanes from the md5 family the DuckDB oracle replays
     * exactly.
     *
+    * `prescoreFactor > 0` gates the SEED scoring the same way
+    * [[nnDescentRound]]'s dial gates a round: candidate pairs are scored
+    * on int8 codes ([[quantCodes]] — 1 byte/dim riding the bucket join
+    * instead of 8) and only the per-src top `prescoreFactor * k` by
+    * quantized cosine fetch float vectors for the exact rerank. At
+    * dim=64 the exact path wins (r16 A/B) and callers keep the default;
+    * at dim=768/200k vectors the exact seed is the single most expensive
+    * scan in the registry (754 s first-run at 100x — 197M candidate
+    * pairs x 6 KB of float vectors through the bucket join) and the gate
+    * is the difference between a seed you can build and one you can't.
+    * Deterministic and oracle-replayed exactly (the gated knnGraphCtes).
+    *
     * PINNED COST BOUND (r17, measured at 1x/10x/100x): per-row candidate
     * count = targetPop × (nBits+1) × skew(N) — 381/453/985 per row at the
     * three scales, the 100x count (196.9M pairs) matching the bucket
@@ -421,32 +449,83 @@ object Similarity {
       dim: Int,
       nBits: Int,
       k: Int,
-      portable: Boolean = false): DataFrame = {
-    val bucketed = emb
-      // zero-norm guard (same convention as quantizeRerank): cosine is
-      // undefined for the zero vector and cosineNative yields NaN, which a
-      // descending window ranks FIRST — one degenerate vector would become
-      // every bucket-mate's top neighbor, and engines disagree on NaN
-      // ordering. Dropped from both graph sides (the guard sits before the
-      // probe/candidate split); the q_sim_knn oracle mirrors it.
-      .filter(V.l2Norm(col("v")) > 0)
-      .withColumn("bucket", srpBucket(col("v"), dim, nBits, portable))
-      .repartition(col("bucket"))
-    val probes = bucketed
-      .select(col("bucket").as("n_bucket"), col("vec_id").as("src"), col("v").as("sv"))
-      .withColumn("bucket", explode(probeKeys(col("n_bucket"), nBits)))
-      .drop("n_bucket")
-    val cands = bucketed
-      .select(col("bucket"), col("vec_id").as("dst"), col("v").as("dv"))
+      portable: Boolean = false,
+      prescoreFactor: Int = 0): DataFrame = {
+    // zero-norm guard (same convention as quantizeRerank): cosine is
+    // undefined for the zero vector and cosineNative yields NaN, which a
+    // descending window ranks FIRST — one degenerate vector would become
+    // every bucket-mate's top neighbor, and engines disagree on NaN
+    // ordering. Dropped from both graph sides (the guard sits before the
+    // probe/candidate split); the q_sim_knn oracle mirrors it. The gated
+    // path's qs > 0 filter keeps exactly the same rows.
+    val vecs = emb.filter(V.l2Norm(col("v")) > 0)
     val w = Window.partitionBy("src")
       .orderBy(round(col("cos"), 6).desc, col("dst"))
-    probes.join(cands, Seq("bucket"))
-      .filter(col("src") =!= col("dst"))
-      .withColumn("cos", V.cosineNative(col("sv"), col("dv")))
-      .select(col("src"), col("dst"), col("cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    if (prescoreFactor <= 0) {
+      val bucketed = pinnedByBucket(vecs
+        .withColumn("bucket", srpBucket(col("v"), dim, nBits, portable)))
+      val probes = bucketed
+        .select(col("bucket").as("n_bucket"), col("vec_id").as("src"), col("v").as("sv"))
+        .withColumn("bucket", explode(probeKeys(col("n_bucket"), nBits)))
+        .drop("n_bucket")
+      val cands = bucketed
+        .select(col("bucket"), col("vec_id").as("dst"), col("v").as("dv"))
+      probes.join(cands, Seq("bucket"))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("cos", V.cosineNative(col("sv"), col("dv")))
+        .select(col("src"), col("dst"), col("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+    } else {
+      // gated seed: int8 CODES ride the bucket exchange/join (1 byte/dim),
+      // the full float vectors are fetched only for the per-src survivor
+      // set — same one-exchange discipline (bucketed feeds both sides)
+      val bucketed = pinnedByBucket(quantCodes(vecs)
+        .withColumn("bucket", srpBucket(col("v"), dim, nBits, portable))
+        .select(col("vec_id"), col("qs"), col("qn"), col("qc"), col("bucket")))
+      val probes = bucketed
+        .select(col("bucket").as("n_bucket"), col("vec_id").as("src"),
+          col("qc").as("sqc"), col("qs").as("sqs"), col("qn").as("sqn"))
+        .withColumn("bucket", explode(probeKeys(col("n_bucket"), nBits)))
+        .drop("n_bucket")
+      val cands = bucketed
+        .select(col("bucket"), col("vec_id").as("dst"),
+          col("qc").as("dqc"), col("qs").as("dqs"), col("qn").as("dqn"))
+      val wPre = Window.partitionBy("src")
+        .orderBy(round(col("approx"), 6).desc, col("dst"))
+      val surv = probes.join(cands, Seq("bucket"))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("approx",
+          V.int8Dot(col("sqc"), col("dqc")).cast("double") *
+            col("sqs") * col("dqs") / (col("sqn") * col("dqn")))
+        .select(col("src"), col("dst"), col("approx"))
+        .withColumn("__qrn", row_number().over(wPre))
+        .filter(col("__qrn") <= k * prescoreFactor)
+        .select(col("src"), col("dst"))
+      surv
+        .join(vecs.select(col("vec_id").as("src"), col("v").as("sv")), Seq("src"))
+        .join(vecs.select(col("vec_id").as("dst"), col("v").as("dv")), Seq("dst"))
+        .withColumn("cos", V.cosineNative(col("sv"), col("dv")))
+        .select(col("src"), col("dst"), col("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+    }
   }
+
+  /** int8 code table of non-degenerate vectors — THE codec every gated
+    * path shares (quantRerankTopK, nnDescentRound's pre-score, the gated
+    * [[knnGraph]] seed): per-vector symmetric scale max|x|/127 as a NAMED
+    * column (Catalyst re-evaluates array_max per element if inlined into
+    * the transform lambda), HALF_UP byte codes (1 byte/dim in Tungsten),
+    * float norm for cosine normalization. qs > 0 keeps exactly the rows
+    * the l2Norm zero-vector guard keeps. Output: (vec_id, v, qs, qn, qc). */
+  private[graft] def quantCodes(vecs: DataFrame): DataFrame =
+    vecs
+      .select(col("vec_id"), col("v"),
+        (array_max(transform(col("v"), x => abs(x))) / lit(127.0)).as("qs"))
+      .select(col("vec_id"), col("v"), col("qs"), V.l2Norm(col("v")).as("qn"),
+        transform(col("v"), x => round(x / col("qs")).cast("byte")).as("qc"))
+      .filter(col("qs") > 0)
 
   /** One NN-descent refinement round over a kNN graph (Dong et al., WWW'11
     * — "Efficient K-Nearest Neighbor Graph Construction for Generic
@@ -557,17 +636,11 @@ object Similarity {
     val surv =
       if (prescoreFactor <= 0) cand
       else {
-        // the same two-step projection discipline as quantRerankTopK (the
-        // scale must be a NAMED column or Catalyst re-evaluates the
-        // array_max per element inside the transform lambda); codes are
+        // the shared gated-path codec (see [[quantCodes]]): codes are
         // array<byte> — 1 byte/element in Tungsten, so the pair exchange
         // carries 64 B of codes instead of 512 B of doubles
-        val q = vecs
-          .select(col("vec_id"), col("v"),
-            (array_max(transform(col("v"), x => abs(x))) / lit(127.0)).as("qs"))
-          .select(col("vec_id"), col("qs"), V.l2Norm(col("v")).as("qn"),
-            transform(col("v"), x => round(x / col("qs")).cast("byte")).as("qc"))
-          .filter(col("qs") > 0) // same rows as the l2Norm guard
+        val q = quantCodes(vecs)
+          .select(col("vec_id"), col("qs"), col("qn"), col("qc"))
         // exact integer dot via the native codegen expression — the HOF
         // aggregate-over-zip_with form ran interpreted and cost more than
         // the full-vector exchange it was saving (measured 4-6x at 100x)

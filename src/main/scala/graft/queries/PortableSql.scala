@@ -134,8 +134,9 @@ object PortableSql {
   def extendDimSql(vecId: String, v: String, dim: Int): String =
     if (dim <= 64) v
     else s"""list_concat($v, list_transform(generate_series(64, ${dim - 1}),
-         xi -> (CAST(($vecId * 2654435761 + xi * 40503) % 100003 AS DOUBLE)
-                / 100003.0) - 0.5))"""
+         xi -> (CAST(((((xi + 1) * 40503) % 100003) *
+                      (($vecId * 2654435761) % 100003 + 1) + xi * 97911)
+                     % 100003 AS DOUBLE) / 100003.0) - 0.5))"""
 
   /** lshNBits as SQL over a row count scalar — mirrors Similarity.lshNBits
     * (ceil(log2(max(1, n/64))) clamped to [4, 24]; exact-power inputs agree
@@ -158,19 +159,48 @@ object PortableSql {
     * undefined for the zero vector, and NaN ordering differs across
     * engines), then the per-src top-k among same-or-Hamming-1 bucket mates.
     * Exposes `knn(src, dst, cos, rn)` with rn in 1..k. */
-  def knnGraphCtes(k: Int, dim: Int = 64): String =
-    s"""${srpCtes(dim)},
-        bkz AS (SELECT * FROM bk
-                WHERE list_sum(list_transform(v, zx -> zx * zx)) > 0),
-        nb AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+  def knnGraphCtes(k: Int, dim: Int = 64, prescoreFactor: Int = 0): String = {
+    val nbSrc =
+      if (prescoreFactor <= 0)
+        s"""nb AS (SELECT a.vec_id AS src, b.vec_id AS dst,
                       ${cosine("a.v", "b.v")} AS cos
                FROM bkz a JOIN bkz b
                  ON a.vec_id <> b.vec_id
+                AND bit_count(xor(a.bucket, b.bucket)) <= 1)"""
+      else
+        // gated seed (mirrors Similarity.knnGraph prescoreFactor > 0):
+        // bucket candidates scored on int8 codes, per-src top factor*k
+        // survivors re-scored with exact cosine
+        s"""scand AS (SELECT a.vec_id AS src, b.vec_id AS dst
+               FROM bkz a JOIN bkz b
+                 ON a.vec_id <> b.vec_id
                 AND bit_count(xor(a.bucket, b.bucket)) <= 1),
+        spre AS (SELECT c.src, c.dst,
+                       CAST(list_sum(list_transform(generate_series(1, len(a.code)),
+                              ci -> a.code[ci] * b.code[ci])) AS DOUBLE)
+                         * a.qs * b.qs / (a.qn * b.qn) AS approx
+                FROM scand c JOIN qc a ON a.vec_id = c.src
+                             JOIN qc b ON b.vec_id = c.dst),
+        ssur AS (SELECT src, dst FROM (
+                   SELECT spre.*, row_number() OVER (PARTITION BY src
+                     ORDER BY round(approx, 6) DESC, dst) AS qrn FROM spre)
+                 WHERE qrn <= ${k * prescoreFactor}),
+        nb AS (SELECT c.src, c.dst, ${cosine("a.v", "b.v")} AS cos
+               FROM ssur c JOIN bkz a ON a.vec_id = c.src
+                           JOIN bkz b ON b.vec_id = c.dst)"""
+    // quantCtes rides along unconditionally: unreferenced CTEs cost only
+    // parse time, and both the gated seed here and any gated rounds
+    // appended by the nnDescent builders share the one code table
+    s"""${srpCtes(dim)},
+        bkz AS (SELECT * FROM bk
+                WHERE list_sum(list_transform(v, zx -> zx * zx)) > 0),
+        $quantCtes,
+        $nbSrc,
         knn AS (SELECT src, dst, cos, rn FROM (
                   SELECT *, row_number() OVER (PARTITION BY src
                     ORDER BY round(cos, 6) DESC, dst) AS rn FROM nb)
                 WHERE rn <= $k)"""
+  }
 
   /** One NN-descent refinement round over the kNN graph — mirrors
     * Similarity.nnDescentRound applied to the [[knnGraphCtes]] graph:
@@ -183,8 +213,9 @@ object PortableSql {
     * top prescoreFactor*k by the rounded quantized cosine — and finally
     * exact cosine + per-src top-k over the survivors. Exposes
     * `nnd(src, dst, cos, rn)`. */
-  def nnDescentCtes(k: Int, prescoreFactor: Int = 0, dim: Int = 64): String =
-    s"""${knnGraphCtes(k, dim)}${if (prescoreFactor > 0) s",\n$quantCtes" else ""},
+  def nnDescentCtes(k: Int, prescoreFactor: Int = 0, dim: Int = 64,
+      seedPrescoreFactor: Int = 0): String =
+    s"""${knnGraphCtes(k, dim, seedPrescoreFactor)},
         ${nnDescentRoundCtes("knn", "nnd", k, prescoreFactor)}"""
 
   /** Chained rounds: seed graph -> `rounds` successive NN-descent rounds,
@@ -192,12 +223,12 @@ object PortableSql {
     * Similarity.nnDescentRound (each round's output schema matches its
     * input, so the CTE chain composes the same way the Scala does). */
   def nnDescentChainCtes(k: Int, rounds: Int, prescoreFactor: Int = 0,
-      dim: Int = 64): String = {
+      dim: Int = 64, seedPrescoreFactor: Int = 0): String = {
     val chain = (1 to rounds).map { r =>
       val in = if (r == 1) "knn" else s"nnd${r - 1}"
       nnDescentRoundCtes(in, s"nnd$r", k, prescoreFactor, sfx = s"_$r")
     }.mkString(",\n")
-    s"""${knnGraphCtes(k, dim)}${if (prescoreFactor > 0) s",\n$quantCtes" else ""},
+    s"""${knnGraphCtes(k, dim, seedPrescoreFactor)},
         $chain"""
   }
 

@@ -17,11 +17,18 @@ object SimilarityQueries {
     * integer congruential mix in exact BIGINT arithmetic, same IEEE
     * cast/divide/shift), so the DuckDB oracle re-derives the identical
     * 768-dim fixture. Components in [-0.5, 0.5) like the synthetic
-    * embeddings: real high-dim geometry, not padding. */
+    * embeddings. The mix is Carter-Wegman-shaped — id enters
+    * MULTIPLICATIVELY through a per-component multiplier — because the
+    * first cut (additive id) made every vector's extension a phase shift
+    * of one sawtooth: hyperplane dots correlated, SRP buckets skewed 69x
+    * (max pop 6670 vs mean 97 at 100x, 1.25B candidate pairs, one 102M-
+    * pair mega-bucket running as a 439 s single task). The bilinear mix
+    * restores near-flat buckets (max 151, skew 1.05, 133M pairs). */
   private def extendDim(dim: Int) = expr(
     s"concat(v, transform(sequence(64, ${dim - 1}), " +
-      "xi -> (CAST((vec_id * 2654435761L + xi * 40503L) % 100003L AS DOUBLE)" +
-      " / 100003.0) - 0.5))")
+      "xi -> (CAST(((((xi + 1L) * 40503L) % 100003L) * " +
+      "((vec_id * 2654435761L) % 100003L + 1L) + xi * 97911L) % 100003L " +
+      "AS DOUBLE) / 100003.0) - 0.5))")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -188,7 +195,8 @@ object SimilarityQueries {
     // measured crossover, not just the probe tool.
     QueryDef(
       "q_sim_nndescent_highdim",
-      Some(s"""WITH ${PortableSql.nnDescentCtes(5, prescoreFactor = 3, dim = 768)}
+      Some(s"""WITH ${PortableSql.nnDescentCtes(5, prescoreFactor = 3,
+                dim = 768, seedPrescoreFactor = 3)}
           SELECT src, dst, ${Num.oracleRound2("cos")} AS cos,
                  CAST(rn AS BIGINT) AS rn
           FROM nnd ORDER BY src, rn""")) { (s, d) =>
@@ -198,7 +206,7 @@ object SimilarityQueries {
         .select(col("vec_id"), extendDim(dim).as("v"))
       val nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings"))
       val seed = Similarity.knnGraph(emb, dim = dim, nBits = nBits, k = 5,
-        portable = true)
+        portable = true, prescoreFactor = 3)
       Similarity.nnDescentRound(seed, emb, k = 5, prescoreFactor = 3)
         .select(col("src"), col("dst"), Num.round2(col("cos")).as("cos"),
           col("rn").cast("long").as("rn"))
@@ -216,7 +224,7 @@ object SimilarityQueries {
     QueryDef(
       "q_sim_nndescent_chain",
       Some(s"""WITH ${PortableSql.nnDescentChainCtes(5, rounds = 2,
-                prescoreFactor = 3, dim = 768)}
+                prescoreFactor = 3, dim = 768, seedPrescoreFactor = 3)}
           SELECT src, dst, ${Num.oracleRound2("cos")} AS cos,
                  CAST(rn AS BIGINT) AS rn
           FROM nnd2 ORDER BY src, rn""")) { (s, d) =>
@@ -226,7 +234,7 @@ object SimilarityQueries {
         .select(col("vec_id"), extendDim(dim).as("v"))
       val nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings"))
       val seed = Similarity.knnGraph(emb, dim = dim, nBits = nBits, k = 5,
-        portable = true)
+        portable = true, prescoreFactor = 3)
       val r1 = Similarity.nnDescentRound(seed, emb, k = 5, prescoreFactor = 3)
       Similarity.nnDescentRound(r1, emb, k = 5, prescoreFactor = 3)
         .select(col("src"), col("dst"), Num.round2(col("cos")).as("cos"),

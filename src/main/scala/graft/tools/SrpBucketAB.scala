@@ -52,7 +52,8 @@ object SrpBucketAB {
     val emb = (if (dim == 64) base
       else base.select(col("vec_id"), expr(
         s"concat(v, transform(sequence(64, ${dim - 1}), " +
-          "xi -> (CAST((vec_id * 2654435761L + xi * 40503L) % 100003L " +
+          "xi -> (CAST(((((xi + 1L) * 40503L) % 100003L) * " +
+          "((vec_id * 2654435761L) % 100003L + 1L) + xi * 97911L) % 100003L " +
           "AS DOUBLE) / 100003.0) - 0.5))").as("v"))).localCheckpoint(true)
     val n = emb.count()
 
