@@ -30,6 +30,32 @@ object SimilarityQueries {
       "((vec_id * 2654435761L) % 100003L + 1L) + xi * 97911L) % 100003L " +
       "AS DOUBLE) / 100003.0) - 0.5))")
 
+  /** The materialized `dim`-dim fixture corpus for the high-dim queries:
+    * (vec_id, v) with v the [[extendDim]] extension of the stored 64-dim
+    * embedding. Built ONCE per query invocation, eagerly, because the
+    * consumers (gated knnGraph seed + each NN-descent round) read the
+    * corpus from up to ten plan branches (quantCodes per round, the two
+    * float-fetch joins per round, both seed sides) and the derivation is
+    * the expensive part of the scan at dim=768: the extension + int8
+    * quantize are interpreted higher-order-function passes (~1.5k element
+    * ops/row), and the sf0.1 source parquet is ONE split, so every
+    * recomputation ran as a ~2-6 s SINGLE task (measured r17: 13 such
+    * serial stages = ~17 s of the query's steady wall). The round-robin
+    * repartition parallelizes the derivation (pre-extension rows are
+    * 0.5 KB, so the exchange is cheap), and the eager localCheckpoint
+    * pays it exactly once inside the timed body — also avoiding the lazy
+    * checkpoint's concurrent-branch duplication (the r13 jaccard lesson).
+    * Blocks die with the bench's per-query unpersist, like the operators'
+    * own Lineage checkpoints; values are bit-identical, so the oracle
+    * replay is unchanged. */
+  private def highDimFixture(s: org.apache.spark.sql.SparkSession, d: String,
+      dim: Int): org.apache.spark.sql.DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), extendDim(dim).as("v"))
+      .localCheckpoint(true)
+
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-10: 5 query vectors (broadcast) vs the corpus.
@@ -201,9 +227,7 @@ object SimilarityQueries {
                  CAST(rn AS BIGINT) AS rn
           FROM nnd ORDER BY src, rn""")) { (s, d) =>
       val dim = 768
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
-        .select(col("vec_id"), extendDim(dim).as("v"))
+      val emb = highDimFixture(s, d, dim)
       val nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings"))
       val seed = Similarity.knnGraph(emb, dim = dim, nBits = nBits, k = 5,
         portable = true, prescoreFactor = 3)
@@ -229,9 +253,7 @@ object SimilarityQueries {
                  CAST(rn AS BIGINT) AS rn
           FROM nnd2 ORDER BY src, rn""")) { (s, d) =>
       val dim = 768
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
-        .select(col("vec_id"), extendDim(dim).as("v"))
+      val emb = highDimFixture(s, d, dim)
       val nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings"))
       val seed = Similarity.knnGraph(emb, dim = dim, nBits = nBits, k = 5,
         portable = true, prescoreFactor = 3)
