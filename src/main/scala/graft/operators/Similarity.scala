@@ -638,9 +638,14 @@ object Similarity {
       else {
         // the shared gated-path codec (see [[quantCodes]]): codes are
         // array<byte> — 1 byte/element in Tungsten, so the pair exchange
-        // carries 64 B of codes instead of 512 B of doubles
-        val q = quantCodes(vecs)
-          .select(col("vec_id"), col("qs"), col("qn"), col("qc"))
+        // carries 64 B of codes instead of 512 B of doubles.
+        // Checkpointed (node-sized: ~dim bytes + 16 per vector) because it
+        // feeds BOTH sides of the candidate gate join below — src and dst
+        // projections build different exchanges, so ReuseExchange cannot
+        // share them and the interpreted HOF quantize pass (~dim element
+        // ops/row) would otherwise run twice per round (r17).
+        val (q, _) = lin.tracked(quantCodes(vecs)
+          .select(col("vec_id"), col("qs"), col("qn"), col("qc")))
         // exact integer dot via the native codegen expression — the HOF
         // aggregate-over-zip_with form ran interpreted and cost more than
         // the full-vector exchange it was saving (measured 4-6x at 100x)
