@@ -44,6 +44,25 @@ object VectorFunctions {
     column(graft.expressions.Int8Dot(expression(a), expression(b)))
   }
 
+  /** L2 norm via the native NormSq loop — bit-identical to [[l2Norm]]
+    * (same fold order under the same builtin sqrt); use on corpus-scan
+    * guards/metadata where the interpreted HOF pass is hot (r17: one
+    * full interpreted corpus pass per plan branch in knnGraph /
+    * nnDescentRound / quantRerankTopK). */
+  def l2NormNative(a: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    sqrt(column(graft.expressions.NormSq(expression(a))))
+  }
+
+  /** The int8 quantization codec — struct(qs, qn, qc) in ONE native pass
+    * (graft.expressions.Int8Codes); NULL struct on the degenerate rows a
+    * `qs > 0` gate drops. Bit-identical fields to the HOF triple
+    * (scale / norm / HALF_UP byte codes) it replaces. */
+  def int8Codes(v: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.Int8Codes(expression(v)))
+  }
+
   def l2Dist(a: Column, b: Column): Column =
     sqrt(aggregate(
       zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x))

@@ -98,14 +98,6 @@ object Similarity {
       k: Int,
       candidateFactor: Int = 4): DataFrame = {
     require(k >= 1 && candidateFactor >= 1)
-    def scaleOf(v: Column): Column =
-      array_max(transform(v, x => abs(x))) / lit(127.0)
-    // codes as array<byte>: 1 byte/element in Tungsten (the whole point of
-    // the int8 store — the old array<long> spelling stored 8x wider), and
-    // the integer dot runs in the Int8Dot codegen loop instead of the
-    // interpreted zip_with path (same values: |round(x/scale)| <= 127)
-    def quantize(v: Column, scale: Column): Column =
-      transform(v, x => round(x / scale).cast("byte"))
     // the int8 store carries per-vector (scale, float norm) metadata —
     // computed ONCE at quantize time; the coarse score then approximates
     // COSINE (dot/|q||c|), the same ordering the rerank refines. Scoring
@@ -116,25 +108,26 @@ object Similarity {
     // them, and their scale-0 codes would divide to NaN — which Spark's
     // descending sort places FIRST, so an unguarded zero vector would
     // top every ranking instead of losing every ranking).
-    // Two-step projection, NOT quantize(v, scaleOf(v)): inlining the
-    // array_max scale expression into the transform lambda re-evaluates
-    // it per ELEMENT (Catalyst doesn't hoist loop-invariant subtrees out
-    // of HOF lambdas — the documented CollapseProject/HOF pitfall), an
-    // O(dim^2)-per-row corpus scan. As a named column referenced three
-    // times (output, lambda, filter) it is evaluated once per row and
-    // CollapseProject keeps the projection barrier (it never duplicates
-    // non-cheap multiply-referenced aliases).
+    // Codec = the shared Int8Codes native expression: scale, norm and
+    // codes in one fused pass (codes as array<byte> — 1 byte/element in
+    // Tungsten; the integer dot runs in the Int8Dot codegen loop). The
+    // previous HOF spelling ran three interpreted passes per corpus row
+    // and had to dodge the CollapseProject/HOF lambda-hoisting pitfall
+    // with a projection barrier; the native struct is evaluated once per
+    // row by construction (multi-referenced non-cheap alias).
     val corpusQ = corpus
-      .select(col("vec_id"), col("cv"), scaleOf(col("cv")).as("c_scale"))
-      .select(col("vec_id"), col("c_scale"),
-        V.l2Norm(col("cv")).as("c_norm"),
-        quantize(col("cv"), col("c_scale")).as("cq"))
+      .select(col("vec_id"), V.int8Codes(col("cv")).as("__q"))
+      .select(col("vec_id"),
+        col("__q").getField("qs").as("c_scale"),
+        col("__q").getField("qn").as("c_norm"),
+        col("__q").getField("qc").as("cq"))
       .filter(col("c_scale") > 0)
     val queriesQ = queries
-      .select(col("q_id"), col("qv"), scaleOf(col("qv")).as("q_scale"))
-      .select(col("q_id"), col("q_scale"),
-        V.l2Norm(col("qv")).as("q_norm"),
-        quantize(col("qv"), col("q_scale")).as("qq"))
+      .select(col("q_id"), V.int8Codes(col("qv")).as("__q"))
+      .select(col("q_id"),
+        col("__q").getField("qs").as("q_scale"),
+        col("__q").getField("qn").as("q_norm"),
+        col("__q").getField("qc").as("qq"))
       .filter(col("q_scale") > 0)
     // integer dot: |code| <= 127, so dim * 127^2 stays far inside Long
     val intDot = V.int8Dot(col("qq"), col("cq"))
@@ -450,7 +443,8 @@ object Similarity {
       nBits: Int,
       k: Int,
       portable: Boolean = false,
-      prescoreFactor: Int = 0): DataFrame = {
+      prescoreFactor: Int = 0,
+      corpusRows: Option[Long] = None): DataFrame = {
     // zero-norm guard (same convention as quantizeRerank): cosine is
     // undefined for the zero vector and cosineNative yields NaN, which a
     // descending window ranks FIRST — one degenerate vector would become
@@ -458,7 +452,7 @@ object Similarity {
     // ordering. Dropped from both graph sides (the guard sits before the
     // probe/candidate split); the q_sim_knn oracle mirrors it. The gated
     // path's qs > 0 filter keeps exactly the same rows.
-    val vecs = emb.filter(V.l2Norm(col("v")) > 0)
+    val vecs = emb.filter(V.l2NormNative(col("v")) > 0)
     val w = Window.partitionBy("src")
       .orderBy(round(col("cos"), 6).desc, col("dst"))
     if (prescoreFactor <= 0) {
@@ -502,9 +496,18 @@ object Similarity {
         .withColumn("__qrn", row_number().over(wPre))
         .filter(col("__qrn") <= k * prescoreFactor)
         .select(col("src"), col("dst"))
+      // Float-fetch joins carry a 6 KB vector onto every survivor pair —
+      // under the planner's sort-merge default that intermediate is
+      // SORTED (r17 profile: one Sort of a 16 GiB pair+vector exchange ran
+      // 33 AQE-coalesced tasks x ~220 s = 250 s of the 100x wall). The
+      // node-sized vector table is the natural hash BUILD side, so the
+      // corpus-gated SHUFFLE_HASH hint streams the wide pair side
+      // unsorted; below the gate the planner keeps its broadcast choice
+      // (spec-scale plans unchanged).
+      val fetch = fetchHint(corpusRows) _
       surv
-        .join(vecs.select(col("vec_id").as("src"), col("v").as("sv")), Seq("src"))
-        .join(vecs.select(col("vec_id").as("dst"), col("v").as("dv")), Seq("dst"))
+        .join(fetch(vecs.select(col("vec_id").as("src"), col("v").as("sv"))), Seq("src"))
+        .join(fetch(vecs.select(col("vec_id").as("dst"), col("v").as("dv"))), Seq("dst"))
         .withColumn("cos", V.cosineNative(col("sv"), col("dv")))
         .select(col("src"), col("dst"), col("cos"))
         .withColumn("rn", row_number().over(w))
@@ -512,19 +515,30 @@ object Similarity {
     }
   }
 
+  /** Corpus-gated SHUFFLE_HASH hint for the node-sized BUILD side of a
+    * survivor-fetch join (float vectors / int8 codes keyed by vec_id):
+    * same [[shjGate]] dial the candidate joins use — above it, sort-merge
+    * would sort the WIDE pair-stream side (the r17 16 GiB-sort finding);
+    * below it the planner's own choice (typically broadcast) stands. */
+  private def fetchHint(corpusRows: Option[Long])(df: DataFrame): DataFrame =
+    if (shjGate(corpusRows)) df.hint("SHUFFLE_HASH") else df
+
   /** int8 code table of non-degenerate vectors — THE codec every gated
     * path shares (quantRerankTopK, nnDescentRound's pre-score, the gated
-    * [[knnGraph]] seed): per-vector symmetric scale max|x|/127 as a NAMED
-    * column (Catalyst re-evaluates array_max per element if inlined into
-    * the transform lambda), HALF_UP byte codes (1 byte/dim in Tungsten),
-    * float norm for cosine normalization. qs > 0 keeps exactly the rows
-    * the l2Norm zero-vector guard keeps. Output: (vec_id, v, qs, qn, qc). */
+    * [[knnGraph]] seed): per-vector symmetric scale max|x|/127, HALF_UP
+    * byte codes (1 byte/dim in Tungsten), float norm for cosine
+    * normalization — all three from ONE native fused pass
+    * ([[graft.expressions.Int8Codes]]; the previous three interpreted HOF
+    * passes measured ~1,100 task-seconds per 200k x 768 corpus scan, r17).
+    * The NULL-struct degenerate rule + `qs > 0` keeps exactly the rows
+    * the old scale filter kept. Output: (vec_id, v, qs, qn, qc). */
   private[graft] def quantCodes(vecs: DataFrame): DataFrame =
     vecs
+      .select(col("vec_id"), col("v"), V.int8Codes(col("v")).as("__q"))
       .select(col("vec_id"), col("v"),
-        (array_max(transform(col("v"), x => abs(x))) / lit(127.0)).as("qs"))
-      .select(col("vec_id"), col("v"), col("qs"), V.l2Norm(col("v")).as("qn"),
-        transform(col("v"), x => round(x / col("qs")).cast("byte")).as("qc"))
+        col("__q").getField("qs").as("qs"),
+        col("__q").getField("qn").as("qn"),
+        col("__q").getField("qc").as("qc"))
       .filter(col("qs") > 0)
 
   /** One NN-descent refinement round over a kNN graph (Dong et al., WWW'11
@@ -594,7 +608,8 @@ object Similarity {
       k: Int,
       mode: CheckpointMode = CheckpointMode.Local,
       prescoreFactor: Int = 0,
-      revDegreeCap: Int = -1): DataFrame = {
+      revDegreeCap: Int = -1,
+      corpusRows: Option[Long] = None): DataFrame = {
     // The incoming graph feeds FOUR plan branches (fwd, the reverse-cap
     // window, and — through und — both sides of the expansion self-join);
     // without lineage truncation the entire seed pipeline (SRP bucket
@@ -627,7 +642,7 @@ object Similarity {
       .filter(col("src") =!= col("dst"))
       .unionAll(fwd)
       .distinct()
-    val vecs = emb.filter(V.l2Norm(col("v")) > 0)
+    val vecs = emb.filter(V.l2NormNative(col("v")) > 0)
     val w = Window.partitionBy("src")
       .orderBy(round(col("cos"), 6).desc, col("dst"))
     // pre-score gate (see scaladoc): the survivor set that proceeds to
@@ -652,11 +667,15 @@ object Similarity {
         val qdot = V.int8Dot(col("sqc"), col("dqc"))
         val wPre = Window.partitionBy("src")
           .orderBy(round(col("approx"), 6).desc, col("dst"))
+        // code joins: same sort-merge pathology as the float fetch below
+        // at 1/8 the width — the node-sized code table is the hash build
+        // side, the candidate pair stream streams unsorted (r17)
+        val fetchQ = fetchHint(corpusRows) _
         cand
-          .join(q.select(col("vec_id").as("src"), col("qc").as("sqc"),
-            col("qs").as("sqs"), col("qn").as("sqn")), Seq("src"))
-          .join(q.select(col("vec_id").as("dst"), col("qc").as("dqc"),
-            col("qs").as("dqs"), col("qn").as("dqn")), Seq("dst"))
+          .join(fetchQ(q.select(col("vec_id").as("src"), col("qc").as("sqc"),
+            col("qs").as("sqs"), col("qn").as("sqn"))), Seq("src"))
+          .join(fetchQ(q.select(col("vec_id").as("dst"), col("qc").as("dqc"),
+            col("qs").as("dqs"), col("qn").as("dqn"))), Seq("dst"))
           .withColumn("approx",
             qdot.cast("double") * col("sqs") * col("dqs") /
               (col("sqn") * col("dqn")))
@@ -664,9 +683,14 @@ object Similarity {
           .filter(col("__qrn") <= k * prescoreFactor)
           .select(col("src"), col("dst"))
       }
+    // corpus-gated SHUFFLE_HASH on the vector build side (see [[fetchHint]]
+    // / the knnGraph gated fetch): above the gate, sort-merge sorted the
+    // pair+vector intermediate — the r17 100x profile's single biggest
+    // stage (16 GiB estimated, 33 tasks x ~220 s)
+    val fetchV = fetchHint(corpusRows) _
     surv
-      .join(vecs.select(col("vec_id").as("src"), col("v").as("sv")), Seq("src"))
-      .join(vecs.select(col("vec_id").as("dst"), col("v").as("dv")), Seq("dst"))
+      .join(fetchV(vecs.select(col("vec_id").as("src"), col("v").as("sv"))), Seq("src"))
+      .join(fetchV(vecs.select(col("vec_id").as("dst"), col("v").as("dv"))), Seq("dst"))
       .withColumn("cos", V.cosineNative(col("sv"), col("dv")))
       .select(col("src"), col("dst"), col("cos"))
       .withColumn("rn", row_number().over(w))

@@ -235,7 +235,7 @@ object ScalarQueries {
         .select(
           col("vec_id"),
           size(col("embedding")).cast("long").as("dim"),
-          Num.round2(V.l2Norm(v)).as("l2norm"),
+          Num.round2(V.l2NormNative(v)).as("l2norm"),
           Num.round2(element_at(v, 1)).as("first_el"),
           Num.round2(aggregate(slice(v, 1, 8), lit(0.0), (s0, x) => s0 + x))
             .as("head_sum"))

@@ -24,7 +24,20 @@ object SimilarityQueries {
     * (max pop 6670 vs mean 97 at 100x, 1.25B candidate pairs, one 102M-
     * pair mega-bucket running as a 439 s single task). The bilinear mix
     * restores near-flat buckets (max 151, skew 1.05, 133M pairs). */
-  private def extendDim(dim: Int) = expr(
+  private def extendDim(dim: Int) = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    // native mix loop (graft.expressions.HighDimMix) — the
+    // transform(sequence(...)) spelling evaluated the lambda interpreted
+    // per element (~10 ms/row at 704 elements, r17); exact long + IEEE
+    // arithmetic is unchanged, so the oracle's extendDimSql replay and
+    // the HOF form stay bit-identical (ExpressionSpec)
+    concat(col("v"),
+      column(graft.expressions.HighDimMix(expression(col("vec_id")), 64, dim)))
+  }
+
+  /** The replaced HOF spelling of [[extendDim]], kept for the
+    * ExpressionSpec bit-parity pin. */
+  private[graft] def extendDimHof(dim: Int) = expr(
     s"concat(v, transform(sequence(64, ${dim - 1}), " +
       "xi -> (CAST(((((xi + 1L) * 40503L) % 100003L) * " +
       "((vec_id * 2654435761L) % 100003L + 1L) + xi * 97911L) % 100003L " +
@@ -167,8 +180,10 @@ object SimilarityQueries {
           FROM knn ORDER BY src, rn""")) { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
-      val nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings"))
-      Similarity.knnGraph(emb, dim = 64, nBits = nBits, k = 5, portable = true)
+      val n = Tables.rowCount(s, d, "embeddings")
+      val nBits = Similarity.lshNBits(n)
+      Similarity.knnGraph(emb, dim = 64, nBits = nBits, k = 5, portable = true,
+          corpusRows = Some(n))
         .select(col("src"), col("dst"), Num.round2(col("cos")).as("cos"),
           col("rn").cast("long").as("rn"))
         .orderBy("src", "rn")
@@ -199,10 +214,11 @@ object SimilarityQueries {
           FROM nnd ORDER BY src, rn""")) { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
-      val nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings"))
+      val n = Tables.rowCount(s, d, "embeddings")
+      val nBits = Similarity.lshNBits(n)
       val seed = Similarity.knnGraph(emb, dim = 64, nBits = nBits, k = 5,
-        portable = true)
-      Similarity.nnDescentRound(seed, emb, k = 5)
+        portable = true, corpusRows = Some(n))
+      Similarity.nnDescentRound(seed, emb, k = 5, corpusRows = Some(n))
         .select(col("src"), col("dst"), Num.round2(col("cos")).as("cos"),
           col("rn").cast("long").as("rn"))
         .orderBy("src", "rn")
@@ -228,10 +244,12 @@ object SimilarityQueries {
           FROM nnd ORDER BY src, rn""")) { (s, d) =>
       val dim = 768
       val emb = highDimFixture(s, d, dim)
-      val nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings"))
+      val n = Tables.rowCount(s, d, "embeddings")
+      val nBits = Similarity.lshNBits(n)
       val seed = Similarity.knnGraph(emb, dim = dim, nBits = nBits, k = 5,
-        portable = true, prescoreFactor = 3)
-      Similarity.nnDescentRound(seed, emb, k = 5, prescoreFactor = 3)
+        portable = true, prescoreFactor = 3, corpusRows = Some(n))
+      Similarity.nnDescentRound(seed, emb, k = 5, prescoreFactor = 3,
+        corpusRows = Some(n))
         .select(col("src"), col("dst"), Num.round2(col("cos")).as("cos"),
           col("rn").cast("long").as("rn"))
         .orderBy("src", "rn")
@@ -254,11 +272,14 @@ object SimilarityQueries {
           FROM nnd2 ORDER BY src, rn""")) { (s, d) =>
       val dim = 768
       val emb = highDimFixture(s, d, dim)
-      val nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings"))
+      val n = Tables.rowCount(s, d, "embeddings")
+      val nBits = Similarity.lshNBits(n)
       val seed = Similarity.knnGraph(emb, dim = dim, nBits = nBits, k = 5,
-        portable = true, prescoreFactor = 3)
-      val r1 = Similarity.nnDescentRound(seed, emb, k = 5, prescoreFactor = 3)
-      Similarity.nnDescentRound(r1, emb, k = 5, prescoreFactor = 3)
+        portable = true, prescoreFactor = 3, corpusRows = Some(n))
+      val r1 = Similarity.nnDescentRound(seed, emb, k = 5, prescoreFactor = 3,
+        corpusRows = Some(n))
+      Similarity.nnDescentRound(r1, emb, k = 5, prescoreFactor = 3,
+        corpusRows = Some(n))
         .select(col("src"), col("dst"), Num.round2(col("cos")).as("cos"),
           col("rn").cast("long").as("rn"))
         .orderBy("src", "rn")
@@ -731,9 +752,10 @@ object SimilarityQueries {
           ORDER BY vec_id""")) { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), V.asDouble(col("embedding")).as("v"))
-      val nBits = Similarity.lshNBits(Tables.rowCount(s, d, "embeddings"))
+      val n = Tables.rowCount(s, d, "embeddings")
+      val nBits = Similarity.lshNBits(n)
       val edges = Similarity.knnGraph(emb, dim = 64, nBits = nBits, k = 5,
-          portable = true)
+          portable = true, corpusRows = Some(n))
         .filter(col("cos") >= 0.3)
         .select(col("src").as("doc_a"), col("dst").as("doc_b"))
       val roots = Dedup.duplicateClusters(edges)

@@ -477,6 +477,122 @@ class ExpressionSpec extends AnyFunSuite with SparkTest {
     assert(m(1) != 0L) // all-positive vector: every dot > 0 somewhere
   }
 
+  // ---- r17 native hot-loop expressions: Int8Codes / HighDimMix / NormSq ----
+
+  test("NormSq: sqrt(native) is bit-identical to the HOF l2Norm") {
+    val df = vecs.select(
+      V.l2Norm(col("v")).as("hof"), V.l2NormNative(col("v")).as("native"))
+    assert(df.filter(col("hof") =!= col("native")).count() == 0)
+    // empty + null vectors
+    import spark.implicits._
+    val edge = Seq((1L, Some(Seq.empty[Double])), (2L, None))
+      .toDF("id", "v")
+      .select(V.l2Norm(col("v")).as("hof"), V.l2NormNative(col("v")).as("native"))
+      .collect()
+    assert(edge(0).getDouble(0) == 0.0 && edge(0).getDouble(1) == 0.0)
+    assert(edge(1).isNullAt(0) && edge(1).isNullAt(1))
+  }
+
+  /** The replaced HOF codec (pre-r17 Similarity.quantCodes), reconstructed
+    * verbatim: named-scale two-step projection, HALF_UP round, byte cast. */
+  private def hofCodec(v: Column): (Column, Column, Column) = {
+    val qs = array_max(transform(v, x => abs(x))) / lit(127.0)
+    (qs, V.l2Norm(v), transform(v, x => round(x / qs).cast("byte")))
+  }
+
+  test("Int8Codes matches the HOF codec bit-for-bit incl. .5 rounding boundaries") {
+    import spark.implicits._
+    // max|x| = 127 so qs = 1.0 exactly and the quotients hit the literal
+    // values below: 2.5/-2.5/3.5 are the HALF_UP half-integer boundaries,
+    // 0.49999999999999994 is the largest double below 0.5 (the classic
+    // floor(x+0.5) bug input), 126.5 rounds away from zero to 127
+    val boundary = Seq(2.5, -2.5, 3.5, -3.5, 0.49999999999999994,
+      -0.49999999999999994, 126.5, -126.5, 0.5, -0.5, 127.0)
+    val rnd = new scala.util.Random(13)
+    val cases = (boundary ++ Seq.fill(37)(rnd.nextDouble() * 254 - 127))
+      .grouped(6).map(_.toSeq :+ 127.0).toSeq ++
+      (0 until 20).map(i => (0 until 16).map(j => math.sin(i * 31 + j) * (i + 1)))
+    val df = cases.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val (qs, qn, qc) = hofCodec(col("v"))
+    val both = df.select(
+      qs.as("hqs"), qn.as("hqn"), qc.as("hqc"),
+      V.int8Codes(col("v")).as("n"))
+    both.collect().foreach { r =>
+      val n = r.getStruct(3)
+      assert(r.getDouble(0) == n.getDouble(0), s"qs: ${r.getDouble(0)} vs ${n.getDouble(0)}")
+      assert(r.getDouble(1) == n.getDouble(1), s"qn: ${r.getDouble(1)} vs ${n.getDouble(1)}")
+      assert(r.getSeq[Byte](2) == n.getSeq[Byte](2),
+        s"qc: ${r.getSeq[Byte](2)} vs ${n.getSeq[Byte](2)}")
+    }
+  }
+
+  test("Int8Codes degenerate inputs null out exactly the rows the qs>0 gate dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(1.0, -2.0, 3.0))), // well-formed
+      (2L, Some(Seq(0.0, 0.0))),       // zero vector: HOF qs=0, native null
+      (3L, Some(Seq.empty[Double])),   // empty: HOF qs null, native null
+      (4L, None),                      // null vector
+      // NaN scale is KEPT on both paths: Spark's SQL comparison ranks NaN
+      // greater than everything, so the HOF `qs > 0` gate passed it (and
+      // its codes were round(x/NaN) -> byte 0, which the native loop
+      // reproduces)
+      (5L, Some(Seq(Double.NaN, 1.0)))
+    ).toDF("id", "v")
+    val (qs, _, _) = hofCodec(col("v"))
+    val hofKept = df.select(col("id"), qs.as("qs")).filter(col("qs") > 0)
+      .collect().map(_.getLong(0)).toSet
+    val natKept = df.select(col("id"),
+        V.int8Codes(col("v")).getField("qs").as("qs"))
+      .filter(col("qs") > 0).collect().map(_.getLong(0)).toSet
+    assert(hofKept == natKept && natKept == Set(1L, 5L))
+    // the HOF CODES on the NaN row would have thrown under ANSI
+    // (CAST_OVERFLOW on round(x/NaN) -> byte); the native loop instead
+    // yields the d2i/i2b value 0 — strictly more graceful, pinned here
+    val nanCodes = df.filter(col("id") === 5).select(
+      V.int8Codes(col("v")).getField("qc").as("n")).collect()(0)
+    assert(nanCodes.getSeq[Byte](0) == Seq[Byte](0, 0))
+  }
+
+  test("Int8Codes survives both codegen and interpreted eval paths") {
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      val got = Seq("true", "false").map { cg =>
+        spark.conf.set("spark.sql.codegen.wholeStage", cg)
+        vecs.select(V.int8Codes(col("v")).as("q"))
+          .select(col("q.qs"), col("q.qn"), col("q.qc"))
+          .collect().map(r => (r.getDouble(0), r.getDouble(1),
+            r.getSeq[Byte](2))).toSeq
+      }
+      assert(got(0) == got(1))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
+  test("HighDimMix matches the HOF transform(sequence) fixture bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val df = Seq(0L, 1L, 7L, 63L, 12345L, 999999L, 20000000L)
+      .map(id => (id, Seq(0.25, -0.25)))
+      .toDF("vec_id", "v")
+    val native = concat(col("v"),
+      column(graft.expressions.HighDimMix(expression(col("vec_id")), 64, 768)))
+    val hof = graft.queries.SimilarityQueries.extendDimHof(768)
+    val rows = df.select(hof.as("h"), native.as("n")).collect()
+    rows.foreach { r =>
+      val (h, n) = (r.getSeq[Double](0), r.getSeq[Double](1))
+      assert(h.length == 706 && h == n)
+    }
+    // both eval paths agree
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      val got = Seq("true", "false").map { cg =>
+        spark.conf.set("spark.sql.codegen.wholeStage", cg)
+        df.select(native.as("n")).collect().map(_.getSeq[Double](0)).toSeq
+      }
+      assert(got(0) == got(1))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("salted aggregation equals the plain aggregation") {
     import spark.implicits._
     val df = ((1 to 500).map(_ => ("hot", 1.0)) ++
