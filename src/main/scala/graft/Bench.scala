@@ -228,7 +228,14 @@ object Bench {
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","calibration_s":$calibration,"calibration_shuffle_s":$calibrationShuffle,"calibration_launch_s":$calibrationLaunch,"queries":${obj(results)},"failed":$failedJson,"sf":"$sfDir"}"""
+    // Effective-parallelism stamp (r17 verdict #2): the artifact itself
+    // records what the session actually ran with — master string, scheduler
+    // parallelism, shuffle width — so "does the harness honor
+    // $SPARK_GRAFT_CPUS" is answerable from the JSON line alone instead of
+    // needing source forensics. Additive keys only; schema otherwise
+    // unchanged.
+    val parallelism = s""""master":"${spark.sparkContext.master}","default_parallelism":${spark.sparkContext.defaultParallelism},"shuffle_partitions":${spark.sessionState.conf.numShufflePartitions}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$parallelism,"calibration_s":$calibration,"calibration_shuffle_s":$calibrationShuffle,"calibration_launch_s":$calibrationLaunch,"queries":${obj(results)},"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // Whole-artifact escape hatch: the driver's capture keeps only the TAIL
     // of stdout, which truncates the per-query map past ~70 queries (the r3/
@@ -244,7 +251,7 @@ object Bench {
     // with the 10 slowest queries standing in for the full map (the full
     // line precedes it and lands intact in SPARK_GRAFT_BENCH_OUT).
     val top10 = results.sortBy(-_._2).take(10)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration_s":$calibration,"calibration_shuffle_s":$calibrationShuffle,"calibration_launch_s":$calibrationLaunch,"queries":${obj(top10)},"failed":$failedJson,"sf":"$sfDir","note":"compact summary: queries = 10 slowest of ${results.size}; full map in the preceding line"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$parallelism,"calibration_s":$calibration,"calibration_shuffle_s":$calibrationShuffle,"calibration_launch_s":$calibrationLaunch,"queries":${obj(top10)},"failed":$failedJson,"sf":"$sfDir","note":"compact summary: queries = 10 slowest of ${results.size}; full map in the preceding line"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -1,6 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -51,6 +52,15 @@ case class Int8Codes(child: Expression) extends UnaryExpression {
   override def dataType: DataType = Int8Codes.schema
   override def nullable: Boolean = true
   override def prettyName: String = "graft_int8_codes"
+  // analysis-time input contract (r17 ADVICE): a mistyped child fails fast
+  // on BOTH eval paths instead of ClassCastException-ing interpreted while
+  // silently widening under codegen (AbstractDataType is private[sql], so
+  // the check is spelled directly rather than via ExpectsInputTypes)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.catalogString}")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -1,9 +1,10 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Squared L2 norm of an `array<double>` vector as a native fused loop —
   * the zero-norm guard (`l2Norm(v) > 0`) every similarity operator runs
@@ -18,6 +19,12 @@ case class NormSq(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_norm_sq"
+  // analysis-time input contract (r17 ADVICE)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.catalogString}")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

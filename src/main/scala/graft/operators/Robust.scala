@@ -50,8 +50,20 @@ object Robust {
     * and `mad4` (= 4·MAD) columns the decision was made on. */
   def madOutliers(df: DataFrame, stratumCol: String, valueCol: String,
       idCol: String, k: Int): DataFrame = {
-    val med = median2(df, stratumCol, valueCol, idCol)
-    val withDev = df
+    // ONE stratum exchange serves the whole operator (guide §2.4): the
+    // input is hash-partitioned by the stratum up front, so the first
+    // median's rank window consumes it directly, and — broadcast joins
+    // and narrow maps preserving the child partitioning — the second
+    // median's window and both median aggs run with NO further shuffle.
+    // The repartitioned subtree is canonically identical across the
+    // med / dev / output branches, so exchange reuse collapses the
+    // operator to one scan + one shuffle (was: 4 scans, 3 shuffles —
+    // each median2 re-shuffled an unpartitioned input and the dev frame
+    // was planned twice). Stratum-bounded parallelism is inherent to the
+    // per-stratum windows either way (class doc).
+    val base = df.repartition(col(stratumCol))
+    val med = median2(base, stratumCol, valueCol, idCol)
+    val withDev = base
       .join(broadcast(med), stratumCol)
       .withColumn("dev2",
         abs(lit(2L) * col(valueCol).cast("long") - col("med2")))

@@ -519,9 +519,26 @@ object Similarity {
     * survivor-fetch join (float vectors / int8 codes keyed by vec_id):
     * same [[shjGate]] dial the candidate joins use — above it, sort-merge
     * would sort the WIDE pair-stream side (the r17 16 GiB-sort finding);
-    * below it the planner's own choice (typically broadcast) stands. */
+    * below it the planner's own choice (typically broadcast) stands.
+    *
+    * Gate-on, the build side is ALSO explicitly repartitioned on its join
+    * key (the frame's FIRST column by the callers' selection contract)
+    * with the candidate joins' corpus-derived count: SHJ's per-partition
+    * hash build cannot spill, and inheriting default/AQE partitioning
+    * would let build bytes per partition grow unboundedly with corpus and
+    * dim (r17 ADVICE). ~1k vectors per partition ≈ 6 MB at dim=768,
+    * capped at the session shuffle width; the user-specified count opts
+    * the exchange out of AQE coalescing, and EnsureRequirements aligns
+    * the pair-stream side to it, so the bound holds at any scale. */
   private def fetchHint(corpusRows: Option[Long])(df: DataFrame): DataFrame =
-    if (shjGate(corpusRows)) df.hint("SHUFFLE_HASH") else df
+    if (!shjGate(corpusRows)) df
+    else {
+      val cap = df.sparkSession.sessionState.conf.numShufflePartitions
+      val p = corpusRows
+        .map(n => math.max(1L, math.min(cap.toLong, n / 1000 + 1)).toInt)
+        .getOrElse(cap)
+      df.repartition(p, col(df.columns.head)).hint("SHUFFLE_HASH")
+    }
 
   /** int8 code table of non-degenerate vectors — THE codec every gated
     * path shares (quantRerankTopK, nnDescentRound's pre-score, the gated

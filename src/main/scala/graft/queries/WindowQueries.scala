@@ -324,13 +324,23 @@ object WindowQueries {
         .agg(Num.round2(sum("o_totalprice")).as("rev"))
       val w = Window.partitionBy("seg", "yr")
         .orderBy(col("rev").desc, col("ck"))
+      // Both years' ranks re-meet on (seg, ck) via ONE conditional
+      // aggregation instead of a self-join: (seg, ck, yr) is unique after
+      // the revenue agg, so min(when(yr = Y, rn)) picks the year's single
+      // rank exactly. The join spelling planned each side as its own full
+      // subtree (the pushed yr filter made the branches non-reusable):
+      // two orders scans, two revenue aggs, two window exchanges, plus
+      // two join exchanges — 7 Exchanges total. This shape is one scan,
+      // one revenue agg, one window, one pair-up agg: 4 Exchanges, and
+      // the rank windows run over both years at once (guide §2.4 —
+      // remove shuffles outright; same rows out, oracle-checked).
       val rk = rev.withColumn("rn", row_number().over(w))
-      val a = rk.filter(col("yr") === 1995 && col("rn") <= 100)
-        .select(col("seg"), col("ck"), col("rn").as("rank_1995"))
-      val b = rk.filter(col("yr") === 1996 && col("rn") <= 100)
-        .select(col("seg").as("seg_b"), col("ck").as("ck_b"),
-          col("rn").as("rank_1996"))
-      a.join(b, col("seg") === col("seg_b") && col("ck") === col("ck_b"))
+        .filter(col("rn") <= 100)
+      rk.groupBy("seg", "ck")
+        .agg(
+          min(when(col("yr") === 1995, col("rn"))).as("rank_1995"),
+          min(when(col("yr") === 1996, col("rn"))).as("rank_1996"))
+        .filter(col("rank_1995").isNotNull && col("rank_1996").isNotNull)
         .select(col("seg"), col("ck"),
           col("rank_1995").cast("long").as("rank_1995"),
           col("rank_1996").cast("long").as("rank_1996"),

@@ -555,17 +555,26 @@ class ExpressionSpec extends AnyFunSuite with SparkTest {
   }
 
   test("Int8Codes survives both codegen and interpreted eval paths") {
+    // r18 (r17 ADVICE): wholeStage=false alone still runs codegen'd
+    // non-whole-stage projections, so the INTERPRETED path needs
+    // factoryMode=NO_CODEGEN to be genuinely exercised
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFm = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     try {
-      val got = Seq("true", "false").map { cg =>
-        spark.conf.set("spark.sql.codegen.wholeStage", cg)
-        vecs.select(V.int8Codes(col("v")).as("q"))
-          .select(col("q.qs"), col("q.qn"), col("q.qc"))
-          .collect().map(r => (r.getDouble(0), r.getDouble(1),
-            r.getSeq[Byte](2))).toSeq
+      val got = Seq(("true", "FALLBACK"), ("false", "NO_CODEGEN")).map {
+        case (cg, fm) =>
+          spark.conf.set("spark.sql.codegen.wholeStage", cg)
+          spark.conf.set("spark.sql.codegen.factoryMode", fm)
+          vecs.select(V.int8Codes(col("v")).as("q"))
+            .select(col("q.qs"), col("q.qn"), col("q.qc"))
+            .collect().map(r => (r.getDouble(0), r.getDouble(1),
+              r.getSeq[Byte](2))).toSeq
       }
       assert(got(0) == got(1))
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFm)
+    }
   }
 
   test("HighDimMix matches the HOF transform(sequence) fixture bit-for-bit") {
@@ -582,15 +591,23 @@ class ExpressionSpec extends AnyFunSuite with SparkTest {
       val (h, n) = (r.getSeq[Double](0), r.getSeq[Double](1))
       assert(h.length == 706 && h == n)
     }
-    // both eval paths agree
+    // both eval paths agree — factoryMode=NO_CODEGEN pins the genuinely
+    // interpreted nullSafeEval path (r17 ADVICE; wholeStage=false alone
+    // still codegens the projection)
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFm = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     try {
-      val got = Seq("true", "false").map { cg =>
-        spark.conf.set("spark.sql.codegen.wholeStage", cg)
-        df.select(native.as("n")).collect().map(_.getSeq[Double](0)).toSeq
+      val got = Seq(("true", "FALLBACK"), ("false", "NO_CODEGEN")).map {
+        case (cg, fm) =>
+          spark.conf.set("spark.sql.codegen.wholeStage", cg)
+          spark.conf.set("spark.sql.codegen.factoryMode", fm)
+          df.select(native.as("n")).collect().map(_.getSeq[Double](0)).toSeq
       }
       assert(got(0) == got(1))
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFm)
+    }
   }
 
   test("salted aggregation equals the plain aggregation") {
