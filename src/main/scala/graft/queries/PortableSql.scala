@@ -148,11 +148,20 @@ object PortableSql {
     * bk(vec_id, v, bucket) with corpus-sized dynamic bit count. dim > 64
     * extends each vector with the deterministic [[extendDimSql]]
     * components (the high-dim fixture of q_sim_nndescent_highdim). */
-  def srpCtes(dim: Int = 64): String =
+  def srpCtes(dim: Int = 64): String = {
+    // MATERIALIZED (r18, oracle-side cost only): at dim > 64 the fixture
+    // extension + bucket expressions are ~3k element-lambda ops per row;
+    // DuckDB 1.0 inlines CTEs, so every downstream reference (the bucket
+    // self-joins reference bk on BOTH sides) re-evaluated them per join
+    // row. The hint pins one evaluation; results are bit-identical
+    // (measured: chain oracle 62 -> 5.2 s at sf0.01, identical frames).
+    // dim = 64 oracles keep the inline default (no measured win).
+    val m = if (dim > 64) "MATERIALIZED " else ""
     s"""n AS (SELECT ${lshNBits("count(*)")} AS nbits FROM embeddings),
-        e AS (SELECT vec_id, ${extendDimSql("vec_id",
+        e AS $m(SELECT vec_id, ${extendDimSql("vec_id",
       "list_transform(embedding, x -> CAST(x AS DOUBLE))", dim)} AS v FROM embeddings),
-        bk AS (SELECT vec_id, v, ${srpBucket("v", "(SELECT nbits FROM n)", dim)} AS bucket FROM e)"""
+        bk AS $m(SELECT vec_id, v, ${srpBucket("v", "(SELECT nbits FROM n)", dim)} AS bucket FROM e)"""
+  }
 
   /** kNN-graph CTEs shared by q_sim_knn and q_dedup_knn_e2e: bk filtered by
     * the zero-norm guard (mirrors Similarity.knnGraph's filter — cosine is
@@ -191,12 +200,18 @@ object PortableSql {
     // quantCtes rides along unconditionally: unreferenced CTEs cost only
     // parse time, and both the gated seed here and any gated rounds
     // appended by the nnDescent builders share the one code table
+    // MATERIALIZED (r18): bkz feeds the bucket self-join (both sides) and
+    // every exact-rescore join; qc both sides of each pre-score join; knn
+    // every chained round's fwd/rev and q_dedup_knn_e2e's RECURSIVE reach
+    // (which otherwise re-evaluates the whole graph per iteration —
+    // measured 10.5 -> 0.5 s at sf0.01, identical frames). Execution hint
+    // only; the declared relation is unchanged.
     s"""${srpCtes(dim)},
-        bkz AS (SELECT * FROM bk
+        bkz AS MATERIALIZED (SELECT * FROM bk
                 WHERE list_sum(list_transform(v, zx -> zx * zx)) > 0),
         $quantCtes,
         $nbSrc,
-        knn AS (SELECT src, dst, cos, rn FROM (
+        knn AS MATERIALIZED (SELECT src, dst, cos, rn FROM (
                   SELECT *, row_number() OVER (PARTITION BY src
                     ORDER BY round(cos, 6) DESC, dst) AS rn FROM nb)
                 WHERE rn <= $k)"""
@@ -241,7 +256,7 @@ object PortableSql {
                       sqrt(list_sum(list_transform(v, x -> x * x))) AS qn,
                       v
                FROM bkz),
-        qc AS (SELECT vec_id, qs, qn,
+        qc AS MATERIALIZED (SELECT vec_id, qs, qn,
                       list_transform(v, x -> CAST(round(x / qs) AS BIGINT)) AS code
                FROM qz WHERE qs > 0)"""
 
@@ -273,9 +288,9 @@ object PortableSql {
                   SELECT src, dst, row_number() OVER (PARTITION BY dst
                     ORDER BY round(cos, 6) DESC, src) AS rrn FROM $in)
                 WHERE rrn <= $k),
-        $und AS (SELECT DISTINCT src, dst FROM (
+        $und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
                   SELECT src, dst FROM $fwd UNION ALL SELECT src, dst FROM $rev)),
-        $cand AS (SELECT DISTINCT src, dst FROM (
+        $cand AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
                    SELECT e1.src AS src, e2.dst AS dst
                    FROM $und e1 JOIN $und e2 ON e1.dst = e2.src
                    WHERE e1.src <> e2.dst
@@ -283,7 +298,7 @@ object PortableSql {
         $nd AS (SELECT c.src, c.dst, ${cosine("a.v", "b.v")} AS cos
                FROM $exactSrc c JOIN bkz a ON a.vec_id = c.src
                            JOIN bkz b ON b.vec_id = c.dst),
-        $out AS (SELECT src, dst, cos, rn FROM (
+        $out AS MATERIALIZED (SELECT src, dst, cos, rn FROM (
                   SELECT *, row_number() OVER (PARTITION BY src
                     ORDER BY round(cos, 6) DESC, dst) AS rn FROM $nd)
                 WHERE rn <= $k)"""
