@@ -76,10 +76,18 @@ object CorpusQueries {
                     FROM tf JOIN df USING (token) CROSS JOIN n)
               WHERE rn <= 3 ORDER BY doc_id, rn""")) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val tf = docs
+      // One tokenize pass serves tf, df and the join. Without the explicit
+      // repartition the df branch re-plans the whole scan+tokenize+partial-
+      // agg subtree (column pruning strips the tf count from its copy, so
+      // the two exchanges differ and ReuseExchange cannot share them:
+      // digest scan=3 exch=6 reuse=0). hash(token) satisfies the
+      // (doc_id, token) group-by clustering, the token group-by AND the
+      // tf-df join, so this single exchange serves all three consumers and
+      // the corpus is scanned/tokenized once.
+      val toks = docs
         .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
-        .groupBy("doc_id", "token")
-        .agg(count(lit(1)).as("tf"))
+        .repartition(col("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")
